@@ -1,0 +1,57 @@
+"""Chunk coordinate math + content addressing (the "partitioner").
+
+Mirrors /root/reference/src/io/mandoline/chunk.clj:11-45.  A chunk
+coordinate is the per-dimension tile index ``floor(i / chunk_len)``;
+``to_chunk_coordinates`` is exactly the engine's partition pruning: a
+read touches only the chunks its slice overlaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from typing import Iterator, Tuple
+
+from . import slab as sb
+from . import slice as sl
+from .slice import Slice
+
+
+def to_chunk_coordinates(s: Slice, chunk_grid: Slice) -> Iterator[Tuple[int, ...]]:
+    """All chunk coordinates overlapped by ``s`` given the chunk grid
+    (grid step = chunk length per dim) — chunk.clj:11-25.
+
+    Per dimension: distinct floor(i/chunk) over the strided range, then
+    the cartesian product (row-major, last dim fastest).
+    """
+    per_dim = []
+    for a, b, st, c in zip(s.start, s.stop, s.step, chunk_grid.step):
+        seen = dict.fromkeys(i // c for i in range(a, b, st))
+        per_dim.append(list(seen))
+    return itertools.product(*per_dim)
+
+
+def chunk_coordinate_ranges(s: Slice, chunk_grid: Slice) -> list[tuple[int, int]]:
+    """Per-dimension inclusive (first, last) chunk-coordinate bounds for a
+    step-1 slice — the compact pruning predicate pushed into Spark."""
+    if not sl.step_is_one(s):
+        raise ValueError("chunk_coordinate_ranges requires step=1")
+    return [
+        (a // c, (b - 1) // c)
+        for a, b, c in zip(s.start, s.stop, chunk_grid.step)
+    ]
+
+
+def from_chunk_coordinate(chunk_grid: Slice, coord: Tuple[int, ...]) -> Slice:
+    """Chunk coordinate → its data-space slice ``[k*c, (k+1)*c)``; NOT
+    cropped to the dataset extent (chunk.clj:27-33, variable.clj:58-74)."""
+    start = tuple(c * k for c, k in zip(chunk_grid.step, coord))
+    stop = tuple(c * (k + 1) for c, k in zip(chunk_grid.step, coord))
+    return Slice(start, stop, tuple(1 for _ in start))
+
+
+def generate_id(slab: sb.Slab) -> str:
+    """Content id = SHA-1 hex of the slab's canonical bytes
+    (chunk.clj:35-45).  Identical cell contents → identical id →
+    automatic chunk dedup."""
+    return hashlib.sha1(sb.to_bytes(slab)).hexdigest()

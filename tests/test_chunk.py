@@ -1,0 +1,60 @@
+"""Chunk coordinate + content-id golden cases, ported from
+/root/reference/test/io/mandoline/chunk_test.clj:11-47."""
+
+import numpy as np
+
+from mandoline_spark.core import chunk as ck
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core.slab import Slab
+from mandoline_spark.core.slice import Slice, mk_slice
+
+
+def test_to_chunk_coordinates():
+    a = Slice((500, 300, 0), (550, 330, 20), (50, 50, 50))
+    b = Slice((500, 300, 0), (551, 330, 20), (50, 50, 50))
+    c = Slice((500, 300, 100), (520, 310, 120), (20, 20, 20))
+    d = Slice((500, 300, 0), (520, 310, 120), (20, 20, 20))
+    e = Slice((501, 300, 0), (520, 310, 120), (20, 20, 20))
+    assert list(ck.to_chunk_coordinates(a, a)) == [(10, 6, 0)]
+    assert list(ck.to_chunk_coordinates(b, b)) == [(10, 6, 0), (11, 6, 0)]
+    assert list(ck.to_chunk_coordinates(c, c)) == [(25, 15, 5)]
+    assert list(ck.to_chunk_coordinates(c, a)) == [(10, 6, 2)]
+    assert list(ck.to_chunk_coordinates(d, d)) == [
+        (25, 15, 0), (25, 15, 1), (25, 15, 2),
+        (25, 15, 3), (25, 15, 4), (25, 15, 5),
+    ]
+    assert list(ck.to_chunk_coordinates(d, a)) == [
+        (10, 6, 0), (10, 6, 1), (10, 6, 2)
+    ]
+    assert list(ck.to_chunk_coordinates(e, e)) == [
+        (25, 15, 0), (25, 15, 1), (25, 15, 2),
+        (25, 15, 3), (25, 15, 4), (25, 15, 5),
+    ]
+
+
+def test_from_chunk_coordinate():
+    a = Slice((0, 0, 0), (1051, 813, 20), (50, 50, 50))
+    assert ck.from_chunk_coordinate(a, (0, 0, 0)) == Slice(
+        (0, 0, 0), (50, 50, 50), (1, 1, 1)
+    )
+    assert ck.from_chunk_coordinate(a, (0, 1, 2)) == Slice(
+        (0, 50, 100), (50, 100, 150), (1, 1, 1)
+    )
+
+
+def test_chunk_coordinate_ranges():
+    s = mk_slice([5, 0], [21, 7])
+    grid = Slice((0, 0), (30, 30), (10, 5))
+    assert ck.chunk_coordinate_ranges(s, grid) == [(0, 2), (0, 1)]
+
+
+def test_generate_id():
+    s = mk_slice([0, 0], [10, 10])
+    a = Slab(np.tile(np.arange(10, dtype=np.int64), (10, 1)), s)
+    b = Slab(np.tile(np.arange(1, 11, dtype=np.int64), (10, 1)), s)
+    ida, idb = ck.generate_id(a), ck.generate_id(b)
+    assert isinstance(ida, str) and len(ida) == 40
+    assert ida != idb
+    # content addressing: same cells, separately-built array → same id
+    a2 = Slab(np.tile(np.arange(10, dtype=np.int64), (10, 1)), s)
+    assert ck.generate_id(a2) == ida
