@@ -1,0 +1,239 @@
+"""Dataset catalog, version commit log, and MVCC semantics on Parquet.
+
+Physical layout (one directory per dataset under a store root):
+
+    <root>/<dataset>/
+        versions/<version_id>.json   one file per committed version
+                                     (content = metadata token JSON)
+        index/v=<vid>/var=<name>/    Parquet: (coord string,
+                                     c0..c{n-1} int, chunk_hash string)
+                                     FULL index per version (copy-forward)
+        chunks/                      Parquet: (hash string, blob binary,
+                                     nbytes long), content-addressed
+
+Semantics mirrored from the reference:
+- commit = single metadata write; "second committer to the same parent
+  fails" (mandoline.clj:292-310, linear_versions.clj:61-67) — here the
+  atomic O_EXCL create of ``versions/<vid>.json`` wins the race.
+- uncommitted writes are invisible: readers resolve versions only
+  through ``versions/*.json`` (failed_ingest.clj:26-150).
+- version listing reverse-chronological, nth-version with negative
+  indexing, timestamp→version = latest version ≤ ts
+  (mandoline.clj:76-141, impl.clj:53-75).
+
+Scale notes: the per-version copy-forward index keeps reads O(request)
+(no fallback walk over version history) at the cost of O(chunk-count)
+rows per commit; rows are just (coord, 40-byte hash) so even a
+100 TB / ~2e9-chunk dataset is a ~100 GB Parquet index that Spark
+writes in one shuffle-free job and prunes by the c0..cK columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Mapping
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .core import metadata as md
+from .core import slab as sb
+from .core.slice import Slice
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+class VersionConflict(Exception):
+    """Another writer committed against the same parent first."""
+
+
+@dataclass
+class Store:
+    """Catalog of datasets under a root directory
+    (Schema protocol semantics, protocol.clj:105-123)."""
+
+    spark: SparkSession
+    root: str
+
+    def create_dataset(self, name: str) -> "Connection":
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid dataset name: {name!r}")
+        path = os.path.join(self.root, name)
+        if os.path.exists(path):
+            raise ValueError(f"dataset already exists: {name}")
+        os.makedirs(os.path.join(path, "versions"))
+        os.makedirs(os.path.join(path, "index"))
+        os.makedirs(os.path.join(path, "chunks"))
+        return self.connect(name)
+
+    def destroy_dataset(self, name: str) -> None:
+        """Idempotent (protocol.clj:111-116)."""
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    def list_datasets(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "versions"))
+        )
+
+    def dataset_exists(self, name: str) -> bool:
+        return name in self.list_datasets()
+
+    def connect(self, name: str) -> "Connection":
+        path = os.path.join(self.root, name)
+        if not os.path.isdir(os.path.join(path, "versions")):
+            raise ValueError(f"no such dataset: {name}")
+        return Connection(self.spark, path, name)
+
+
+@dataclass
+class Connection:
+    """Per-dataset handle (Connection protocol, protocol.clj:44-103)."""
+
+    spark: SparkSession
+    path: str
+    name: str
+
+    # -- version log ---------------------------------------------------------
+
+    def _versions_dir(self) -> str:
+        return os.path.join(self.path, "versions")
+
+    def versions(self) -> list[tuple[int, dict]]:
+        """Committed (version_id, token) pairs, newest first."""
+        out = []
+        for fn in os.listdir(self._versions_dir()):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._versions_dir(), fn)) as f:
+                    token = md.parse_metadata(f.read())
+                out.append((int(fn[:-5]), token))
+        out.sort(key=lambda kv: kv[0], reverse=True)
+        return out
+
+    def version_ids(self) -> list[int]:
+        return [vid for vid, _ in self.versions()]
+
+    def last_version(self) -> int | None:
+        ids = self.version_ids()
+        return ids[0] if ids else None
+
+    def nth_version(self, n: int) -> int:
+        """0 = oldest; negative = from the end (-1 = newest), matching
+        the reference's nth-version (impl.clj:53-75)."""
+        ids = sorted(self.version_ids())
+        return ids[n]
+
+    def timestamp_to_version(self, ts_millis: int) -> int:
+        """Latest committed version with id ≤ ts (time travel)."""
+        ids = [v for v in self.version_ids() if v <= ts_millis]
+        if not ids:
+            raise ValueError(f"no version at or before {ts_millis}")
+        return max(ids)
+
+    def metadata(self, version: int | None = None) -> dict:
+        vid = self.last_version() if version is None else version
+        if vid is None:
+            raise ValueError("dataset has no committed versions")
+        fp = os.path.join(self._versions_dir(), f"{vid}.json")
+        if not os.path.exists(fp):
+            raise ValueError(f"no such committed version: {vid}")
+        with open(fp) as f:
+            return md.parse_metadata(f.read())
+
+    # -- version lifecycle ---------------------------------------------------
+
+    def add_version(self, metadata: Mapping[str, Any]) -> dict:
+        """Begin a new version atop the last committed one
+        (mandoline.clj:143-158): validate, inherit, stamp version-id.
+        Returns the writer token."""
+        md.validate_dataset_definition(metadata)
+        last = self.last_version()
+        if last is None:
+            token = md.create(metadata)
+        else:
+            token = md.inherit(dict(metadata), self.metadata(last))
+        token = md.new_version(token)
+        return token
+
+    def finish_version(self, token: Mapping[str, Any]) -> int:
+        """Commit: succeeds iff the token's parent is still the last
+        committed version (optimistic concurrency; same semantics and
+        the same admitted few-ms race window as mandoline.clj:292-310,
+        but the O_EXCL create makes the final write itself atomic)."""
+        vid = token["version-id"]
+        if self.last_version() != token.get("parent"):
+            raise VersionConflict(
+                f"parent {token.get('parent')} is no longer the last "
+                f"committed version ({self.last_version()})"
+            )
+        fp = os.path.join(self._versions_dir(), f"{vid}.json")
+        try:
+            fd = os.open(fp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise VersionConflict(f"version {vid} already committed") from None
+        with os.fdopen(fd, "w") as f:
+            f.write(md.generate_metadata(dict(token)))
+        return vid
+
+    # -- physical table handles ----------------------------------------------
+
+    def chunks_path(self) -> str:
+        return os.path.join(self.path, "chunks")
+
+    def index_path(self, version: int, var: str) -> str:
+        return os.path.join(self.path, "index", f"v={version}", f"var={var}")
+
+    def chunks_df(self) -> DataFrame | None:
+        """(hash, blob, nbytes) or None when no chunks exist yet."""
+        if not _has_parquet(self.chunks_path()):
+            return None
+        return self.spark.read.parquet(self.chunks_path())
+
+    def index_df(self, version: int, var: str) -> DataFrame | None:
+        p = self.index_path(version, var)
+        if not _has_parquet(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def existing_hashes_df(self) -> DataFrame | None:
+        c = self.chunks_df()
+        return c.select("hash") if c is not None else None
+
+    # -- stats (protocol.clj get-stats) ---------------------------------------
+
+    def get_stats(self) -> dict:
+        def tree_size(p: str) -> int:
+            total = 0
+            for dirpath, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+            return total
+
+        return {
+            "metadata-size": tree_size(self._versions_dir()),
+            "index-size": tree_size(os.path.join(self.path, "index")),
+            "data-size": tree_size(self.chunks_path()),
+        }
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for dirpath, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def fill_scalar(token: Mapping[str, Any], var: str):
+    """Variable fill value coerced to its numpy dtype."""
+    dtype = sb.as_dtype(md.get_type(token, var))
+    return np.array(md.get_fill(token, var)).astype(dtype)[()]
