@@ -1,0 +1,183 @@
+"""Read path: pruned index scan → chunk join → executor-side decode/clip.
+
+Mirrors the reference's ``stream``/``get-slice``
+(/root/reference/src/io/mandoline/mandoline.clj:223-270) as one Spark
+plan: the request slice becomes a per-dimension chunk-coordinate range
+predicate on the index (the engine's partition pruning,
+chunk.clj:11-25), the surviving index rows join the content-addressed
+chunk store on hash, and a ``mapInPandas`` stage decodes each blob and
+clips it to the request so only requested bytes ever reach the driver.
+Chunk coordinates absent from the index read as fill
+(impl.clj:221-223): ``get_slice`` allocates a fill-initialized result
+and merges the returned pieces into it.
+
+Scale notes: the index is pruned before any IO (predicate on plain int
+columns → Parquet row-group pruning); the chunks join is hash-equi and
+AQE-broadcastable when the pruned slice is small; decode/clip runs in
+executors so the driver only materializes the final requested
+hyper-rectangle (which is the contract of ``get_slice``).  ``stream``
+exposes the pieces as an iterator for callers that want to avoid even
+that materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .core import chunk as ck
+from .core import metadata as md
+from .core import slab as sb
+from .core import slice as sl
+from .core.slab import Slab
+from .core.slice import Slice
+from .store import Connection
+
+
+def pruned_index_df(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+) -> DataFrame | None:
+    """Index rows whose chunks overlap ``request`` (chunk pruning)."""
+    idx = conn.index_df(token["version-id"], var)
+    if idx is None:
+        return None
+    if request.ndim == 0:
+        return idx
+    grid = md.get_chunk_grid_slice(token, var)
+    ranges = ck.chunk_coordinate_ranges(request, grid)
+    cond = F.lit(True)
+    for i, (lo, hi) in enumerate(ranges):
+        cond = cond & F.col(f"c{i}").between(lo, hi)
+    return idx.filter(cond)
+
+
+def _pieces_df(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+) -> DataFrame | None:
+    idx = pruned_index_df(conn, token, var, request)
+    chunks = conn.chunks_df()
+    if idx is None or chunks is None:
+        return None
+    ndim = request.ndim
+    ccols = [f"c{i}" for i in range(ndim)]
+    joined = idx.join(chunks, idx.chunk_hash == chunks.hash, "inner").select(
+        *ccols, "blob"
+    )
+    type_name = md.get_type(token, var)
+    grid = md.get_chunk_grid_slice(token, var)
+    grid_tuple = (grid.start, grid.stop, grid.step)
+    req_tuple = (request.start, request.stop, request.step)
+
+    out_schema = (
+        "pstart array<int>, pstop array<int>, data binary"
+    )
+
+    def decode_clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        req = Slice(*req_tuple)
+        grid_s = Slice(*grid_tuple)
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                coord = tuple(int(row[c]) for c in ccols)
+                chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
+                slab = sb.from_bytes(bytes(row["blob"]), type_name, chunk_slice)
+                if req.ndim == 0:
+                    clipped = slab
+                else:
+                    clipped = sb.intersect(slab, req)
+                out.append(
+                    {
+                        "pstart": list(clipped.slice.start),
+                        "pstop": list(clipped.slice.stop),
+                        "data": sb.to_bytes(clipped),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["pstart", "pstop", "data"]
+            )
+
+    return joined.mapInPandas(decode_clip, out_schema)
+
+
+def _check_bounds(token: Mapping[str, Any], var: str, request: Slice) -> None:
+    var_slice = md.get_var_slice(token, var)
+    if request.ndim != var_slice.ndim:
+        raise IndexError(
+            f"request arity {request.ndim} != variable arity {var_slice.ndim}"
+        )
+    if request.ndim and not sl.contains(request, var_slice):
+        raise IndexError(
+            f"request {request} outside variable extent {var_slice}"
+        )
+
+
+def stream(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+    check_bounds: bool = True,
+) -> Iterator[Slab]:
+    """Iterator of request-clipped slabs, one per stored overlapping
+    chunk (mandoline.clj:223-258).  Absent chunks yield nothing — the
+    caller supplies fill (``get_slice`` does)."""
+    if not sl.step_is_one(request):
+        raise ValueError("read requests must have step=1")
+    if check_bounds:
+        _check_bounds(token, var, request)
+    pieces = _pieces_df(conn, token, var, request)
+    if pieces is None:
+        return
+    type_name = md.get_type(token, var)
+    for row in pieces.toLocalIterator():
+        pslice = Slice(
+            tuple(row["pstart"]), tuple(row["pstop"]), tuple(1 for _ in row["pstart"])
+        )
+        yield sb.from_bytes(bytes(row["data"]), type_name, pslice)
+
+
+def get_slice(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+    check_bounds: bool = True,
+) -> Slab:
+    """Materialize ``request``: fill-initialized slab + merge of all
+    stored pieces (mandoline.clj:260-270)."""
+    if check_bounds:
+        _check_bounds(token, var, request)
+    result = sb.empty(
+        md.get_type(token, var), request, md.get_fill(token, var)
+    )
+    for piece in stream(conn, token, var, request, check_bounds=False):
+        sb.merge(result, piece)
+    return result
+
+
+def on_version(conn: Connection, version: int) -> dict:
+    """Reader token pinned to a committed version (mandoline.clj:117-122)."""
+    return conn.metadata(version) | {"version-id": version}
+
+
+def on_nth_version(conn: Connection, n: int) -> dict:
+    return on_version(conn, conn.nth_version(n))
+
+
+def on_timestamp(conn: Connection, ts_millis: int) -> dict:
+    return on_version(conn, conn.timestamp_to_version(ts_millis))
+
+
+def on_last_version(conn: Connection) -> dict:
+    last = conn.last_version()
+    if last is None:
+        raise ValueError("dataset has no committed versions")
+    return on_version(conn, last)

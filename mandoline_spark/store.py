@@ -187,8 +187,23 @@ class Connection:
     def chunks_path(self) -> str:
         return os.path.join(self.path, "chunks")
 
-    def index_path(self, version: int, var: str) -> str:
-        return os.path.join(self.path, "index", f"v={version}", f"var={var}")
+    def index_path(self, version: int, var: str, gen: int | None = None) -> str:
+        base = os.path.join(self.path, "index", f"v={version}", f"var={var}")
+        return base if gen is None else os.path.join(base, f"g={gen}")
+
+    def index_gens(self, version: int, var: str) -> list[int]:
+        """Index generations for (version, var), ascending.  Each write
+        job writes a complete copy-forward index as a new generation so
+        readers always scan exactly one immutable directory (no
+        read-while-overwrite hazard, no per-read version-fallback walk)."""
+        base = self.index_path(version, var)
+        if not os.path.isdir(base):
+            return []
+        gens = []
+        for d in os.listdir(base):
+            if d.startswith("g=") and _has_parquet(os.path.join(base, d)):
+                gens.append(int(d[2:]))
+        return sorted(gens)
 
     def chunks_df(self) -> DataFrame | None:
         """(hash, blob, nbytes) or None when no chunks exist yet."""
@@ -197,10 +212,11 @@ class Connection:
         return self.spark.read.parquet(self.chunks_path())
 
     def index_df(self, version: int, var: str) -> DataFrame | None:
-        p = self.index_path(version, var)
-        if not _has_parquet(p):
+        """Latest complete index generation for (version, var)."""
+        gens = self.index_gens(version, var)
+        if not gens:
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.parquet(self.index_path(version, var, gens[-1]))
 
     def existing_hashes_df(self) -> DataFrame | None:
         c = self.chunks_df()
