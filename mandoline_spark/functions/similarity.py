@@ -1,0 +1,198 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+and an LSH-bucketed approximate variant (the scale path).
+
+All the arithmetic is JVM-side (`F.zip_with`/`F.aggregate` — no Python
+in the hot loop).  Norms are computed once per row *before* the pair
+join, so the cross product only does one fused dot-product per pair.
+The query side is broadcast: at 100 TB the corpus never shuffles — each
+executor streams its partition of the corpus past the (small) query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add `_emb` (double vector) and `_norm` columns, computed once."""
+    return df.withColumn("_emb", _as_double(F.col(vec_col))).withColumn(
+        "_norm", _norm(F.col("_emb"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows for each ``queries`` row.
+
+    Returns (qid, <id_col>, sim) with per-query rank ≤ k, ties broken by
+    id.  Broadcast-join shape: O(|corpus|) work per query, no corpus
+    shuffle except the final per-query top-k (tiny).
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col), F.col("_emb"), F.col("_norm")
+    )
+    sim = F.when(
+        (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
+        _dot(F.col("_qemb"), F.col("_emb"))
+        / (F.col("_qnorm") * F.col("_norm")),
+    ).otherwise(F.lit(0.0))
+    pairs = c.crossJoin(F.broadcast(q)).withColumn("_sim", sim)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    out = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "qid",
+            id_col,
+            (
+                F.round("_sim", round_to) if round_to is not None else F.col("_sim")
+            ).alias("sim"),
+        )
+    )
+    return out.orderBy("qid", F.col("sim").desc(), id_col)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All (a, b) id pairs with cosine similarity ≥ threshold
+    (embedding near-dup detection).  ``block_col`` restricts candidate
+    pairs to equal blocking keys — the way the O(n²) cross product is
+    tamed at scale (block by coarse LSH bucket, label, shard, ...)."""
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("a"),
+        F.col("_emb").alias("_aemb"),
+        F.col("_norm").alias("_anorm"),
+        *([F.col(block_col).alias("_ablk")] if block_col else []),
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("b"),
+        F.col("_emb").alias("_bemb"),
+        F.col("_norm").alias("_bnorm"),
+        *([F.col(block_col).alias("_bblk")] if block_col else []),
+    )
+    cond = F.col("a") < F.col("b")
+    joined = (
+        a.join(b, cond & (F.col("_ablk") == F.col("_bblk")))
+        if block_col
+        else a.join(b, cond)
+    )
+    sim = _dot(F.col("_aemb"), F.col("_bemb")) / (
+        F.col("_anorm") * F.col("_bnorm")
+    )
+    out = joined.withColumn("_sim", sim).filter(F.col("_sim") >= threshold)
+    return out.select(
+        "a",
+        "b",
+        (
+            F.round("_sim", round_to) if round_to is not None else F.col("_sim")
+        ).alias("sim"),
+    ).orderBy("a", "b")
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of ``n_planes``
+    projections) — the blocking key for approximate cosine search.
+    Plane vectors are a deterministic function of (seed, plane, dim)
+    so every executor derives the same planes with no driver state."""
+    import numpy as np
+
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_df:
+        return df.withColumn("bucket", F.lit(""))
+    dim = dim_df[0]["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    emb = _as_double(F.col(vec_col))
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(emb, arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    LSH bucket, then exact re-rank.  Trades recall for a bucket-equi
+    join instead of a full cross product (the 100 TB shape)."""
+    qb = lsh_bucket(queries, n_planes, seed, vec_col)
+    cb = lsh_bucket(corpus, n_planes, seed, vec_col)
+    q = with_norm(qb, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("bucket"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = with_norm(cb, vec_col).select(
+        F.col(id_col), F.col("bucket"), F.col("_emb"), F.col("_norm")
+    )
+    pairs = c.join(F.broadcast(q), "bucket").withColumn(
+        "_sim",
+        _dot(F.col("_qemb"), F.col("_emb"))
+        / (F.col("_qnorm") * F.col("_norm")),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", id_col, F.round("_sim", 6).alias("sim"))
+        .orderBy("qid", F.col("sim").desc(), id_col)
+    )

@@ -1,0 +1,751 @@
+"""Declared query surface (SURVEY.md §2B): Spark implementation + DuckDB oracle.
+
+Each entry is a (spark_fn, oracle_sql) pair over the driver fixtures
+(`/root/testdata/<sf>/*.parquet`).  The Spark side is idiomatic
+DataFrame code (Catalyst plans everything); the oracle is ANSI SQL that
+DuckDB runs on the same parquet.  Every computed column is aliased
+identically on both sides and every query is fully ordered/rounded so
+value hashes are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read the raw int64 nanos and truncate to Spark's
+    native microsecond timestamps with integer division (a ns epoch
+    ~1.7e18 exceeds double's 2^53 exact range, so no float math).
+    DuckDB applies the identical truncation when it reads NANOS."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# -- scans / filters ---------------------------------------------------------
+
+
+@_q(
+    "q01_scan_project",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def q01(spark, sf):
+    return (
+        load(spark, sf, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
+@_q(
+    "q02_filter",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity > 45 AND l_returnflag = 'R' "
+    "ORDER BY l_orderkey, l_linenumber",
+)
+def q02(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "q03_range_count",
+    "SELECT count(*) AS n FROM lineitem "
+    "WHERE l_partkey >= 100 AND l_partkey < 200",
+)
+def q03(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_partkey") >= 100) & (F.col("l_partkey") < 200)
+    ).agg(F.count("*").alias("n"))
+
+
+# -- joins -------------------------------------------------------------------
+
+
+@_q(
+    "q04_join_inner",
+    "SELECT n_name, count(*) AS c FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name",
+)
+def q04(spark, sf):
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "q05_join_broadcast",
+    "SELECT r_name, count(*) AS c FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+)
+def q05(spark, sf):
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("r_name")
+    )
+
+
+@_q(
+    "q06_join_left",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey "
+    "GROUP BY c_custkey ORDER BY c_custkey",
+)
+def q06(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "q07_join_semi",
+    "SELECT count(*) AS n FROM part WHERE p_partkey IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 49)",
+)
+def q07(spark, sf):
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem").filter(F.col("l_quantity") > 49)
+    return p.join(
+        li, p.p_partkey == li.l_partkey, "left_semi"
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "q08_join_anti",
+    "SELECT count(*) AS n FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q08(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "q09_join_theta",
+    "SELECT count(*) AS n FROM supplier s JOIN customer c "
+    "ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal",
+)
+def q09(spark, sf):
+    s = load(spark, sf, "supplier")
+    c = load(spark, sf, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        "inner",
+    ).agg(F.count("*").alias("n"))
+
+
+# -- aggregation -------------------------------------------------------------
+
+
+@_q(
+    "q10_agg_hash",
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
+    "round(sum(l_extendedprice*(1-l_discount)),2) AS rev, count(*) AS c "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus",
+)
+def q10(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev"),
+            F.count("*").alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q11_agg_distinct",
+    "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+)
+def q11(spark, sf):
+    return load(spark, sf, "orders").agg(
+        F.countDistinct("o_custkey").alias("n")
+    )
+
+
+@_q(
+    "q12_rollup",
+    "SELECT coalesce(l_returnflag,'ALL') AS rf, "
+    "coalesce(l_linestatus,'ALL') AS ls, count(*) AS c FROM lineitem "
+    "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
+)
+def q12(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "c",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@_q(
+    "q13_cube",
+    "SELECT coalesce(o_orderstatus,'ALL') AS st, "
+    "coalesce(o_orderpriority,'ALL') AS pr, count(*) AS c FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pr",
+)
+def q13(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
+            "c",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+# -- window functions --------------------------------------------------------
+
+
+@_q(
+    "q14_window_rank",
+    "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+    "WHERE rn = 1 ORDER BY o_custkey",
+)
+def q14(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "q15_window_lag",
+    "SELECT o_custkey, o_orderkey, round(o_totalprice - lag(o_totalprice) "
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS d "
+    "FROM orders ORDER BY o_custkey, o_orderkey",
+)
+def q15(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@_q(
+    "q16_window_frame",
+    "SELECT o_orderkey, round(sum(o_totalprice) OVER (ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rs "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q16(spark, sf):
+    o = load(spark, sf, "orders")
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rs"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q17_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q17(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# -- set operations ----------------------------------------------------------
+
+
+@_q(
+    "q18_set_intersect",
+    "SELECT c_nationkey AS k FROM customer INTERSECT "
+    "SELECT s_nationkey FROM supplier ORDER BY k",
+)
+def q18(spark, sf):
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+# -- scalar functions --------------------------------------------------------
+
+
+@_q(
+    "q19_string_funcs",
+    "SELECT p_partkey, upper(substr(p_name,1,5)) AS u FROM part "
+    "WHERE p_name LIKE '%gold%' ORDER BY p_partkey",
+)
+def q19(spark, sf):
+    p = load(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").like("%gold%"))
+        .select(
+            "p_partkey", F.upper(F.substring("p_name", 1, 5)).alias("u")
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "q20_date_funcs",
+    "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS c "
+    "FROM orders GROUP BY y, m ORDER BY y, m",
+)
+def q20(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .groupBy("y", "m")
+        .agg(F.count("*").alias("c"))
+        .orderBy("y", "m")
+    )
+
+
+@_q(
+    "q21_math_funcs",
+    "SELECT l_orderkey, round(sqrt(l_quantity)+ln(l_extendedprice),6) AS v "
+    "FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
+)
+def q21(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            F.round(
+                F.sqrt("l_quantity") + F.log(F.col("l_extendedprice")), 6
+            ).alias("v"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@_q(
+    "q22_case_when",
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' "
+    "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS b "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q22(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("b"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q23_array_funcs",
+    "SELECT vec_id, len(embedding) AS d FROM embeddings ORDER BY vec_id",
+)
+def q23(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return e.select("vec_id", F.size("embedding").alias("d")).orderBy(
+        "vec_id"
+    )
+
+
+@_q(
+    "q24_json_extract",
+    "SELECT event_id, props->>'$.k' AS k FROM events ORDER BY event_id",
+)
+def q24(spark, sf):
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+# -- time windows ------------------------------------------------------------
+
+
+@_q(
+    "q25_window_tumbling",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, "
+    "event_type, count(*) AS c, round(sum(value),3) AS s FROM events "
+    "GROUP BY h, event_type ORDER BY h, event_type",
+)
+def q25(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "h"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
+        .orderBy("h", "event_type")
+    )
+
+
+@_q(
+    "q26_window_sliding",
+    # each event belongs to the two 1h windows (30min slide) covering it;
+    # window starts align to the epoch, matching Spark's F.window
+    "WITH w AS (SELECT to_timestamp((floor(epoch(ts)/1800) - o.o) * 1800) "
+    "AS ws, event_type, value FROM events, (VALUES (0),(1)) o(o)), "
+    "f AS (SELECT * FROM w) "
+    "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type, "
+    "count(*) AS c, round(sum(value),3) AS s FROM f "
+    "GROUP BY ws, event_type ORDER BY ws, event_type",
+)
+def q26(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "c",
+            "s",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@_q(
+    "q27_session_window",
+    # gap-based sessionization (10 min) via lag, the batch-SQL equivalent
+    # of Spark's session_window
+    "WITH d AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE OR "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "THEN 1 ELSE 0 END AS new_s FROM events) "
+    "SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events "
+    "FROM d GROUP BY user_id ORDER BY user_id",
+)
+def q27(spark, sf):
+    ev = load(spark, sf, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("cnt").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q28_approx_distinct",
+    # approx_count_distinct is checked as a within-5%-of-exact predicate
+    # (hash-stable), since the sketch value itself is engine-specific
+    "SELECT CAST(1 AS INTEGER) AS ok",
+)
+def q28(spark, sf):
+    ev = load(spark, sf, "events")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id").alias("a"),
+        F.countDistinct("user_id").alias("e"),
+    )
+    return agg.select(
+        (F.abs(F.col("a") - F.col("e")) <= 0.05 * F.col("e"))
+        .cast("int")
+        .alias("ok")
+    )
+
+
+# -- LLM pipeline ------------------------------------------------------------
+
+
+@_q(
+    "q29_dedup_exact",
+    "SELECT count(*) AS n FROM "
+    "(SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+)
+def q29(spark, sf):
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q30_similarity_topk",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+    "q AS (SELECT vec_id, emb FROM e WHERE vec_id < 5) "
+    "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+    "round(list_cosine_similarity(q.emb, e.emb), 6) AS sim "
+    "FROM q CROSS JOIN e "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 10 "
+    "ORDER BY qid, sim DESC, vec_id",
+)
+def q30(spark, sf):
+    from .functions.similarity import cosine_topk
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, e, k=10)
+
+
+@_q(
+    "q31_text_stats",
+    "SELECT lang, sum(n_chars) AS chars, count(*) AS docs FROM documents "
+    "GROUP BY lang ORDER BY lang",
+)
+def q31(spark, sf):
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars"), F.count("*").alias("docs"))
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "q32_multimodal",
+    "SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS fp "
+    "FROM documents ORDER BY doc_id",
+)
+def q32(spark, sf):
+    from .functions.multimodal import with_blob_metadata
+
+    d = load(spark, sf, "documents")
+    blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return (
+        with_blob_metadata(blobs, "blob")
+        .select("doc_id", "meta.nbytes", "meta.fp")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q33_udf_surface",
+    "SELECT l_orderkey, round(l_extendedprice*(1-l_discount),2) AS net "
+    "FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
+)
+def q33(spark, sf):
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # SQL round() is half-away-from-zero; pandas .round is half-even
+        net = price * (1 - discount)
+        return np.floor(net * 100 + 0.5) / 100
+
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            net_price("l_extendedprice", "l_discount").alias("net"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# -- array store (the mandoline surface itself) ------------------------------
+
+_ARRAY_DIMS = (5, 4, 3)
+
+
+def _array_expected(version: int) -> list[tuple[int, int, int, int]]:
+    """Pure-Python oracle of the deterministic array fixture: the same
+    slab-merge the engine performs, mirrored in loops."""
+    X, Y, T = _ARRAY_DIMS
+    out = {}
+    for x in range(X):
+        for y in range(Y):
+            for t in range(T):
+                out[(x, y, t)] = x * 10000 + y * 100 + t
+    if version >= 2:
+        for x in range(1, 4):
+            for y in range(1, 3):
+                for t in range(0, 2):
+                    out[(x, y, t)] = 500000 + x * 10000 + y * 100 + t
+    return [(x, y, t, v) for (x, y, t), v in sorted(out.items())]
+
+
+def _array_values_sql(version: int) -> str:
+    rows = ", ".join(
+        f"({x},{y},{t},{v})" for x, y, t, v in _array_expected(version)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(dim0, dim1, dim2, value) "
+        "ORDER BY dim0, dim1, dim2"
+    )
+
+
+def _array_fixture(spark):
+    """Build (once per filesystem) the two-version deterministic array
+    dataset used by q34/q35."""
+    import numpy as np
+
+    from . import writer
+    from .core import slab as sb
+    from .core import slice as sl
+    from .store import Store
+
+    root = "/tmp/mandoline_spark_arrayq"
+    marker = os.path.join(root, ".done")
+    store = Store(spark, root)
+    if not os.path.exists(marker):
+        store.destroy_dataset("arr")
+        os.makedirs(root, exist_ok=True)
+        conn = store.create_dataset("arr")
+        X, Y, T = _ARRAY_DIMS
+        spec = {
+            "dimensions": {"x": X, "y": Y, "t": T},
+            "chunk-dimensions": {"x": 2, "y": 2, "t": 2},
+            "variables": {
+                "v": {"type": "int", "shape": ["x", "y", "t"], "fill-value": -1}
+            },
+        }
+        base = np.fromfunction(
+            lambda x, y, t: x * 10000 + y * 100 + t, (X, Y, T), dtype=np.int64
+        ).astype(np.int32)
+        tok = conn.add_version(spec)
+        writer.write_variable(
+            conn, tok, "v", [sb.Slab(base, sl.mk_slice((0, 0, 0), (X, Y, T)))]
+        )
+        conn.finish_version(tok)
+        tok2 = conn.add_version(spec)
+        patch = 500000 + base[1:4, 1:3, 0:2]
+        writer.write_variable(
+            conn,
+            tok2,
+            "v",
+            [sb.Slab(patch, sl.mk_slice((1, 1, 0), (4, 3, 2)))],
+        )
+        conn.finish_version(tok2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store.connect("arr")
+
+
+def _array_cells(spark, version_nth: int) -> DataFrame:
+    import pandas as pd
+
+    from . import reader
+    from .core import slice as sl
+
+    conn = _array_fixture(spark)
+    token = reader.on_nth_version(conn, version_nth)
+    X, Y, T = _ARRAY_DIMS
+    slab = reader.get_slice(
+        conn, token, "v", sl.mk_slice((0, 0, 0), (X, Y, T))
+    )
+    rows = [
+        (x, y, t, int(slab.data[x, y, t]))
+        for x in range(X)
+        for y in range(Y)
+        for t in range(T)
+    ]
+    pdf = pd.DataFrame(rows, columns=["dim0", "dim1", "dim2", "value"])
+    return spark.createDataFrame(
+        pdf, schema="dim0 int, dim1 int, dim2 int, value int"
+    ).orderBy("dim0", "dim1", "dim2")
+
+
+@_q("q34_array_slice", _array_values_sql(2))
+def q34(spark, sf):
+    return _array_cells(spark, -1)
+
+
+@_q("q35_array_timetravel", _array_values_sql(1))
+def q35(spark, sf):
+    return _array_cells(spark, 0)
