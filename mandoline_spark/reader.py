@@ -153,13 +153,28 @@ def get_slice(
 ) -> Slab:
     """Materialize ``request``: fill-initialized slab + merge of all
     stored pieces (mandoline.clj:260-270)."""
+    if not sl.step_is_one(request):
+        raise ValueError("read requests must have step=1")
     if check_bounds:
         _check_bounds(token, var, request)
     result = sb.empty(
         md.get_type(token, var), request, md.get_fill(token, var)
     )
-    for piece in stream(conn, token, var, request, check_bounds=False):
-        sb.merge(result, piece)
+    pieces = _pieces_df(conn, token, var, request)
+    if pieces is None:
+        return result
+    type_name = md.get_type(token, var)
+    # collect() = one job; the pieces are already clipped to the request
+    # so this materializes exactly the requested bytes
+    for row in pieces.collect():
+        pslice = Slice(
+            tuple(row["pstart"]),
+            tuple(row["pstop"]),
+            tuple(1 for _ in row["pstart"]),
+        )
+        sb.merge(
+            result, sb.from_bytes(bytes(row["data"]), type_name, pslice)
+        )
     return result
 
 
