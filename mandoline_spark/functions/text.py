@@ -1,0 +1,99 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.  Everything is built-in-function SQL
+(split/filter/regexp/md5) so it stays inside whole-stage codegen and is
+mirrorable 1:1 in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit language
+# heuristic.  Deterministic and mirrored verbatim in oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+# A BPE-ish token pattern: runs of letters, runs of digits, or a single
+# non-space symbol — the shape subword tokenizers pre-split on.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp occurrences (JVM regexp_count)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    hits = F.size(
+        F.filter(
+            words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS[lang]])
+        )
+    )
+    return hits / F.size(words)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality score in [0, 1]: rewards mid-length docs and
+    moderate punctuation, penalizes very short fragments.  The exact
+    formula is arbitrary; its value is being cheap, deterministic and
+    SQL-mirrorable."""
+    wc = word_count(text).cast("double")
+    length_term = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(5.0)
+    )
+    return F.round(length_term * F.lit(0.7) + punct_term * F.lit(0.3), 6)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    return F.size(
+        F.filter(
+            words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS[lang]])
+        )
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language heuristic: argmax of per-language hit
+    counts, ties resolved in fixed key order (en, de, es, fr)."""
+    langs = list(STOPWORDS)
+    hits = {lang: stopword_hits(text, lang) for lang in langs}
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        best = F.when(hits[lang] > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(
+            hits[lang] > best_hits, hits[lang]
+        ).otherwise(best_hits)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: lowercase, strip punctuation, collapse
+    whitespace, sort word set, md5.  Two documents that differ only in
+    case/punctuation/word order collide — the standard cheap canonical
+    form for fuzzy-exact dedup."""
+    norm = F.lower(text)
+    norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
+    words = F.filter(
+        F.split(norm, r"\s+"), lambda w: F.length(w) > 0
+    )
+    canon = F.array_join(F.array_sort(F.array_distinct(words)), " ")
+    return F.md5(canon.cast("binary"))

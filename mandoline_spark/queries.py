@@ -638,6 +638,166 @@ def q33(spark, sf):
     )
 
 
+# -- dedup / near-dup (LLM pipeline) -----------------------------------------
+
+# exact 3-gram jaccard pairs, mirroring functions.dedup.shingles verbatim
+_JACCARD_SQL = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id AS id,
+             array_to_string(ws[i+1:i+3], ' ') AS gram
+      FROM w, unnest(range(greatest(len(ws)-3, 0)+1)) t(i)
+      WHERE len(array_to_string(ws[i+1:i+3], ' ')) > 0),
+n AS (SELECT id, count(*) AS ng FROM g GROUP BY id),
+p AS (SELECT x.id AS a, y.id AS b, count(*) AS common
+      FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id
+      GROUP BY 1, 2)
+SELECT p.a, p.b,
+       round(common * 1.0 / (na.ng + nb.ng - common), 6) AS jac
+FROM p JOIN n na ON na.id = p.a JOIN n nb ON nb.id = p.b
+WHERE common * 1.0 / (na.ng + nb.ng - common) >= {thr}
+ORDER BY a, b
+"""
+
+
+@_q("q36_minhash_neardup", _JACCARD_SQL.format(thr=0.8))
+def q36(spark, sf):
+    from .functions.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8, n=3, k=64, bands=16)
+
+
+@_q("q37_ngram_jaccard", _JACCARD_SQL.format(thr=0.5))
+def q37(spark, sf):
+    from .functions.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5, n=3)
+
+
+@_q("q38_simhash_neardup")  # engine-specific hash: rows-only check
+def q38(spark, sf):
+    from .functions.dedup import simhash_pairs
+
+    d = load(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=8, n=3)
+
+
+@_q(
+    "q39_embedding_neardup",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label "
+    "FROM embeddings) "
+    "SELECT x.vec_id AS a, y.vec_id AS b, "
+    "round(list_cosine_similarity(x.emb, y.emb), 6) AS sim "
+    "FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id "
+    "WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4 "
+    "ORDER BY a, b",
+)
+def q39(spark, sf):
+    from .functions.similarity import cosine_pairs
+
+    e = load(spark, sf, "embeddings")
+    return cosine_pairs(e, threshold=0.4, block_col="label")
+
+
+@_q(
+    "q40_ann_lsh_top1",
+    # LSH buckets always contain the query itself, and cosine(self)=1
+    # strictly dominates, so approximate top-1 must be exact: the query
+    "SELECT vec_id AS qid, vec_id AS top_id FROM embeddings "
+    "WHERE vec_id < 5 ORDER BY qid",
+)
+def q40(spark, sf):
+    from .functions.similarity import cosine_topk_lsh
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    top = cosine_topk_lsh(q, e, k=1, n_planes=8)
+    return top.select("qid", F.col("vec_id").alias("top_id")).orderBy("qid")
+
+
+# -- text analysis (LLM pipeline) --------------------------------------------
+
+
+@_q(
+    "q41_token_count",
+    "SELECT doc_id, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS words, "
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+    "AS tokens FROM documents ORDER BY doc_id",
+)
+def q41(spark, sf):
+    from .functions.text import token_count, word_count
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("words"),
+        token_count(F.col("text")).alias("tokens"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q42_quality_score",
+    "SELECT doc_id, round("
+    "least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.7"
+    " + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, "
+    "'[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / length(text)) * 5.0) * 0.3"
+    ", 6) AS q FROM documents ORDER BY doc_id",
+)
+def q42(spark, sf):
+    from .functions.text import quality_score
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q43_lang_id",
+    "WITH s AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents), "
+    "h AS (SELECT doc_id, "
+    "len(list_filter(ws, w -> w IN "
+    "('the','and','of','to','a','in','is','that'))) AS en, "
+    "len(list_filter(ws, w -> w IN "
+    "('der','die','das','und','ist','nicht','ein','zu'))) AS de, "
+    "len(list_filter(ws, w -> w IN "
+    "('el','la','de','que','y','en','un','es'))) AS es, "
+    "len(list_filter(ws, w -> w IN "
+    "('le','la','et','les','des','un','une','est'))) AS fr FROM s) "
+    "SELECT doc_id, CASE WHEN fr > greatest(en, de, es) THEN 'fr' "
+    "WHEN es > greatest(en, de) THEN 'es' "
+    "WHEN de > en THEN 'de' ELSE 'en' END AS pred "
+    "FROM h ORDER BY doc_id",
+)
+def q43(spark, sf):
+    from .functions.text import lang_id
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", lang_id(F.col("text")).alias("pred")
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q44_fingerprint",
+    "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+'), w -> len(w) > 0))), ' ')) AS fp "
+    "FROM documents ORDER BY doc_id",
+)
+def q44(spark, sf):
+    from .functions.text import fingerprint
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
 # -- array store (the mandoline surface itself) ------------------------------
 
 _ARRAY_DIMS = (5, 4, 3)
