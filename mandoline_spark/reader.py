@@ -42,8 +42,10 @@ def pruned_index_df(
     var: str,
     request: Slice,
 ) -> DataFrame | None:
-    """Index rows whose chunks overlap ``request`` (chunk pruning)."""
-    idx = conn.index_df(token["version-id"], var)
+    """Index rows whose chunks overlap ``request`` (chunk pruning).
+    Version fallback: a variable not written at this version reads the
+    most recent committed index ≤ it (mem.clj:45-49)."""
+    idx = conn.resolve_index_df(token["version-id"], var)
     if idx is None:
         return None
     if request.ndim == 0:

@@ -218,6 +218,24 @@ class Connection:
             return None
         return self.spark.read.parquet(self.index_path(version, var, gens[-1]))
 
+    def resolve_index_df(self, version: int, var: str) -> DataFrame | None:
+        """Index for (version, var) with version fallback: the exact
+        version's own index if one exists, else the highest *committed*
+        version ≤ ``version`` that has one (mem.clj:45-49 semantics —
+        a variable not rewritten in a version reads its most recent
+        data; uncommitted versions are invisible, failed_ingest.clj).
+        Because history is linear (commit enforces parent == last) the
+        committed-ids walk IS the parent chain, and because each index
+        generation is copy-forward-complete the first hit is the whole
+        answer — reads never merge across versions."""
+        gens = self.index_gens(version, var)
+        if gens:
+            return self.spark.read.parquet(self.index_path(version, var, gens[-1]))
+        for vid in self.version_ids():  # newest first
+            if vid < version and self.index_gens(vid, var):
+                return self.index_df(vid, var)
+        return None
+
     def existing_hashes_df(self) -> DataFrame | None:
         c = self.chunks_df()
         return c.select("hash") if c is not None else None

@@ -128,15 +128,16 @@ def _base_index_df(
     conn: Connection, token: Mapping[str, Any], var: str
 ) -> DataFrame | None:
     """Base for read-modify-write: this in-flight version's own index if
-    a prior write job left one, else the (committed, complete) parent
-    index (impl.clj:232-244 precedence)."""
+    a prior write job left one, else the nearest committed ancestor's
+    (impl.clj:232-244 precedence + the mem.clj:45-49 version fallback —
+    the parent version itself may never have written this variable)."""
     vid = token["version-id"]
     own = conn.index_df(vid, var)
     if own is not None:
         return own
     parent = token.get("parent")
     if parent is not None:
-        return conn.index_df(parent, var)
+        return conn.resolve_index_df(parent, var)
     return None
 
 

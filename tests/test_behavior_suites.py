@@ -1,0 +1,500 @@
+"""Ports of the reference's reusable behavioral suites
+(/root/reference/src/io/mandoline/test/*.clj) over the PySpark engine.
+
+Covered here: entire_flow.clj (golden 3-version flow incl. version
+fallback for unwritten variables), grow.clj, shrink.clj, overwrite.clj
+(extend variant), nan.clj (float/double NaN fill), failed_ingest.clj
+(uncommitted writes invisible), linear_versions.clj (second committer
+to the same parent fails), impl_test.clj:17-39 (content-addressed
+dedup guarantee), and multi-job writes to one version.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+from mandoline_spark.store import VersionConflict
+
+
+def same_slab(type_name: str, s: sl.Slice, value) -> sb.Slab:
+    """test-utils/same-slab analogue: constant-valued slab over s."""
+    return sb.empty(type_name, s, value)
+
+
+def random_slab(type_name: str, s: sl.Slice, hi: int, seed: int) -> sb.Slab:
+    rng = np.random.default_rng(seed)
+    shape = sl.get_shape(s)
+    data = rng.integers(0, hi, shape).astype(sb.as_dtype(type_name))
+    return sb.Slab(data, s)
+
+
+def assert_same(a: sb.Slab, b: sb.Slab) -> None:
+    assert a.slice == b.slice
+    np.testing.assert_array_equal(a.data, b.data)
+
+
+# -- entire_flow.clj:12-297 ---------------------------------------------------
+
+FOOBAR = {
+    "dimensions": {"x": 10, "y": 11, "z": 12, "time": 13},
+    "chunk-dimensions": {"x": 2, "y": 2, "z": 2, "time": 2},
+    "variables": {
+        "foo": {"type": "short", "shape": ["x", "y", "time"], "fill-value": -3},
+        "bar": {
+            "type": "int",
+            "shape": ["x", "y", "z", "time"],
+            "fill-value": -99,
+        },
+        "baz": {"type": "char", "shape": ["z"], "fill-value": 0},
+        "scalar": {
+            "attributes": {"comments": "i am a scalar!"},
+            "type": "int",
+            "shape": [],
+            "fill-value": 0,
+        },
+    },
+}
+
+
+def test_entire_flow(store):
+    import copy
+
+    conn = store.create_dataset("ds")
+
+    foo_1 = random_slab("short", sl.mk_slice((0, 0, 0), (3, 5, 8)), 10, 1)
+    foo_2 = same_slab("short", sl.mk_slice((3, 5, 8), (10, 10, 10)), 1)
+    foo_3 = random_slab("short", sl.mk_slice((0, 0, 0), (3, 5, 8)), 10, 2)
+    foo_4 = same_slab("short", sl.mk_slice((3, 5, 8), (10, 10, 10)), 2)
+
+    bar_1 = random_slab("int", sl.mk_slice((0, 0, 0, 0), (2, 3, 4, 5)), 10, 3)
+    bar_2 = same_slab("int", sl.mk_slice((2, 3, 4, 5), (9, 9, 9, 9)), 3)
+    bar_3 = random_slab("int", sl.mk_slice((0, 0, 0, 0), (2, 3, 4, 5)), 10, 4)
+    bar_4 = same_slab("int", sl.mk_slice((2, 3, 4, 5), (10, 11, 12, 13)), 4)
+
+    baz_1 = same_slab("char", sl.mk_slice((0,), (10,)), ord("a"))
+    baz_2 = same_slab("char", sl.mk_slice((10,), (12,)), ord("b"))
+    baz_3 = same_slab("char", sl.mk_slice((0,), (10,)), ord("c"))
+    baz_4 = same_slab("char", sl.mk_slice((10,), (12,)), ord("d"))
+
+    # version 1
+    t1 = conn.add_version(FOOBAR)
+    writer.write(conn, t1, {"foo": [foo_1, foo_2], "bar": [bar_1, bar_2],
+                            "baz": [baz_1, baz_2]})
+    v1 = conn.finish_version(t1)
+
+    # version 2
+    t2 = conn.add_version(FOOBAR)
+    writer.write(conn, t2, {"foo": [foo_3, foo_4], "bar": [bar_3, bar_4],
+                            "baz": [baz_3, baz_4]})
+    v2 = conn.finish_version(t2)
+
+    # version 3: new dimension, new variable, changed attribute; only
+    # bork is written — foo/bar/baz must fall back to v2's data
+    dds3 = copy.deepcopy(FOOBAR)
+    dds3["dimensions"]["q"] = 14
+    dds3["chunk-dimensions"]["q"] = 2
+    dds3["variables"]["bork"] = {
+        "type": "float",
+        "shape": ["x", "y", "q"],
+        "fill-value": float("nan"),
+    }
+    dds3["variables"]["scalar"]["attributes"] = {"comments": "Scalar, I am!"}
+    bork = random_slab("float", sl.mk_slice((0, 0, 0), (10, 11, 14)), 10, 5)
+    t3 = conn.add_version(dds3)
+    writer.write(conn, t3, {"bork": [bork]})
+    v3 = conn.finish_version(t3)
+
+    # versions are referred to properly
+    assert conn.version_ids() == [v3, v2, v1]
+    m1, m2, m3 = (conn.metadata(v) for v in (v1, v2, v3))
+    assert m1 != m2 and m2 != m3 and m1 != m3
+    assert m1["variables"]["scalar"]["attributes"]["comments"] == "i am a scalar!"
+    assert m3["variables"]["scalar"]["attributes"]["comments"] == "Scalar, I am!"
+    assert "q" not in m1["dimensions"] and "q" not in m2["dimensions"]
+    assert m3["dimensions"]["q"] == 14 and m3["chunk-dimensions"]["q"] == 2
+    assert "bork" not in m1["variables"]
+    assert np.isnan(m3["variables"]["bork"]["fill-value"])
+    # dict equality modulo the NaN fill (entire_flow.clj:164-167 does the
+    # same dissoc because NaN != NaN)
+    last = conn.metadata()
+    assert np.isnan(last["variables"]["bork"].pop("fill-value"))
+    m3_sans = {
+        **m3,
+        "variables": {
+            k: ({a: b for a, b in v.items() if a != "fill-value"}
+                if k == "bork" else v)
+            for k, v in m3["variables"].items()
+        },
+    }
+    assert last == m3_sans
+
+    fget_1 = sl.mk_slice((0, 0, 0), (2, 2, 2))
+    fget_2 = sl.mk_slice((3, 6, 9), (4, 7, 10))
+    bget_1 = sl.mk_slice((0, 1, 2, 3), (2, 3, 4, 5))
+    bget_2 = sl.mk_slice((2, 3, 4, 5), (6, 7, 8, 9))
+    bget_3 = sl.mk_slice((9, 9, 9, 9), (10, 11, 12, 13))
+    bzget_1 = sl.mk_slice((0,), (9,))
+    bzget_2 = sl.mk_slice((10,), (12,))
+    bzget_3 = sl.mk_slice((11,), (12,))
+    borkget = sl.mk_slice((0, 0, 0), (10, 11, 14))
+
+    # readers: timestamp / version / nth-version all resolve the same pins
+    rv1 = reader.on_timestamp(conn, v2 - 1)
+    assert rv1["version-id"] == v1
+    assert conn.timestamp_to_version(v2 - 1) == v1
+    assert reader.on_nth_version(conn, -3)["version-id"] == v1
+    rv2 = reader.on_nth_version(conn, -2)
+    assert rv2["version-id"] == v2
+    rv3 = reader.on_last_version(conn)
+    assert rv3["version-id"] == v3
+
+    # v1 reads
+    assert_same(sb.subset(foo_1, fget_1),
+                reader.get_slice(conn, rv1, "foo", fget_1))
+    assert_same(sb.subset(foo_2, fget_2),
+                reader.get_slice(conn, rv1, "foo", fget_2))
+    assert_same(sb.subset(bar_1, bget_1),
+                reader.get_slice(conn, rv1, "bar", bget_1))
+    assert_same(sb.subset(bar_2, bget_2),
+                reader.get_slice(conn, rv1, "bar", bget_2))
+    assert_same(same_slab("int", bget_3, -99),
+                reader.get_slice(conn, rv1, "bar", bget_3))
+    assert_same(sb.subset(baz_1, bzget_1),
+                reader.get_slice(conn, rv1, "baz", bzget_1))
+    assert_same(sb.subset(baz_2, bzget_2),
+                reader.get_slice(conn, rv1, "baz", bzget_2))
+    assert_same(same_slab("char", bzget_3, ord("b")),
+                reader.get_slice(conn, rv1, "baz", bzget_3))
+
+    # v2 reads
+    assert_same(sb.subset(foo_3, fget_1),
+                reader.get_slice(conn, rv2, "foo", fget_1))
+    assert_same(sb.subset(foo_4, fget_2),
+                reader.get_slice(conn, rv2, "foo", fget_2))
+    assert_same(sb.subset(bar_3, bget_1),
+                reader.get_slice(conn, rv2, "bar", bget_1))
+    assert_same(sb.subset(bar_4, bget_2),
+                reader.get_slice(conn, rv2, "bar", bget_2))
+    assert_same(sb.subset(bar_4, bget_3),
+                reader.get_slice(conn, rv2, "bar", bget_3))
+    assert_same(sb.subset(baz_3, bzget_1),
+                reader.get_slice(conn, rv2, "baz", bzget_1))
+    assert_same(sb.subset(baz_4, bzget_2),
+                reader.get_slice(conn, rv2, "baz", bzget_2))
+
+    # v3 reads: foo/bar/baz fall back to v2; bork is new
+    assert_same(sb.subset(foo_3, fget_1),
+                reader.get_slice(conn, rv3, "foo", fget_1))
+    assert_same(sb.subset(foo_4, fget_2),
+                reader.get_slice(conn, rv3, "foo", fget_2))
+    assert_same(sb.subset(bar_3, bget_1),
+                reader.get_slice(conn, rv3, "bar", bget_1))
+    assert_same(sb.subset(bar_4, bget_2),
+                reader.get_slice(conn, rv3, "bar", bget_2))
+    assert_same(sb.subset(baz_3, bzget_1),
+                reader.get_slice(conn, rv3, "baz", bzget_1))
+    assert_same(sb.subset(baz_4, bzget_3),
+                reader.get_slice(conn, rv3, "baz", bzget_3))
+    assert_same(sb.subset(bork, borkget),
+                reader.get_slice(conn, rv3, "bork", borkget))
+
+
+# -- grow.clj:10-72 -----------------------------------------------------------
+
+def test_grow_dataset(store):
+    conn = store.create_dataset("ds")
+    small_slice = sl.mk_slice((0, 0, 0), (4, 5, 6))
+    small_foo = same_slab("short", small_slice, 1)
+    more_slice = sl.mk_slice((4, 5, 6), (10, 10, 10))
+    more_foo = same_slab("short", more_slice, 2)
+    entire_slice = sl.mk_slice((0, 0, 0), (10, 10, 10))
+    entire_foo = same_slab("short", entire_slice, -3)
+    sb.merge(entire_foo, more_foo)
+    sb.merge(entire_foo, small_foo)
+
+    dds_v1 = {
+        "dimensions": {"x": 4, "y": 5, "z": 6},
+        "chunk-dimensions": {"x": 2, "y": 2, "z": 2},
+        "variables": {
+            "foo": {"type": "short", "shape": ["x", "y", "z"], "fill-value": -3}
+        },
+    }
+    t1 = conn.add_version(dds_v1)
+    writer.write_variable(conn, t1, "foo", [small_foo])
+    v1 = conn.finish_version(t1)
+
+    dds_v2 = conn.metadata() | {"dimensions": {"x": 10, "y": 10, "z": 10}}
+    t2 = conn.add_version(dds_v2)
+    writer.write_variable(conn, t2, "foo", [more_foo])
+    v2 = conn.finish_version(t2)
+
+    rv1 = reader.on_timestamp(conn, v2 - 1)
+    rv2 = reader.on_last_version(conn)
+    assert_same(small_foo, reader.get_slice(conn, rv1, "foo", small_slice))
+    with pytest.raises(IndexError):
+        reader.get_slice(conn, rv1, "foo", entire_slice)
+    with pytest.raises(IndexError):
+        reader.get_slice(conn, rv1, "foo", sl.mk_slice((0, 0, 0), (4, 6, 6)))
+    assert_same(entire_foo, reader.get_slice(conn, rv2, "foo", entire_slice))
+
+
+# -- shrink.clj:10-70 ---------------------------------------------------------
+
+def test_shrink_dataset(store):
+    conn = store.create_dataset("ds")
+    big_slice = sl.mk_slice((0, 0, 0), (20, 20, 20))
+    big_foo = same_slab("short", big_slice, 2)
+    small_slice = sl.mk_slice((0, 0, 0), (10, 11, 12))
+    small_foo = same_slab("short", small_slice, 1)
+
+    dds_v1 = {
+        "dimensions": {"x": 20, "y": 20, "z": 20},
+        "chunk-dimensions": {"x": 2, "y": 2, "z": 2},
+        "variables": {
+            "foo": {"type": "short", "shape": ["x", "y", "z"], "fill-value": -3}
+        },
+    }
+    t1 = conn.add_version(dds_v1)
+    writer.write_variable(conn, t1, "foo", [big_foo])
+    v1 = conn.finish_version(t1)
+
+    dds_v2 = conn.metadata() | {"dimensions": {"x": 10, "y": 11, "z": 12}}
+    t2 = conn.add_version(dds_v2)
+    writer.write_variable(conn, t2, "foo", [small_foo])
+    v2 = conn.finish_version(t2)
+
+    rv1 = reader.on_timestamp(conn, v2 - 1)
+    rv2 = reader.on_last_version(conn)
+    assert_same(sb.subset(big_foo, small_slice),
+                reader.get_slice(conn, rv1, "foo", small_slice))
+    assert_same(big_foo, reader.get_slice(conn, rv1, "foo", big_slice))
+    assert_same(small_foo, reader.get_slice(conn, rv2, "foo", small_slice))
+    with pytest.raises(IndexError):
+        reader.get_slice(conn, rv2, "foo", big_slice)
+
+
+# -- overwrite.clj:66-137 (overwrite-extend) ---------------------------------
+
+def test_overwrite_extend_dataset(store):
+    conn = store.create_dataset("ds")
+    small_slice = sl.mk_slice((0, 0, 0), (10, 11, 12))
+    small_foo = same_slab("short", small_slice, 1)
+    more_slice = sl.mk_slice((5, 5, 5), (20, 20, 20))
+    more_foo = same_slab("short", more_slice, 2)
+    entire_slice = sl.mk_slice((0, 0, 0), (20, 20, 20))
+    small_not_overlap = sl.mk_slice((0, 0, 0), (5, 5, 5))
+    overlap_slice = sl.mk_slice((5, 5, 5), (10, 11, 12))
+    entire_foo = same_slab("short", entire_slice, -3)
+    sb.merge(entire_foo, small_foo)
+    sb.merge(entire_foo, more_foo)
+
+    dds_v1 = {
+        "dimensions": {"x": 10, "y": 11, "z": 12},
+        "chunk-dimensions": {"x": 2, "y": 2, "z": 2},
+        "variables": {
+            "foo": {"type": "short", "shape": ["x", "y", "z"], "fill-value": -3}
+        },
+    }
+    t1 = conn.add_version(dds_v1)
+    writer.write_variable(conn, t1, "foo", [small_foo])
+    v1 = conn.finish_version(t1)
+
+    dds_v2 = conn.metadata() | {"dimensions": {"x": 20, "y": 20, "z": 20}}
+    t2 = conn.add_version(dds_v2)
+    writer.write_variable(conn, t2, "foo", [more_foo])
+    v2 = conn.finish_version(t2)
+
+    rv1 = reader.on_timestamp(conn, v2 - 1)
+    rv2 = reader.on_last_version(conn)
+    assert_same(small_foo, reader.get_slice(conn, rv1, "foo", small_slice))
+    assert_same(sb.subset(small_foo, overlap_slice),
+                reader.get_slice(conn, rv1, "foo", overlap_slice))
+    with pytest.raises(IndexError):
+        reader.get_slice(conn, rv1, "foo", entire_slice)
+
+    assert_same(sb.subset(more_foo, overlap_slice),
+                reader.get_slice(conn, rv2, "foo", overlap_slice))
+    assert_same(sb.subset(small_foo, small_not_overlap),
+                reader.get_slice(conn, rv2, "foo", small_not_overlap))
+    assert_same(more_foo, reader.get_slice(conn, rv2, "foo", more_slice))
+    assert_same(entire_foo, reader.get_slice(conn, rv2, "foo", entire_slice))
+
+
+# -- nan.clj:10-124 -----------------------------------------------------------
+
+@pytest.mark.parametrize("type_name", ["double", "float"])
+def test_nan_fill_read_write(store, type_name):
+    conn = store.create_dataset("ds")
+    foo_slice = sl.mk_slice((0, 0, 0), (4, 5, 6))
+    foo = same_slab(type_name, foo_slice, 1)
+    entire_slice = sl.mk_slice((0, 0, 0), (5, 6, 7))
+    entire_foo = same_slab(type_name, entire_slice, float("nan"))
+    sb.merge(entire_foo, foo)
+
+    dds = {
+        "dimensions": {"x": 5, "y": 6, "z": 7},
+        "chunk-dimensions": {"x": 2, "y": 2, "z": 2},
+        "variables": {
+            "foo": {
+                "type": type_name,
+                "shape": ["x", "y", "z"],
+                "fill-value": float("nan"),
+            }
+        },
+    }
+    t1 = conn.add_version(dds)
+    writer.write_variable(conn, t1, "foo", [foo])
+    conn.finish_version(t1)
+
+    rv = reader.on_last_version(conn)
+    assert_same(foo, reader.get_slice(conn, rv, "foo", foo_slice))
+    got = reader.get_slice(conn, rv, "foo", entire_slice)
+    # NaN == NaN for stored cells (utils.clj nan=)
+    np.testing.assert_array_equal(got.data, entire_foo.data)
+    with pytest.raises(IndexError):
+        reader.get_slice(conn, rv, "foo", sl.mk_slice((0, 0, 0), (6, 6, 6)))
+
+    # NaN metadata round-trips through the bare-NaN JSON extension
+    assert np.isnan(conn.metadata()["variables"]["foo"]["fill-value"])
+
+
+# -- failed_ingest.clj:26-80 (write | write-no-commit | write) ---------------
+
+def test_failed_ingest_invisible(store):
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 10, "y": 11, "time": 13},
+        "chunk-dimensions": {"x": 3, "y": 3, "time": 3},
+        "variables": {
+            "foo": {"type": "short", "shape": ["x", "y", "time"], "fill-value": -3}
+        },
+    }
+    full = sl.mk_slice((0, 0, 0), (10, 10, 10))
+    data1 = same_slab("short", full, 1)
+    data2 = same_slab("short", full, 2)
+    data3 = same_slab("short", sl.mk_slice((0, 0, 0), (1, 1, 1)), 3)
+
+    t1 = conn.add_version(dds)
+    writer.write_variable(conn, t1, "foo", [data1])
+    v1 = conn.finish_version(t1)
+
+    # incomplete version: written but never committed
+    t2 = conn.add_version(dds)
+    writer.write_variable(conn, t2, "foo", [data2])
+    # no finish_version
+
+    t3 = conn.add_version(dds)
+    writer.write_variable(conn, t3, "foo", [data3])
+    v3 = conn.finish_version(t3)
+
+    assert len(conn.version_ids()) == 2
+
+    fget = sl.mk_slice((0, 0, 0), (5, 5, 5))
+    rv1 = reader.on_version(conn, v1)
+    rv3 = reader.on_last_version(conn)
+    assert_same(sb.subset(data1, fget), reader.get_slice(conn, rv1, "foo", fget))
+    oracle = sb.subset(data1, fget)
+    sb.merge(oracle, data3)
+    # v3's base came from committed v1, NOT the uncommitted write of 2s
+    assert_same(oracle, reader.get_slice(conn, rv3, "foo", fget))
+    assert 2 not in reader.get_slice(conn, rv3, "foo", fget).data
+
+
+# -- linear_versions.clj:9-67 -------------------------------------------------
+
+def test_linear_versions_conflict(store):
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 4, "y": 5, "z": 6},
+        "chunk-dimensions": {"x": 2, "y": 2, "z": 2},
+        "variables": {
+            "foo": {"type": "int", "shape": ["x", "y", "z"], "fill-value": -3}
+        },
+    }
+    foo_slice = sl.mk_slice((0, 0, 0), (4, 5, 6))
+    t1 = conn.add_version(dds)
+    writer.write_variable(conn, t1, "foo", [same_slab("int", foo_slice, 1)])
+    v1 = conn.finish_version(t1)
+
+    # two writers begin atop v1
+    t2a = conn.add_version(dds)
+    t2b = conn.add_version(dds)
+    writer.write_variable(conn, t2a, "foo", [same_slab("int", foo_slice, 2)])
+    v2a = conn.finish_version(t2a)
+
+    rv1 = reader.on_timestamp(conn, v2a - 1)
+    rv2 = reader.on_last_version(conn)
+    assert_same(same_slab("int", foo_slice, 1),
+                reader.get_slice(conn, rv1, "foo", foo_slice))
+    assert_same(same_slab("int", foo_slice, 2),
+                reader.get_slice(conn, rv2, "foo", foo_slice))
+
+    # the second committer to the same parent fails
+    writer.write_variable(conn, t2b, "foo", [same_slab("int", foo_slice, 3)])
+    with pytest.raises(VersionConflict):
+        conn.finish_version(t2b)
+    # and its write remains invisible
+    assert_same(same_slab("int", foo_slice, 2),
+                reader.get_slice(conn, reader.on_last_version(conn), "foo",
+                                 foo_slice))
+
+
+# -- impl_test.clj:17-39 (content-addressed dedup guarantee) ------------------
+
+def test_identical_chunks_stored_once(store):
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 100, "y": 100},
+        "chunk-dimensions": {"x": 10, "y": 10},
+        "variables": {
+            "foo": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    t1 = conn.add_version(dds)
+    full = sl.mk_slice((0, 0), (100, 100))
+    writer.write_variable(conn, t1, "foo", [same_slab("int", full, 7)])
+    conn.finish_version(t1)
+
+    # 100 identical 10x10 chunks → exactly one stored blob
+    assert conn.chunks_df().count() == 1
+    idx = conn.index_df(conn.last_version(), "foo")
+    assert idx.count() == 100
+    assert idx.select("chunk_hash").distinct().count() == 1
+
+    # rewriting the same content in v2 adds no new blobs
+    t2 = conn.add_version(dds)
+    writer.write_variable(conn, t2, "foo", [same_slab("int", full, 7)])
+    conn.finish_version(t2)
+    assert conn.chunks_df().count() == 1
+
+
+# -- multi-job writes to one in-flight version (token workflow, §3.2) --------
+
+def test_two_write_jobs_same_version_merge(store):
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 8, "y": 8},
+        "chunk-dimensions": {"x": 3, "y": 3},
+        "variables": {
+            "foo": {"type": "int", "shape": ["x", "y"], "fill-value": -1}
+        },
+    }
+    t1 = conn.add_version(dds)
+    a = random_slab("int", sl.mk_slice((0, 0), (6, 6)), 100, 11)
+    b = random_slab("int", sl.mk_slice((3, 3), (8, 8)), 100, 12)
+    # two separate Spark jobs against the same in-flight version: the
+    # second's base is the first's index generation (read-modify-write)
+    writer.write_variable(conn, t1, "foo", [a])
+    writer.write_variable(conn, t1, "foo", [b])
+    conn.finish_version(t1)
+
+    oracle = same_slab("int", sl.mk_slice((0, 0), (8, 8)), -1)
+    sb.merge(oracle, a)
+    sb.merge(oracle, b)
+    got = reader.get_slice(conn, reader.on_last_version(conn), "foo",
+                           sl.mk_slice((0, 0), (8, 8)))
+    assert_same(oracle, got)
