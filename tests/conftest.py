@@ -20,3 +20,19 @@ def store(spark, tmp_path):
     from mandoline_spark.store import Store
 
     return Store(spark=spark, root=str(tmp_path))
+
+
+@pytest.fixture()
+def store_factory(spark, tmp_path_factory):
+    """Fresh dataset per call — safe under hypothesis, which runs many
+    examples per test invocation of the (function-scoped) fixture."""
+    from mandoline_spark.store import Store
+
+    counter = [0]
+
+    def make():
+        counter[0] += 1
+        root = tmp_path_factory.mktemp(f"hypo{counter[0]}")
+        return Store(spark=spark, root=str(root)).create_dataset("ds")
+
+    return make

@@ -1,0 +1,223 @@
+"""Property-based contracts for the pure algebra + the Spark round-trip,
+mirroring the reference's test.check suites
+(/root/reference/test/io/mandoline/protocol/*.clj, which assert protocol
+invariants under randomized inputs) with hypothesis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mandoline_spark.core import chunk as ck
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+
+
+# -- strategies ---------------------------------------------------------------
+
+def bounded_slices(ndim: int, extent: int = 24):
+    """A step-1 slice with positive extent inside [0, extent)^ndim."""
+
+    @st.composite
+    def _slice(draw):
+        start, stop = [], []
+        for _ in range(ndim):
+            a = draw(st.integers(0, extent - 1))
+            b = draw(st.integers(a + 1, extent))
+            start.append(a)
+            stop.append(b)
+        return sl.mk_slice(tuple(start), tuple(stop))
+
+    return _slice()
+
+
+dims2 = st.integers(1, 3)
+
+
+# -- slice algebra ------------------------------------------------------------
+
+@given(st.data(), dims2)
+def test_intersection_contained_in_both(data, ndim):
+    a = data.draw(bounded_slices(ndim))
+    b = data.draw(bounded_slices(ndim))
+    if not sl.intersects(a, b):
+        return
+    i = sl.get_intersection(a, b)
+    assert sl.contains(i, a)
+    assert sl.contains(i, b)
+    assert i == sl.get_intersection(b, a)
+
+
+@given(st.data(), dims2)
+def test_intersection_is_exactly_common_coords(data, ndim):
+    a = data.draw(bounded_slices(ndim, 12))
+    b = data.draw(bounded_slices(ndim, 12))
+    common = set(sl.iter_coords(a)) & set(sl.iter_coords(b))
+    if not sl.intersects(a, b):
+        assert not common
+        return
+    i = sl.get_intersection(a, b)
+    assert set(sl.iter_coords(i)) == common
+
+
+@given(st.data(), dims2)
+def test_shape_matches_iter_count(data, ndim):
+    s = data.draw(bounded_slices(ndim, 12))
+    coords = list(sl.iter_coords(s))
+    assert len(coords) == sl.num_elements(s)
+    assert len(set(coords)) == len(coords)
+    # row-major: last dimension fastest
+    if len(coords) > 1 and s.stop[-1] - s.start[-1] > 1:
+        assert coords[1][-1] == coords[0][-1] + s.step[-1]
+
+
+@given(st.data(), dims2)
+def test_translate_roundtrip(data, ndim):
+    s = data.draw(bounded_slices(ndim))
+    origin = data.draw(bounded_slices(ndim))
+    t = sl.translate(origin, s)
+    back = sl.Slice(
+        tuple(x + o for x, o in zip(t.start, origin.start)),
+        tuple(x + o for x, o in zip(t.stop, origin.start)),
+        t.step,
+    )
+    assert back == s
+
+
+# -- chunk coverage -----------------------------------------------------------
+
+@given(st.data(), dims2, st.integers(1, 5))
+def test_chunk_coordinates_cover_request(data, ndim, chunk_len):
+    request = data.draw(bounded_slices(ndim, 20))
+    grid = sl.mk_slice(
+        tuple(0 for _ in range(ndim)),
+        tuple(20 for _ in range(ndim)),
+        tuple(chunk_len for _ in range(ndim)),
+    )
+    coords = set(ck.to_chunk_coordinates(request, grid))
+    # every requested cell lives in exactly one returned chunk
+    for cell in sl.iter_coords(request):
+        assert tuple(c // chunk_len for c in cell) in coords
+    # every returned chunk overlaps the request
+    for coord in coords:
+        cs = ck.from_chunk_coordinate(grid, coord)
+        assert sl.intersects(cs, request)
+    # ranges agree with the explicit set
+    ranges = ck.chunk_coordinate_ranges(request, grid)
+    assert coords == set(
+        tuple(c)
+        for c in __import__("itertools").product(
+            *(range(lo, hi + 1) for lo, hi in ranges)
+        )
+    )
+
+
+# -- slab merge vs numpy oracle ------------------------------------------------
+
+@given(st.data(), st.integers(1, 3))
+@settings(max_examples=60)
+def test_merge_sequence_matches_numpy_oracle(data, ndim):
+    extent = 15
+    dst_slice = sl.mk_slice(
+        tuple(0 for _ in range(ndim)), tuple(extent for _ in range(ndim))
+    )
+    dst = sb.empty("int", dst_slice, -1)
+    oracle = np.full(sl.get_shape(dst_slice), -1, np.int32)
+    n = data.draw(st.integers(1, 6))
+    for k in range(n):
+        s = data.draw(bounded_slices(ndim, extent))
+        vals = np.full(sl.get_shape(s), k, np.int32)
+        sb.merge(dst, sb.Slab(vals, s))
+        oracle[tuple(slice(a, b) for a, b in zip(s.start, s.stop))] = vals
+    np.testing.assert_array_equal(dst.data, oracle)
+
+
+@given(st.data(), st.integers(1, 3))
+def test_subset_view_of_merge(data, ndim):
+    extent = 12
+    base = sl.mk_slice(
+        tuple(0 for _ in range(ndim)), tuple(extent for _ in range(ndim))
+    )
+    dst = sb.empty("short", base, 0)
+    s = data.draw(bounded_slices(ndim, extent))
+    sb.merge(dst, sb.empty("short", s, 5))
+    view = sb.subset(dst, s)
+    assert (view.data == 5).all()
+    # zero-copy: mutating the view mutates the parent
+    view.data[...] = 9
+    assert (sb.subset(dst, s).data == 9).all()
+
+
+@given(
+    st.sampled_from(sorted(sb.DTYPES)),
+    st.integers(1, 3),
+)
+def test_bytes_roundtrip_and_stable_hash(type_name, ndim):
+    rng = np.random.default_rng(3)
+    shape = tuple(rng.integers(1, 5) for _ in range(ndim))
+    s = sl.mk_slice(tuple(0 for _ in shape), shape)
+    info = (
+        np.iinfo(sb.DTYPES[type_name])
+        if np.issubdtype(sb.DTYPES[type_name], np.integer)
+        else None
+    )
+    lo, hi = (info.min, info.max) if info else (-1e3, 1e3)
+    data = rng.uniform(lo, hi, shape).astype(sb.DTYPES[type_name])
+    slab = sb.Slab(data, s)
+    back = sb.from_bytes(sb.to_bytes(slab), type_name, s)
+    np.testing.assert_array_equal(back.data, slab.data)
+    # content id is a function of bytes only
+    assert ck.generate_id(slab) == ck.generate_id(back)
+
+
+# -- Spark write/read round-trip under randomized shapes ----------------------
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_spark_roundtrip_random_writes(data, store_factory):
+    ndim = data.draw(st.integers(1, 3))
+    dims = tuple(data.draw(st.integers(3, 12)) for _ in range(ndim))
+    chunks = tuple(data.draw(st.integers(1, d)) for d in dims)
+    names = [f"d{i}" for i in range(ndim)]
+    dds = {
+        "dimensions": dict(zip(names, dims)),
+        "chunk-dimensions": dict(zip(names, chunks)),
+        "variables": {
+            "v": {"type": "long", "shape": names, "fill-value": -7}
+        },
+    }
+    conn = store_factory()
+    token = conn.add_version(dds)
+
+    from mandoline_spark import reader, writer
+
+    oracle = np.full(dims, -7, np.int64)
+    slabs = []
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    for _ in range(data.draw(st.integers(1, 4))):
+        start = tuple(int(rng.integers(0, d)) for d in dims)
+        stop = tuple(
+            int(rng.integers(s + 1, d + 1)) for s, d in zip(start, dims)
+        )
+        vals = rng.integers(-(2**40), 2**40, tuple(
+            b - a for a, b in zip(start, stop)
+        ), dtype=np.int64)
+        slabs.append(sb.Slab(vals, sl.mk_slice(start, stop)))
+        oracle[tuple(slice(a, b) for a, b in zip(start, stop))] = vals
+    writer.write_variable(conn, token, "v", slabs)
+    conn.finish_version(token)
+
+    got = reader.get_slice(
+        conn,
+        reader.on_last_version(conn),
+        "v",
+        sl.mk_slice(tuple(0 for _ in dims), dims),
+    )
+    np.testing.assert_array_equal(got.data, oracle)
