@@ -1,0 +1,220 @@
+"""Streaming operators: watermarked event-time windows + stateful sessions.
+
+Scale notes (1000-executor / 100 TB design intent):
+- Every aggregation here keys its state store on the shuffle key
+  (window × event_type, session_window × user, or user), so state is
+  hash-partitioned across ``spark.sql.shuffle.partitions`` RocksDB/HDFS
+  state stores — no single-node state.
+- Watermarks bound state size: windows (and sessions) older than
+  ``max(event time) - delay`` are finalized and evicted, so state is
+  O(active windows), not O(stream history).
+- The file source scales by splitting input into many files; each
+  micro-batch is an ordinary Spark job with full parallelism.
+- ``applyInPandasWithState`` ships per-key Arrow batches to Python
+  workers; state round-trips per key per batch, so keep per-key state
+  small (three scalars here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events directory.  One micro-batch per
+    file by default so tests (and replays) get deterministic batch
+    boundaries; files are ordered by modification time."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "15 minutes"
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation (streaming Q25).
+    Late rows older than the watermark are dropped; closed windows are
+    emitted exactly once in append mode."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "c",
+            "s",
+        )
+    )
+
+
+def sliding_sums(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked sliding event-time aggregation (streaming Q26)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "c", "s")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "15 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (streaming Q27): a session
+    closes when no event arrives within ``gap``; the watermark finalizes
+    sessions and evicts their state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("s"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "s",
+        )
+    )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# per-key state: (session_start_us, last_ts_us, n_events)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 10, watermark: str = "5 minutes"
+) -> DataFrame:
+    """Custom stateful operator (Q27's engine-op form, the
+    ``applyInPandasWithState`` surface from SURVEY §2B/Q33): tracks one
+    open session per user across micro-batches and emits a row per
+    CLOSED session — closed by a later event arriving after the gap, or
+    by event-time timeout once the watermark passes last_event + gap.
+
+    Unlike :func:`session_counts` this keeps custom per-key state, the
+    pattern for operators Spark's built-ins can't express (the
+    reference-engine analogue would be incremental chunk-merge state).
+    Event-time (not processing-time) timeouts keep the operator
+    deterministic and replayable — state eviction depends only on the
+    data, so a backfill produces byte-identical output.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            for t in sorted(ts_us):
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # fire once the watermark passes last_event + gap; the
+                # timestamp must sit above the current watermark
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1000 + gap_ms,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, name: str, output_mode: str, checkpoint: str
+) -> None:
+    """Run a streaming DataFrame to a memory sink with the available-now
+    trigger (process everything queued, then stop) and block until done."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

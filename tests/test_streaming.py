@@ -1,0 +1,200 @@
+"""Structured Streaming behavior: watermark/late-data, session windows,
+and the custom stateful sessionizer (SURVEY §2B Q25-Q27 streaming forms).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from mandoline_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sessionize_stateful,
+    tumbling_counts,
+)
+
+
+def _write_events_file(path: str, rows: list[tuple], mtime: float) -> None:
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # UTC micros — the fixture's TIMESTAMP(NANOS) needs a legacy read
+    # conf (see queries.load_events); synthetic files stay on the
+    # Spark-native precision instead
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC").astype(
+        "datetime64[us, UTC]"
+    )
+    pdf.to_parquet(path, index=False)
+    os.utime(path, (mtime, mtime))
+
+
+def _ev(i, ts, user=1, typ="click", value=1.0):
+    return (i, ts, user, typ, value, "{}")
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """Complete-mode streaming aggregation over the fixture equals the
+    batch groupBy of the same file."""
+    src = tmp_path / "src"
+    # the fixture stores TIMESTAMP(NANOS); round it through Spark once so
+    # the streamed copy carries Spark-native microsecond timestamps
+    from mandoline_spark.queries import load_events
+
+    load_events(spark, "/root/testdata/sf0.001").write.parquet(str(src))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=10)
+    agg = tumbling_counts(stream, watermark="10 seconds")
+    run_available_now(agg, "tumb", "complete", str(tmp_path / "ck1"))
+    got = (
+        spark.table("tumb")
+        .select("ws", "event_type", "c", "s")
+        .orderBy("ws", "event_type")
+        .toPandas()
+    )
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "c", "s")
+        .orderBy("ws", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event arriving after the watermark passed its window is
+    dropped: the finalized window's count excludes it."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    # batch 0: three events in hour 10, plus 12:00 to push the
+    # watermark (15 min delay) to 11:45 — past the 10:00-11:00 window
+    _write_events_file(
+        str(src / "a.parquet"),
+        [
+            _ev(0, "2024-01-01 10:00:00"),
+            _ev(1, "2024-01-01 10:20:00"),
+            _ev(2, "2024-01-01 10:40:00"),
+            _ev(3, "2024-01-01 12:00:00"),
+        ],
+        now - 30,
+    )
+    # batch 1: keeps the stream moving; Spark applies the late-record
+    # filter with the watermark as of the PREVIOUS batch boundary (the
+    # plan's lateEvents threshold trails the eviction threshold by one
+    # batch), so the drop is observable from the batch after this one
+    _write_events_file(
+        str(src / "b.parquet"),
+        [_ev(4, "2024-01-01 12:30:00")],
+        now - 20,
+    )
+    # batch 2: a LATE event for hour 10 (late-filter watermark now
+    # 11:45) and a fresh event
+    _write_events_file(
+        str(src / "c.parquet"),
+        [
+            _ev(5, "2024-01-01 10:30:00"),
+            _ev(6, "2024-01-01 13:00:00"),
+        ],
+        now - 10,
+    )
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="1 hour", watermark="15 minutes")
+    run_available_now(agg, "late", "append", str(tmp_path / "ck2"))
+    rows = {
+        str(r["ws"]): r["c"] for r in spark.table("late").collect()
+    }
+    # the 10:00 window was finalized with the 3 on-time events only
+    assert rows["2024-01-01 10:00:00"] == 3
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    # user 1: two sessions separated by > 10 min; user 2: one session
+    _write_events_file(
+        str(src / "a.parquet"),
+        [
+            _ev(0, "2024-01-01 10:00:00", user=1),
+            _ev(1, "2024-01-01 10:05:00", user=1),
+            _ev(2, "2024-01-01 10:30:00", user=1),
+            _ev(3, "2024-01-01 10:00:00", user=2),
+        ],
+        now - 20,
+    )
+    # advance the watermark far enough to close every session
+    _write_events_file(
+        str(src / "b.parquet"),
+        [_ev(4, "2024-01-01 23:00:00", user=99)],
+        now - 10,
+    )
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    agg = session_counts(stream, gap="10 minutes", watermark="5 minutes")
+    run_available_now(agg, "sess", "append", str(tmp_path / "ck3"))
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.table("sess").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == 2  # 10:00 + 10:05
+    assert got[(1, "2024-01-01 10:30:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_stateful_sessionizer_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    a session opened in batch 1 is closed by a post-gap event in
+    batch 2 (gap close) and the final open session is closed by the
+    event-time timeout once the watermark passes last_event + gap."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    _write_events_file(
+        str(src / "a.parquet"),
+        [
+            _ev(0, "2024-01-01 10:00:00", user=1),
+            _ev(1, "2024-01-01 10:04:00", user=1),
+        ],
+        now - 30,
+    )
+    _write_events_file(
+        str(src / "b.parquet"),
+        [
+            # 26 min after the last event → closes the first session
+            _ev(2, "2024-01-01 10:30:00", user=1),
+            # same batch, in-gap follow-up extends the new session
+            _ev(3, "2024-01-01 10:35:00", user=1),
+        ],
+        now - 20,
+    )
+    # push the watermark far past 10:45 so the open session times out
+    _write_events_file(
+        str(src / "c.parquet"),
+        [_ev(4, "2024-01-01 23:00:00", user=99)],
+        now - 10,
+    )
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    out = sessionize_stateful(stream, gap_minutes=10, watermark="5 minutes")
+    run_available_now(out, "statesess", "append", str(tmp_path / "ck4"))
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in spark.table("statesess").collect()
+    )
+    assert rows == [
+        # closed by the 10:30 arrival (gap exceeded)
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:04:00", 2),
+        # closed by event-time timeout when the watermark hit 22:55
+        (1, "2024-01-01 10:30:00", "2024-01-01 10:35:00", 2),
+        # user 99's session stays open (watermark never passed 23:10)
+    ]
