@@ -7,22 +7,72 @@ Scale shapes:
 - n-gram Jaccard: inverted-index self-join on shingle (each gram is a
   blocking key); `max_df` drops stop-shingles so hot keys can't explode
   the join (the classic skew guard).
-- MinHash-LSH: k permutation-min signatures per doc (one groupBy), then
-  banding — candidate pairs only need to agree on one band, so the join
-  key is (band_id, band_hash) and cost is O(collisions), not O(n²).
-  Candidates are verified with exact Jaccard before reporting.
-- SimHash: 64 bitwise-majority aggregates per doc; near-dup = small
-  hamming distance, banded the same way.
+- MinHash-LSH: the k-permutation signature is computed per document in a
+  SINGLE projection over the gram array (one `aggregate` pass carrying k
+  running minima) — no explode, no shuffle, nothing leaves the input
+  partition until the (tiny) banded candidate self-join.  Candidates are
+  verified with exact Jaccard via `array_intersect` on the two docs'
+  gram sets — O(candidates), never O(corpus²).
+- SimHash: 64 bitwise-majority votes folded in the same single-pass
+  aggregate shape; near-dup = small hamming distance, banded by
+  pigeonhole slices.
+
+Why single-projection signatures matter at 100 TB: the former
+explode → distinct → groupBy(id) shape shuffles one row per (doc,
+shingle) — ~50x the corpus — before aggregating it right back to one
+row per doc.  The aggregate-over-array shape reads a doc, emits a
+signature, and touches the shuffle only for banded candidates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Prime just under 2^31 (the one Spark MLlib's MinHashLSH uses): keeps
 # every affine-map product under 2^62, so the arithmetic stays in int64
 # under ANSI mode with no overflow.
 _PRIME = 2038074743
+
+
+def gram_array(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a BOUND words-array column.
+
+    ``concat_ws`` over ``element_at`` (NULL past the end, skipped by
+    concat_ws) yields full n-grams plus DuckDB's partial-gram behavior
+    for texts shorter than n.  ``words`` must be a materialized column
+    attribute, not the split(...) expression itself: an expression
+    referenced inside a higher-order-function lambda is re-evaluated
+    PER ELEMENT, so inlining the split makes gram construction O(len²)
+    (~6x slower measured at sf0.1).
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def doc_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One row per document: (id, grams array) — the corpus stays one
+    row per doc; nothing is exploded.  Two projections: the split is
+    materialized first so the gram lambda reads an attribute (see
+    :func:`gram_array`); Catalyst keeps non-cheap multi-referenced
+    aliases un-collapsed."""
+    with_words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), r"\s+").alias("_words"),
+    )
+    return with_words.select(
+        "id", gram_array(F.col("_words"), n).alias("grams")
+    )
 
 
 def shingles(
@@ -31,17 +81,19 @@ def shingles(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document, entirely JVM-side:
-    split → sliding window via transform(sequence) → explode."""
-    words = F.split(F.col(text_col), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    """Distinct (id, gram) rows — the exploded/inverted-index view, used
+    where the gram itself is the join key.
+
+    explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    explode into a ``size(grams) > 0`` filter pushed below the project,
+    re-inlining the whole gram expression (split and all) into a
+    per-input-row re-evaluation — measured ~7x slower.  The outer
+    variant infers nothing; empty-array docs yield one NULL gram row,
+    dropped here."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-        .where(F.length("gram") > 0)
-        .distinct()
+        doc_grams(df, text_col, id_col, n)
+        .select("id", F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
     )
 
 
@@ -108,6 +160,29 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def _signature_col(grams: Column, k: int, seed: int) -> Column:
+    """k-minima MinHash signature (array<long>) from a gram array in one
+    aggregate pass: acc[i] = min over grams of (a_i*h(gram)+b_i) % P."""
+    params = _perm_params(k, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    hashes = F.transform(
+        grams,
+        lambda g: (F.xxhash64(g) % F.lit(_PRIME) + F.lit(_PRIME))
+        % F.lit(_PRIME),
+    )
+    init = F.array_repeat(F.lit(_PRIME).cast("long"), k)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (h * a + b) % F.lit(_PRIME)),
+            lambda m, c: F.least(m, c),
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -116,21 +191,37 @@ def minhash_signatures(
     k: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """k-permutation MinHash signature per document: one xxhash64 per
-    distinct shingle, then k affine-map minima in a single groupBy
-    (k JVM min-aggregates; no Python)."""
-    g = shingles(df, text_col, id_col, n)
-    # xxhash64 can be negative; fold into [0, _PRIME) so every
-    # a*h+b product stays below 2^62 (no int64 overflow under ANSI)
-    h = (F.xxhash64("gram") % F.lit(_PRIME) + F.lit(_PRIME)) % F.lit(_PRIME)
-    g = g.select("id", h.alias("h"))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_PRIME)).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(_perm_params(k, seed))
-    ]
-    return g.groupBy("id").agg(*aggs)
+    """k-permutation MinHash signature per document as columns
+    mh0..mh{k-1} — a single projection per doc, no shuffle.  The sig
+    array is materialized in its own Project (Catalyst keeps non-cheap
+    multi-referenced aliases un-collapsed), so the aggregate runs once."""
+    dg = doc_grams(df, text_col, id_col, n)
+    with_sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
+    return with_sig.select(
+        "id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) rows from (id, sig array) rows."""
+    r = k // bands
+    # explode_outer: keeps InferFiltersFromGenerate from duplicating the
+    # signature aggregate into a pushed-down filter (never-empty array,
+    # so outer == inner here)
+    return sig_df.select(
+        "id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_hash")
 
 
 def minhash_lsh_pairs(
@@ -148,30 +239,13 @@ def minhash_lsh_pairs(
 
     Banding: signature split into ``bands`` groups of k/bands rows; docs
     colliding on any band become candidates (join key = band id + band
-    hash).  Candidates are then verified with exact n-gram Jaccard, so
-    the output is a subset of the exact ≥-threshold pairs with recall
-    1-(1-s^r)^b (≈1 for s ≥ 0.8 at 16×4)."""
-    sigs = minhash_signatures(df, text_col, id_col, n, k, seed)
-    r = k // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{band * r + j}") for j in range(r)]).alias(
-            f"band{band}"
-        )
-        for band in range(bands)
-    ]
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"), c.alias("band_hash")
-                    )
-                    for i, c in enumerate(band_cols)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band_id", "b.band_hash")
+    hash), recall 1-(1-s^r)^b (≈1 for s ≥ 0.8 at 16×4).  Verification
+    joins each candidate pair to the two gram SETS and computes exact
+    Jaccard with ``array_intersect`` — cost O(candidates), so the full
+    inverted-index self-join never runs."""
+    dg = doc_grams(df, text_col, id_col, n)
+    sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
+    banded = _banded(sig, k, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_hash"])
@@ -179,10 +253,59 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, threshold, text_col, id_col, n, round_to=round_to
+    ga = dg.select(F.col("id").alias("a"), F.col("grams").alias("_ga"))
+    gb = dg.select(F.col("id").alias("b"), F.col("grams").alias("_gb"))
+    common = F.size(F.array_intersect("_ga", "_gb"))
+    jac = common / (F.size("_ga") + F.size("_gb") - common)
+    out = (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select(
+            "a",
+            "b",
+            (
+                F.round("_jac", round_to)
+                if round_to is not None
+                else F.col("_jac")
+            ).alias("jac"),
+        )
     )
-    return exact.join(cand, ["a", "b"], "left_semi").orderBy("a", "b")
+    return out.orderBy("a", "b")
+
+
+def _simhash_col(grams: Column, bits: int = 64) -> Column:
+    """SimHash (long) from a gram array: one aggregate pass carrying
+    ``bits`` majority-vote counters, then one fold packing sign bits."""
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        init,
+        # getbit accepts a column position (shiftright only takes ints)
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda v, i: v + F.getbit(h, i) * 2 - 1
+        ),
+    )
+    # bit i of the result = (votes[i] > 0) << i, packed with XOR of
+    # power-of-two literals — no shift-by-column, no additive overflow
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseXOR(t),
+    )
 
 
 def simhash(
@@ -192,28 +315,10 @@ def simhash(
     n: int = 3,
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document: per-shingle xxhash64, bitwise
-    majority vote across shingles (``bits`` conditional-sum aggregates,
-    all JVM-side).  Near-dups have small hamming distance."""
-    g = shingles(df, text_col, id_col, n)
-    h = F.xxhash64("gram")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = g.groupBy("id").agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select("id", sig.alias("simhash"))
+    """64-bit SimHash per document — a single projection per doc, no
+    shuffle (same shape note as :func:`minhash_signatures`)."""
+    dg = doc_grams(df, text_col, id_col, n)
+    return dg.select("id", _simhash_col(F.col("grams"), bits).alias("simhash"))
 
 
 def simhash_pairs(
@@ -234,7 +339,7 @@ def simhash_pairs(
     banded = s.select(
         "id",
         "simhash",
-        F.explode(
+        F.explode_outer(  # see _banded: avoids InferFiltersFromGenerate
             F.array(
                 *[
                     F.struct(

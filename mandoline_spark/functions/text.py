@@ -72,17 +72,37 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Stopword-hit language heuristic: argmax of per-language hit
-    counts, ties resolved in fixed key order (en, de, es, fr)."""
+    counts, ties resolved in fixed key order (en, de, es, fr).
+
+    Single pass: one split, one ``aggregate`` carrying all per-language
+    counters, argmax via a packed ``hits*n + tie_priority`` score so no
+    subexpression is referenced (and re-evaluated) more than once.  The
+    naive formulation — a nested WHEN chain over per-language
+    ``size(filter(split(...)))`` columns — duplicates the split/filter
+    subtree ~2^langs times in the plan and ran ~25x slower."""
     langs = list(STOPWORDS)
-    hits = {lang: stopword_hits(text, lang) for lang in langs}
-    best = F.lit(langs[0])
-    best_hits = hits[langs[0]]
-    for lang in langs[1:]:
-        best = F.when(hits[lang] > best_hits, F.lit(lang)).otherwise(best)
-        best_hits = F.when(
-            hits[lang] > best_hits, hits[lang]
-        ).otherwise(best_hits)
-    return best
+    n = len(langs)
+    words = F.split(F.lower(text), r"\s+")
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.array(
+            *[
+                acc[i]
+                + F.when(
+                    w.isin(*[F.lit(s) for s in STOPWORDS[lang]]), F.lit(1)
+                ).otherwise(F.lit(0))
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    hits = F.aggregate(words, F.array(*[F.lit(0)] * n), step)
+    # pack hit count with tie priority (earlier language wins ties)
+    scores = F.transform(hits, lambda h, i: h * n + (F.lit(n - 1) - i))
+    best = F.array_max(scores)
+    idx = F.lit(n - 1) - (best % n)  # 0-based language index
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), (idx + 1).cast("int")
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -22,6 +22,19 @@ def get_spark(app_name: str = "mandoline_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Filter inference re-materializes aliased expressions inside the
+        # inferred predicate: isnotnull(<alias>) pushed below a Project
+        # inlines the alias's whole expression tree per input row.  For
+        # this engine's wide array/lambda expressions (minhash/simhash
+        # signatures, gram arrays) that turns an O(tokens) projection
+        # into an O(tokens x k) filter evaluated twice per join side
+        # (measured 4-7x slowdowns).  The rules only help skip NULL join
+        # keys early; every key column in this engine is non-null.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints,"
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
