@@ -1,0 +1,8 @@
+"""Composite relational operators Spark has no single built-in for:
+as-of joins, point-in-interval range joins, grouped top-k.  Each is a
+composition of DataFrame primitives chosen for its shuffle shape at
+scale (documented per function)."""
+
+from .joins import asof_join, range_join, topk_per_group
+
+__all__ = ["asof_join", "range_join", "topk_per_group"]

@@ -1,0 +1,137 @@
+"""As-of join, range join, grouped top-k — as DataFrame compositions.
+
+Scale shapes:
+- as-of: union + single window pass (one shuffle on the ``by`` key),
+  NOT a theta-join: the naive ``l.t >= r.t`` non-equi join is a
+  broadcast-nested-loop at best and O(|L|x|R|) at worst; the union
+  shape is O((|L|+|R|) log) with last-value carry-forward.
+- range join: bucketize the point and explode each interval into the
+  buckets it covers, so the join is EQUI on (key, bucket) and the
+  residual interval predicate only filters within-bucket candidates.
+- top-k per group: window row_number with a rank cutoff — map-side
+  partial top-k happens in the sort, and only k rows per group survive
+  the shuffle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` (backward as-of; pandas ``merge_asof``
+    semantics), optionally within ``tolerance`` and per ``by`` group.
+
+    Right value columns come back suffixed; left rows with no match keep
+    NULLs.  Ties on the key take the last right row in ``on`` order.
+    """
+    lcols = left.columns
+    rvals = [c for c in right.columns if c not in {on, by}]
+    tag = "_is_left"
+    l_t = left.select(
+        *lcols,
+        F.lit(1).alias(tag),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in rvals],
+        F.col(on).alias("_t"),
+        F.lit(None).cast("long").alias("_seq"),
+    )
+    r_t = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
+          if c != by],
+        *([F.col(by)] if by else []),
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
+        F.col(on).alias("_t"),
+        # duplicate-key ties resolve to the LAST right row in input
+        # order (pandas merge_asof semantics)
+        F.monotonically_increasing_id().alias("_seq"),
+    )
+    # after the union, right rows sort before left rows at equal _t, so
+    # the carried-forward last(right value) at a left row includes the
+    # right row with exactly the same key
+    unioned = l_t.unionByName(r_t.select(*l_t.columns))
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w = part.orderBy("_t", tag, "_seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in rvals
+        ],
+        F.last(F.when(F.col(tag) == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_rt"),
+    )
+    out = carried.filter(F.col(tag) == 1)
+    if tolerance is not None:
+        in_tol = F.col("_t") - F.col("_rt") <= F.lit(tolerance)
+        keep = [
+            F.when(in_tol, F.col(f"_c_{c}")).alias(f"{c}{suffix}")
+            for c in rvals
+        ]
+    else:
+        keep = [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in rvals]
+    return out.select(*[F.col(c) for c in lcols], *keep)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    stop_col: str,
+    bucket_width: float,
+    by: str | None = None,
+) -> DataFrame:
+    """Inner join of point rows to interval rows with
+    ``start <= point < stop`` (and equal ``by`` key if given), executed
+    as an equi-join on bucket ids.
+
+    ``bucket_width`` trades replication for selectivity: each interval
+    row is replicated ceil(len/width)+1 times; each point probes exactly
+    one bucket.  Pick width ≈ the median interval length."""
+    pb = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width))
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode_outer(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor(F.col(stop_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    keys = ["_bucket"] + ([by] if by else [])
+    out = pb.join(ib, keys).where(
+        (F.col(start_col) <= F.col(point_col))
+        & (F.col(point_col) < F.col(stop_col))
+    )
+    return out.drop("_bucket")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group under ``order_by`` (ties broken by the
+    given ordering; add a unique id column for determinism)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

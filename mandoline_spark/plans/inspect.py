@@ -1,0 +1,60 @@
+"""Physical-plan inspection over ``df._jdf`` explain output.
+
+String-level on purpose: the explain text is the only stable public
+surface across Spark versions, and these helpers are used in tests to
+pin scale-critical plan properties (pushdown, broadcast, codegen) so a
+regression shows up as a failing assertion, not a silent 10x slowdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters pushed into the Parquet scan (empty when nothing pushed).
+    A range predicate that does NOT appear here is being evaluated
+    post-scan — row groups that could have been skipped are read."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the scan's ReadSchema — column pruning check: a
+    2-column projection reading 10 columns wastes IO proportionally."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in explain_str(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> set[int]:
+    """Distinct whole-stage-codegen span ids; wider spans = more of the
+    plan runs as generated JVM code instead of interpreted operators."""
+    text = explain_str(df)
+    return {int(m) for m in re.findall(r"codegen id : (\d+)", text)}

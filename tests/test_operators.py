@@ -1,0 +1,151 @@
+"""Composite operators (as-of join, range join, grouped top-k) vs
+brute-force oracles, and the plan-inspection helpers that pin the
+scale-critical plan properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mandoline_spark.operators import asof_join, range_join, topk_per_group
+from mandoline_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    wholestage_codegen_ids,
+)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    rng = np.random.default_rng(5)
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], 200),
+            "t": np.sort(rng.integers(0, 1000, 200)),
+            "qty": rng.integers(1, 100, 200),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], 300),
+            # unique timestamps: tie order among duplicate right keys is
+            # arbitrary in pandas (depends on its unstable sort), so it
+            # is not a semantic to pin; left-side duplicates stay tested
+            "t": np.sort(rng.choice(np.arange(2000), 300, replace=False)),
+            "px": np.round(rng.uniform(10, 20, 300), 2),
+        }
+    )
+    return spark.createDataFrame(trades), spark.createDataFrame(quotes), trades, quotes
+
+
+def test_asof_join_matches_pandas(trades_quotes):
+    tdf, qdf, trades, quotes = trades_quotes
+    got = (
+        asof_join(tdf, qdf, on="t", by="sym")
+        .orderBy("sym", "t", "qty")
+        .toPandas()
+    )
+    oracle = pd.merge_asof(
+        trades.sort_values("t"),
+        quotes.sort_values("t"),
+        on="t",
+        by="sym",
+        suffixes=("", "_r"),
+    ).rename(columns={"px": "px_r"}).sort_values(["sym", "t", "qty"]).reset_index(drop=True)
+    got = got[oracle.columns]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), oracle, check_dtype=False
+    )
+
+
+def test_asof_join_tolerance(trades_quotes):
+    tdf, qdf, trades, quotes = trades_quotes
+    got = (
+        asof_join(tdf, qdf, on="t", by="sym", tolerance=10)
+        .orderBy("sym", "t", "qty")
+        .toPandas()
+    )
+    oracle = pd.merge_asof(
+        trades.sort_values("t"),
+        quotes.sort_values("t"),
+        on="t",
+        by="sym",
+        tolerance=10,
+        suffixes=("", "_r"),
+    ).rename(columns={"px": "px_r"}).sort_values(["sym", "t", "qty"]).reset_index(drop=True)
+    got = got[oracle.columns]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), oracle, check_dtype=False
+    )
+
+
+def test_range_join_matches_naive(spark):
+    rng = np.random.default_rng(6)
+    pts = pd.DataFrame({"pid": range(300), "x": rng.uniform(0, 100, 300)})
+    starts = rng.uniform(0, 95, 40)
+    ivs = pd.DataFrame(
+        {
+            "iid": range(40),
+            "lo": starts,
+            "hi": starts + rng.uniform(0.5, 10, 40),
+        }
+    )
+    pdf, idf = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    got = (
+        range_join(pdf, idf, "x", "lo", "hi", bucket_width=5.0)
+        .select("pid", "iid")
+        .orderBy("pid", "iid")
+        .toPandas()
+    )
+    naive = pts.merge(ivs, how="cross")
+    naive = naive[(naive.lo <= naive.x) & (naive.x < naive.hi)][
+        ["pid", "iid"]
+    ].sort_values(["pid", "iid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), naive, check_dtype=False)
+
+
+def test_topk_per_group(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 100),
+            "v": rng.integers(0, 1000, 100),
+            "id": range(100),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 5)
+        .orderBy("g", F.col("v").desc(), "id")
+        .toPandas()
+    )
+    oracle = (
+        pdf.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), oracle, check_dtype=False)
+
+
+# -- plan inspection ----------------------------------------------------------
+
+def test_pushdown_and_pruning_visible(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_partkey").between(100, 199)).select(
+        "l_orderkey", "l_partkey"
+    )
+    pf = pushed_filters(q)
+    assert any("l_partkey" in f and "GreaterThan" in f for f in pf), pf
+    assert set(scan_read_schema(q)) == {"l_orderkey", "l_partkey"}
+    assert wholestage_codegen_ids(q)
+
+
+def test_broadcast_join_detected(spark):
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert has_broadcast_join(j)
