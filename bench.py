@@ -19,6 +19,106 @@ import sys
 import time
 
 
+def bench_array(spark) -> dict[str, float]:
+    """Array-store workload from BASELINE.md's benchmark plan: ingest +
+    full-scan + random 10^3-slice reads of a performance.json-shaped
+    dataset (chunks 30^3 ≈ 54 KiB of int16, the reference's perf-chunk
+    size; extent scaled to 200x300x450 = 54 MB so the whole bench stays
+    minutes, not hours).  Ingest generates pieces IN EXECUTORS
+    (mapInPandas over chunk coordinates → write_pieces) — the 100 TB
+    shape, nothing funnels through the driver."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.store import Store
+
+    X, Y, T, C = 200, 300, 450, 30
+    root = tempfile.mkdtemp(prefix="mandoline_bench_arr")
+    out: dict[str, float] = {}
+    try:
+        store = Store(spark, root)
+        conn = store.create_dataset("perf")
+        spec = {
+            "dimensions": {"x": X, "y": Y, "t": T},
+            "chunk-dimensions": {"x": C, "y": C, "t": C},
+            "variables": {
+                "v": {"type": "short", "shape": ["x", "y", "t"], "fill-value": -3}
+            },
+        }
+        tok = conn.add_version(spec)
+        coords = [
+            (cx, cy, ct)
+            for cx in range(X // C)
+            for cy in range(Y // C)
+            for ct in range(T // C)
+        ]
+        cdf = spark.createDataFrame(
+            pd.DataFrame(coords, columns=["c0", "c1", "c2"])
+        ).repartition(32)
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    c0, c1, c2 = int(r.c0), int(r.c1), int(r.c2)
+                    a = np.fromfunction(
+                        lambda x, y, t: (
+                            (c0 * C + x) * 7 + (c1 * C + y) * 3 + (c2 * C + t)
+                        )
+                        % 1000,
+                        (C, C, C),
+                        dtype=np.int64,
+                    ).astype("<i2")
+                    rows.append(
+                        {
+                            "ckey": f"{c0}_{c1}_{c2}",
+                            "c0": c0,
+                            "c1": c1,
+                            "c2": c2,
+                            "ord": 0,
+                            "pstart": [c0 * C, c1 * C, c2 * C],
+                            "pstop": [(c0 + 1) * C, (c1 + 1) * C, (c2 + 1) * C],
+                            "data": a.tobytes(),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "ckey", "c0", "c1", "c2", "ord", "pstart", "pstop",
+                        "data",
+                    ],
+                )
+
+        pieces = cdf.mapInPandas(gen, writer.piece_schema(3))
+        t0 = time.perf_counter()
+        writer.write_pieces(conn, tok, "v", pieces)
+        conn.finish_version(tok)
+        out["arr_ingest_54mb"] = round(time.perf_counter() - t0, 4)
+
+        token = reader.on_last_version(conn)
+        t0 = time.perf_counter()
+        full = reader.get_slice(conn, token, "v", sl.mk_slice((0, 0, 0), (X, Y, T)))
+        out["arr_scan_full"] = round(time.perf_counter() - t0, 4)
+        assert full.data.shape == (X, Y, T)
+
+        rng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            s = tuple(int(rng.integers(0, d - 10)) for d in (X, Y, T))
+            reader.get_slice(
+                conn, token, "v", sl.mk_slice(s, tuple(x + 10 for x in s))
+            )
+        out["arr_read_slices_x10"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -51,6 +151,8 @@ def main() -> None:
         t0 = time.perf_counter()
         run(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 4)
+
+    times.update(bench_array(spark))
 
     total = round(sum(times.values()), 4)
     print(
