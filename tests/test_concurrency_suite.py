@@ -1,0 +1,124 @@
+"""Port of the reference's concurrency suites
+(/root/reference/src/io/mandoline/test/concurrency.clj).
+
+The reference stresses its CAS-retry path with 900 shuffled writes from
+parallel threads plus a multi-process distributed write via serialized
+writer tokens.  In the Spark engine, intra-job conflicts are eliminated
+by groupBy(chunk-coordinate) and cross-flush conflicts by copy-forward
+index generations, so the port asserts the same OBSERVABLE contract:
+many small overlapping-chunk writes, arriving in any order and split
+across many write jobs against one in-flight version, merge to exactly
+the sequential slab-merge oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+
+DDS = {
+    "dimensions": {"x": 50, "y": 50},
+    "chunk-dimensions": {"x": 7, "y": 7},
+    "variables": {
+        "foo": {"type": "short", "shape": ["x", "y"], "fill-value": 0}
+    },
+}
+
+BASE = sl.mk_slice((0, 0), (15, 15))
+
+
+def _patches() -> list[sb.Slab]:
+    """The nine 3x3 constant patches from concurrency.clj:118-127 — all
+    intersecting the middle 7x7 chunk."""
+    out = []
+    fill = 0
+    for y in (9, 6, 3):
+        for x in (3, 6, 9):
+            fill += 1
+            s = sl.mk_slice((x, y), (x + 3, y + 3))
+            out.append(sb.empty("short", s, fill))
+    return out
+
+
+def _oracle(slabs) -> sb.Slab:
+    base = sb.empty("short", BASE, 0)
+    for s in slabs:
+        sb.merge(base, s)
+    return base
+
+
+def test_lots_of_overlaps_single_job(store):
+    """900 shuffled slab writes in one job merge like sequential
+    slab/merge (concurrency.clj:105-160)."""
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    slabs = _patches() * 100
+    random.Random(13).shuffle(slabs)
+    writer.write_variable(conn, token, "foo", slabs)
+    conn.finish_version(token)
+    got = reader.get_slice(conn, reader.on_last_version(conn), "foo", BASE)
+    np.testing.assert_array_equal(got.data, _oracle(slabs).data)
+
+
+def test_lots_of_overlaps_many_flushes(store):
+    """The same contract when the writes arrive as many separate write
+    jobs against one in-flight version (the reference's parallel
+    variable-writer handles, concurrency.clj:139-147): each flush's
+    base is the previous flush's index generation."""
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    slabs = _patches() * 10
+    random.Random(17).shuffle(slabs)
+    for i in range(0, len(slabs), 10):
+        writer.write_variable(conn, token, "foo", slabs[i : i + 10])
+    conn.finish_version(token)
+    got = reader.get_slice(conn, reader.on_last_version(conn), "foo", BASE)
+    np.testing.assert_array_equal(got.data, _oracle(slabs).data)
+    # everything outside the painted region reads fill
+    full = reader.get_slice(
+        conn, reader.on_last_version(conn), "foo", sl.mk_slice((0, 0), (50, 50))
+    )
+    oracle_full = np.zeros((50, 50), np.int16)
+    oracle_full[:15, :15] = _oracle(slabs).data
+    np.testing.assert_array_equal(full.data, oracle_full)
+
+
+def test_distributed_write_two_versions(store):
+    """Distributed-write flow (concurrency.clj:162-243, token handed to
+    other processes): two versions, the second written via the
+    distributed piece path (write_pieces), reads at both pins."""
+    import pandas as pd
+
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    v1_slab = sb.empty("short", sl.mk_slice((0, 0), (50, 50)), 1)
+    writer.write_variable(conn, t1, "foo", [v1_slab])
+    v1 = conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    # pieces generated "elsewhere" (any Spark computation): paint rows
+    # 10..20 with 2s as two disjoint pieces
+    rows = writer.slabs_to_piece_rows(
+        t2,
+        "foo",
+        [
+            sb.empty("short", sl.mk_slice((10, 0), (15, 50)), 2),
+            sb.empty("short", sl.mk_slice((15, 0), (20, 50)), 2),
+        ],
+    )
+    pieces = store.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    writer.write_pieces(conn, t2, "foo", pieces)
+    v2 = conn.finish_version(t2)
+
+    full = sl.mk_slice((0, 0), (50, 50))
+    got1 = reader.get_slice(conn, reader.on_version(conn, v1), "foo", full)
+    np.testing.assert_array_equal(got1.data, np.ones((50, 50), np.int16))
+    got2 = reader.get_slice(conn, reader.on_version(conn, v2), "foo", full)
+    oracle = np.ones((50, 50), np.int16)
+    oracle[10:20, :] = 2
+    np.testing.assert_array_equal(got2.data, oracle)
