@@ -909,3 +909,87 @@ def q34(spark, sf):
 @_q("q35_array_timetravel", _array_values_sql(1))
 def q35(spark, sf):
     return _array_cells(spark, 0)
+
+
+# -- composite operators (operators/joins.py) ---------------------------------
+
+
+@_q(
+    "q45_asof_join",
+    "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type='click'), "
+    "views AS (SELECT user_id, ts, max(event_id) AS view_id FROM events "
+    "WHERE event_type='view' GROUP BY user_id, ts) "
+    "SELECT c.event_id, c.user_id, v.view_id FROM clicks c "
+    "ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts "
+    "ORDER BY c.event_id",
+)
+def q45(spark, sf):
+    """For each click, the user's most recent prior (or simultaneous)
+    view — the as-of join (operators/joins.py) against DuckDB's native
+    ASOF JOIN as the oracle."""
+    from .operators import asof_join
+
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", F.col("view_id_r").alias("view_id")
+    ).orderBy("event_id")
+
+
+@_q(
+    "q46_range_join",
+    "WITH b AS (SELECT r_regionkey AS iid, r_regionkey*60000.0 AS lo, "
+    "r_regionkey*60000.0+80000.0 AS hi FROM region) "
+    "SELECT iid, count(*) AS c FROM b JOIN orders "
+    "ON lo <= o_totalprice AND o_totalprice < hi GROUP BY iid ORDER BY iid",
+)
+def q46(spark, sf):
+    """Point-in-interval range join via bucketized equi-join
+    (operators/joins.py) vs the naive theta-join oracle."""
+    from .operators import range_join
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    bands = load(spark, sf, "region").select(
+        F.col("r_regionkey").alias("iid"),
+        (F.col("r_regionkey") * 60000.0).alias("lo"),
+        (F.col("r_regionkey") * 60000.0 + 80000.0).alias("hi"),
+    )
+    joined = range_join(orders, bands, "o_totalprice", "lo", "hi", 20000.0)
+    return (
+        joined.groupBy("iid").agg(F.count("*").alias("c")).orderBy("iid")
+    )
+
+
+@_q(
+    "q47_topk_per_group",
+    "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER ("
+    "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) "
+    "AS rn FROM orders) t WHERE rn <= 3 "
+    "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
+)
+def q47(spark, sf):
+    """Grouped top-k (operators/joins.py) — k rows per group survive."""
+    from .operators import topk_per_group
+
+    orders = load(spark, sf, "orders")
+    top = topk_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return top.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).orderBy(
+        "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey"
+    )
