@@ -95,11 +95,22 @@ class Store:
 
 @dataclass
 class Connection:
-    """Per-dataset handle (Connection protocol, protocol.clj:44-103)."""
+    """Per-dataset handle (Connection protocol, protocol.clj:44-103).
+
+    ``cache_reads`` is the Spark shape of the reference's read-through
+    chunk/index caches (CachingChunkStore / CachingIndex, cache.clj:
+    9-14, 87-113 — "most queries are dominated by requests for the same
+    chunk"): table DataFrames are memoized and ``.cache()``d, so
+    repeated slice reads hit the block manager instead of re-reading
+    Parquet.  Safe for readers; writers invalidate on append (the
+    reference's write-back index cache is deliberately NOT reproduced —
+    it was disabled for its lost-update bug, impl.clj:144-156)."""
 
     spark: SparkSession
     path: str
     name: str
+    cache_reads: bool = False
+    _df_cache: dict = field(default_factory=dict, repr=False)
 
     # -- version log ---------------------------------------------------------
 
@@ -205,18 +216,34 @@ class Connection:
                 gens.append(int(d[2:]))
         return sorted(gens)
 
+    def _maybe_cached(self, key: tuple, path: str) -> DataFrame:
+        if not self.cache_reads:
+            return self.spark.read.parquet(path)
+        if key not in self._df_cache:
+            self._df_cache[key] = self.spark.read.parquet(path).cache()
+        return self._df_cache[key]
+
+    def invalidate_cache(self) -> None:
+        """Drop memoized table DataFrames (called after writes)."""
+        for df in self._df_cache.values():
+            df.unpersist()
+        self._df_cache.clear()
+
     def chunks_df(self) -> DataFrame | None:
         """(hash, blob, nbytes) or None when no chunks exist yet."""
         if not _has_parquet(self.chunks_path()):
             return None
-        return self.spark.read.parquet(self.chunks_path())
+        return self._maybe_cached(("chunks",), self.chunks_path())
 
     def index_df(self, version: int, var: str) -> DataFrame | None:
         """Latest complete index generation for (version, var)."""
         gens = self.index_gens(version, var)
         if not gens:
             return None
-        return self.spark.read.parquet(self.index_path(version, var, gens[-1]))
+        return self._maybe_cached(
+            ("index", version, var, gens[-1]),
+            self.index_path(version, var, gens[-1]),
+        )
 
     def resolve_index_df(self, version: int, var: str) -> DataFrame | None:
         """Index for (version, var) with version fallback: the exact

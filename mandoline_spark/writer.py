@@ -272,6 +272,9 @@ def write_pieces(
         )
     finally:
         merged.unpersist()
+        # read-through caches are stale after any append (cache.clj's
+        # write-back variant is deliberately not reproduced)
+        conn.invalidate_cache()
 
 
 def write(

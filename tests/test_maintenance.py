@@ -1,0 +1,93 @@
+"""Vacuum/GC + read-through cache behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+from mandoline_spark.maintenance import vacuum
+
+DDS = {
+    "dimensions": {"x": 8, "y": 8},
+    "chunk-dimensions": {"x": 4, "y": 4},
+    "variables": {
+        "foo": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+    },
+}
+
+FULL = sl.mk_slice((0, 0), (8, 8))
+
+
+def _write_version(conn, value):
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [sb.empty("int", FULL, value)])
+    return conn.finish_version(t)
+
+
+def test_vacuum_collects_failed_ingest(store):
+    conn = store.create_dataset("ds")
+    v1 = _write_version(conn, 1)
+
+    # failed ingest: written, never committed
+    t2 = conn.add_version(DDS)
+    writer.write_variable(conn, t2, "foo", [sb.empty("int", FULL, 2)])
+
+    before = conn.chunks_df().count()
+    stats = vacuum(conn)
+    assert stats["uncommitted_versions_removed"] == 1
+    assert stats["chunks_removed"] >= 1
+    assert conn.chunks_df().count() < before
+
+    got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
+    np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
+
+
+def test_vacuum_keeps_time_travel(store):
+    conn = store.create_dataset("ds")
+    v1 = _write_version(conn, 1)
+    v2 = _write_version(conn, 2)
+
+    # two flushes to one version → superseded generation exists
+    t3 = conn.add_version(DDS)
+    writer.write_variable(conn, t3, "foo", [sb.empty("int", FULL, 3)])
+    writer.write_variable(
+        conn, t3, "foo",
+        [sb.Slab(np.full((4, 4), 9, np.int32), sl.mk_slice((0, 0), (4, 4)))],
+    )
+    v3 = conn.finish_version(t3)
+
+    stats = vacuum(conn)
+    assert stats["index_gens_removed"] >= 1
+    assert stats["chunks_removed"] == 0  # every version still committed
+
+    for v, val in [(v1, 1), (v2, 2)]:
+        got = reader.get_slice(conn, reader.on_version(conn, v), "foo", FULL)
+        np.testing.assert_array_equal(
+            got.data, np.full((8, 8), val, np.int32)
+        )
+    got3 = reader.get_slice(conn, reader.on_version(conn, v3), "foo", FULL)
+    oracle = np.full((8, 8), 3, np.int32)
+    oracle[:4, :4] = 9
+    np.testing.assert_array_equal(got3.data, oracle)
+
+
+def test_cached_reads_and_invalidation(store):
+    conn = store.create_dataset("ds")
+    v1 = _write_version(conn, 1)
+    conn.cache_reads = True
+
+    df1 = conn.chunks_df()
+    assert df1.storageLevel.useMemory
+    assert conn.chunks_df() is df1  # memoized
+
+    got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
+    np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
+
+    # a write invalidates; subsequent reads see the new version
+    v2 = _write_version(conn, 2)
+    assert conn.chunks_df() is not df1
+    got2 = reader.get_slice(conn, reader.on_version(conn, v2), "foo", FULL)
+    np.testing.assert_array_equal(got2.data, np.full((8, 8), 2, np.int32))
+    conn.invalidate_cache()
