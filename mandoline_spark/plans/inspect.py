@@ -27,8 +27,21 @@ def pushed_filters(df: DataFrame) -> list[str]:
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
         body = m.group(1).strip()
-        if body:
-            out.extend(s.strip() for s in body.split(","))
+        # split on top-level commas only (filter args contain commas)
+        depth, cur = 0, ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                if cur.strip():
+                    out.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            out.append(cur.strip())
     return out
 
 
