@@ -878,27 +878,13 @@ def _array_fixture(spark):
 
 
 def _array_cells(spark, version_nth: int) -> DataFrame:
-    import pandas as pd
-
     from . import reader
-    from .core import slice as sl
 
     conn = _array_fixture(spark)
     token = reader.on_nth_version(conn, version_nth)
-    X, Y, T = _ARRAY_DIMS
-    slab = reader.get_slice(
-        conn, token, "v", sl.mk_slice((0, 0, 0), (X, Y, T))
-    )
-    rows = [
-        (x, y, t, int(slab.data[x, y, t]))
-        for x in range(X)
-        for y in range(Y)
-        for t in range(T)
-    ]
-    pdf = pd.DataFrame(rows, columns=["dim0", "dim1", "dim2", "value"])
-    return spark.createDataFrame(
-        pdf, schema="dim0 int, dim1 int, dim2 int, value int"
-    ).orderBy("dim0", "dim1", "dim2")
+    # the distributed exploded cell view (SURVEY §1.4) — the bridge from
+    # the array store to the relational surface
+    return reader.cells_df(conn, token, "v").orderBy("dim0", "dim1", "dim2")
 
 
 @_q("q34_array_slice", _array_values_sql(2))

@@ -180,6 +180,122 @@ def get_slice(
     return result
 
 
+_CELL_SPARK_TYPES = {
+    "byte": "tinyint",
+    "char": "int",  # UTF-16 code unit
+    "short": "smallint",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+}
+
+
+def cells_df(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice | None = None,
+) -> DataFrame:
+    """The exploded cell view (SURVEY §1.4): one row per coordinate of
+    ``var`` within ``request`` (default: full extent) with its value —
+    fill where unwritten.  This is the bridge from the array store to
+    the relational surface: register it and join/aggregate cells with
+    ordinary Spark SQL.
+
+    Fully distributed: the chunk-coordinate grid is generated with
+    ``sequence``/``explode``, left-joined to the (pruned) index and the
+    chunk store, and a ``mapInPandas`` stage decodes or synthesizes each
+    chunk and emits its cells cropped to the variable extent.  Row
+    volume is O(cells in request); nothing funnels through the driver.
+    """
+    import itertools
+
+    spark = conn.spark
+    var_slice = md.get_var_slice(token, var)
+    ndim = var_slice.ndim
+    if request is None:
+        request = var_slice
+    _check_bounds(token, var, request)
+    if not sl.step_is_one(request):
+        raise ValueError("cells_df requires a step=1 request")
+    grid = md.get_chunk_grid_slice(token, var)
+    type_name = md.get_type(token, var)
+    fill = md.get_fill(token, var)
+    ccols = [f"c{i}" for i in range(ndim)]
+
+    if ndim == 0:
+        slab = get_slice(conn, token, var, request)
+        return spark.createDataFrame(
+            [(slab.data[()].item(),)], f"value {_CELL_SPARK_TYPES[type_name]}"
+        )
+
+    # full chunk-coordinate grid covering the request
+    ranges = ck.chunk_coordinate_ranges(request, grid)
+    coords = spark.range(1).select(
+        *[F.lit(None).alias("_x")]
+    )
+    for i, (lo, hi) in enumerate(ranges):
+        coords = coords.select(
+            *[c for c in coords.columns if c != "_x"],
+            F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias(ccols[i]),
+        )
+    coords = coords.select(*ccols)
+
+    idx = conn.resolve_index_df(token["version-id"], var)
+    chunks = conn.chunks_df()
+    if idx is not None and chunks is not None:
+        joined = coords.join(idx.select(*ccols, "chunk_hash"), ccols, "left")
+        joined = joined.join(
+            chunks.select(F.col("hash").alias("chunk_hash"), "blob"),
+            "chunk_hash",
+            "left",
+        ).select(*ccols, "blob")
+    else:
+        joined = coords.withColumn("blob", F.lit(None).cast("binary"))
+
+    grid_tuple = (grid.start, grid.stop, grid.step)
+    req_tuple = (request.start, request.stop, request.step)
+    dim_names = [f"dim{i}" for i in range(ndim)]
+    out_schema = ", ".join(
+        [f"{d} int" for d in dim_names]
+        + [f"value {_CELL_SPARK_TYPES[type_name]}"]
+    )
+
+    def emit_cells(batches):
+        import numpy as np
+
+        req = Slice(*req_tuple)
+        grid_s = Slice(*grid_tuple)
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                coord = tuple(int(row[c]) for c in ccols)
+                chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
+                if row["blob"] is not None:
+                    slab = sb.from_bytes(
+                        bytes(row["blob"]), type_name, chunk_slice
+                    )
+                else:
+                    slab = sb.empty(type_name, chunk_slice, fill)
+                clipped = sb.intersect(slab, req)
+                s = clipped.slice
+                mesh = np.meshgrid(
+                    *[np.arange(a, b) for a, b in zip(s.start, s.stop)],
+                    indexing="ij",
+                )
+                frame = {
+                    d: mesh[i].ravel().astype("int32")
+                    for i, d in enumerate(dim_names)
+                }
+                frame["value"] = clipped.data.ravel()
+                frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return joined.mapInPandas(emit_cells, out_schema)
+
+
 def on_version(conn: Connection, version: int) -> dict:
     """Reader token pinned to a committed version (mandoline.clj:117-122)."""
     return conn.metadata(version) | {"version-id": version}
