@@ -245,3 +245,97 @@ def cosine_topk_lsh(
         .select("qid", id_col, F.round("_sim", 6).alias("sim"))
         .orderBy("qid", F.col("sim").desc(), id_col)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: a k-means coarse
+    quantizer partitions the corpus into ``n_cells`` cells; each query
+    probes its ``n_probe`` nearest cells and exactly re-ranks only those
+    candidates.
+
+    The 100 TB shape: the corpus is scanned once to train/assign (cell
+    id becomes a partition/cluster key), queries join on cell id — work
+    per query is O(|corpus| * n_probe / n_cells) instead of O(|corpus|).
+    With ``n_probe == n_cells`` the search is exhaustive and equals
+    :func:`cosine_topk` exactly (the recall knob goes to 1).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # train the coarse quantizer on normalized vectors (euclidean on the
+    # unit sphere orders like cosine)
+    def _unit(col):
+        n = _norm(_as_double(col))
+        return F.transform(
+            _as_double(col),
+            lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)),
+        )
+
+    train = corpus.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = model.transform(
+        corpus.withColumn("features", array_to_vector(_unit(F.col(vec_col))))
+    ).withColumnRenamed("prediction", "_cell").drop("features")
+
+    # per-query probe cells: n_probe nearest centroids, chosen JVM-side
+    # from centroid literals (n_cells x dim doubles — tiny)
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    qn = queries.withColumn("_qunit", _unit(F.col(vec_col)))
+    scored = qn.withColumn(
+        "_cells",
+        F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
+                (-_dot(F.col("_qunit"), c)).alias("d"), i.alias("cell")
+            ),
+        ),
+    )
+    probes = scored.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(F.array_sort("_cells"), 1, n_probe)
+        ).alias("_p"),
+    ).select("qid", "_qvec", F.col("_p.cell").alias("_cell"))
+
+    q = with_norm(probes.withColumnRenamed("_qvec", vec_col), vec_col).select(
+        "qid",
+        "_cell",
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = with_norm(assigned, vec_col).select(
+        F.col(id_col), "_cell", F.col("_emb"), F.col("_norm")
+    )
+    sim = F.when(
+        (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
+        _dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm")),
+    ).otherwise(F.lit(0.0))
+    pairs = c.join(F.broadcast(q), "_cell").withColumn("_sim", sim)
+    w = Window.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col(id_col))
+    out = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "qid",
+            id_col,
+            (
+                F.round("_sim", round_to)
+                if round_to is not None
+                else F.col("_sim")
+            ).alias("sim"),
+        )
+    )
+    return out.orderBy("qid", F.col("sim").desc(), id_col)
