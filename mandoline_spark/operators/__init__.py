@@ -6,3 +6,7 @@ scale (documented per function)."""
 from .joins import asof_join, range_join, topk_per_group
 
 __all__ = ["asof_join", "range_join", "topk_per_group"]
+
+from .joins import salted_join  # noqa: E402
+
+__all__.append("salted_join")

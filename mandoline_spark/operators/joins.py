@@ -135,3 +135,31 @@ def topk_per_group(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew: the (large, skewed) left
+    side gets a uniform random salt in [0, n_salt); the (smaller) right
+    side is replicated once per salt value, so one hot key's rows spread
+    over ``n_salt`` shuffle partitions instead of one straggler task.
+
+    AQE's skew-join split handles moderate skew automatically (it is on
+    in the engine session); explicit salting is for the pathological
+    case — a single key holding a double-digit percentage of the table —
+    where even a split partition's sort/build side is dominated by one
+    group.  Cost: right side is shuffled n_salt times its size.
+    """
+    salted_l = left.withColumn(
+        "_salt", (F.rand(seed=7) * n_salt).cast("int")
+    )
+    salted_r = right.withColumn(
+        "_salt",
+        F.explode_outer(F.sequence(F.lit(0), F.lit(n_salt - 1))),
+    )
+    return salted_l.join(salted_r, [on, "_salt"], how).drop("_salt")

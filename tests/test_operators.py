@@ -149,3 +149,27 @@ def test_broadcast_join_detected(spark):
     c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     assert has_broadcast_join(j)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mandoline_spark.operators import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select("p_partkey", "p_name")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    a = (
+        salted_join(li, pt, "l_partkey")
+        .agg(F.count("*").alias("c"), F.sum("l_quantity").alias("s"))
+        .first()
+    )
+    b = (
+        li.join(pt, "l_partkey")
+        .agg(F.count("*").alias("c"), F.sum("l_quantity").alias("s"))
+        .first()
+    )
+    assert (a["c"], float(a["s"])) == (b["c"], float(b["s"]))
