@@ -979,3 +979,79 @@ def q47(spark, sf):
     ).orderBy(
         "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey"
     )
+
+
+@_q(
+    "q48_union_except",
+    "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION ALL "
+    "SELECT s_nationkey FROM supplier EXCEPT "
+    "SELECT n_nationkey FROM nation WHERE n_regionkey = 0) t ORDER BY k",
+)
+def q48(spark, sf):
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    n = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("k"))
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would only
+    # cancel per-occurrence
+    return c.unionAll(s).subtract(n).orderBy("k")
+
+
+@_q(
+    "q49_pivot",
+    "SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS f, "
+    "count(*) FILTER (WHERE o_orderstatus = 'O') AS o, "
+    "count(*) FILTER (WHERE o_orderstatus = 'P') AS p "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q49(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("f"),
+            F.col("O").alias("o"),
+            F.col("P").alias("p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q50_percentiles",
+    "SELECT l_linestatus, "
+    "round(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+    "round(quantile_cont(l_quantity, 0.9), 4) AS p90 "
+    "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+)
+def q50(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "q51_scalar_subquery",
+    "SELECT count(*) AS n FROM lineitem "
+    "WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem)",
+)
+def q51(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_quantity")
+        == li.agg(F.max("l_quantity")).first()["max(l_quantity)"]
+    ).agg(F.count("*").alias("n"))
