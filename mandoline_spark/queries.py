@@ -1051,7 +1051,11 @@ def q50(spark, sf):
 )
 def q51(spark, sf):
     li = load(spark, sf, "lineitem")
-    return li.filter(
-        F.col("l_quantity")
-        == li.agg(F.max("l_quantity")).first()["max(l_quantity)"]
-    ).agg(F.count("*").alias("n"))
+    # broadcast the 1-row aggregate instead of collecting it: the whole
+    # query stays one declarative plan (no driver round-trip)
+    mx = li.agg(F.max("l_quantity").alias("_mx"))
+    return (
+        li.join(F.broadcast(mx))
+        .filter(F.col("l_quantity") == F.col("_mx"))
+        .agg(F.count("*").alias("n"))
+    )
