@@ -10,7 +10,8 @@ its hash.  That collects failed-ingest leftovers (uncommitted versions
 are invisible to readers and to liveness) and overwritten chunks whose
 last referencing version was itself vacuumed away — while time travel
 to every committed version keeps working, because each committed
-version's copy-forward index is scanned.
+version's RESOLVED index (full gen + delta overlays + ancestor base)
+is scanned.
 
 Single-maintainer assumption: like the reference's ``destroy-dataset``,
 vacuum must not race concurrent writers to the same dataset.
@@ -49,12 +50,21 @@ def vacuum(conn: Connection) -> dict:
                     stats["uncommitted_versions_removed"] += 1
 
     # -- (b) superseded generations ------------------------------------------
+    # A generation is superseded only by a LATER FULL generation of the
+    # same version — deltas after the newest full gen are live (readers
+    # overlay them), and every generation of a delta-only version is
+    # live (it may be the base for descendants' overlays).
     for vid, token in conn.versions():
         for var in token.get("variables", {}):
             gens = conn.index_gens(vid, var)
-            for g in gens[:-1]:
-                shutil.rmtree(conn.index_path(vid, var, g))
-                stats["index_gens_removed"] += 1
+            last_full = None
+            for g in gens:
+                if not conn.index_gen_is_delta(vid, var, g):
+                    last_full = g
+            for g in gens:
+                if last_full is not None and g < last_full:
+                    shutil.rmtree(conn.index_path(vid, var, g))
+                    stats["index_gens_removed"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
     conn.invalidate_cache()
@@ -87,4 +97,36 @@ def vacuum(conn: Connection) -> dict:
 
     stats["chunks_kept"] = kept
     stats["chunks_removed"] = total - kept
+    return stats
+
+
+def compact_index(
+    conn: Connection, version: int | None = None, var: str | None = None
+) -> dict:
+    """Materialize the resolved index of (version, var) as a new FULL
+    generation, collapsing the delta-overlay chain that O(touched)
+    commits (``index_mode="delta"``) accumulate.  After compaction,
+    reads of this version scan one directory again and a following
+    :func:`vacuum` drops the superseded generations.  Defaults: last
+    committed version, every variable.  Like vacuum, must not race a
+    concurrent writer to the same (version, var)."""
+    vid = conn.last_version() if version is None else version
+    if vid is None:
+        raise ValueError("dataset has no committed versions")
+    token = conn.metadata(vid)
+    vars_ = [var] if var is not None else list(token.get("variables", {}))
+    stats = {"compacted": 0, "skipped": 0}
+    for v in vars_:
+        gens = conn.index_gens(vid, v)
+        needs = len(gens) > 1 or any(
+            conn.index_gen_is_delta(vid, v, g) for g in gens
+        )
+        if not needs:
+            stats["skipped"] += 1
+            continue
+        resolved = conn.index_df(vid, v)
+        next_gen = gens[-1] + 1 if gens else 0
+        resolved.write.mode("overwrite").parquet(conn.index_path(vid, v, next_gen))
+        conn.invalidate_cache()
+        stats["compacted"] += 1
     return stats

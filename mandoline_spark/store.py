@@ -5,9 +5,15 @@ Physical layout (one directory per dataset under a store root):
     <root>/<dataset>/
         versions/<version_id>.json   one file per committed version
                                      (content = metadata token JSON)
-        index/v=<vid>/var=<name>/    Parquet: (coord string,
-                                     c0..c{n-1} int, chunk_hash string)
-                                     FULL index per version (copy-forward)
+        index/v=<vid>/var=<name>/g=<gen>/
+                                     Parquet: (ckey string,
+                                     c0..c{n-1} int, chunk_hash string).
+                                     A generation is either a FULL
+                                     copy-forward index or a DELTA
+                                     (only coords one job wrote, marked
+                                     by a _DELTA file); readers overlay
+                                     deltas on the newest full gen,
+                                     last writer wins
         chunks/                      Parquet: (hash string, blob binary,
                                      nbytes long), content-addressed
 
@@ -21,11 +27,15 @@ Semantics mirrored from the reference:
   indexing, timestamp→version = latest version ≤ ts
   (mandoline.clj:76-141, impl.clj:53-75).
 
-Scale notes: the per-version copy-forward index keeps reads O(request)
-(no fallback walk over version history) at the cost of O(chunk-count)
-rows per commit; rows are just (coord, 40-byte hash) so even a
-100 TB / ~2e9-chunk dataset is a ~100 GB Parquet index that Spark
-writes in one shuffle-free job and prunes by the c0..cK columns.
+Scale notes: a full copy-forward index keeps reads O(request) (no
+fallback walk over version history) at the cost of O(chunk-count) rows
+per commit; rows are just (coord, 40-byte hash) so even a 100 TB /
+~2e9-chunk dataset is a ~100 GB Parquet index that Spark writes in one
+shuffle-free job and prunes by the c0..cK columns.  When commits must
+be O(touched chunks) instead — frequent small writes into a huge
+dataset — writers pass ``index_mode="delta"`` and periodically run
+``maintenance.compact_index`` to collapse the read-time overlay chain
+back to one full generation.
 """
 
 from __future__ import annotations
@@ -38,7 +48,7 @@ from dataclasses import dataclass, field
 from typing import Any, Iterable, Mapping
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .core import metadata as md
 from .core import slab as sb
@@ -203,10 +213,15 @@ class Connection:
         return base if gen is None else os.path.join(base, f"g={gen}")
 
     def index_gens(self, version: int, var: str) -> list[int]:
-        """Index generations for (version, var), ascending.  Each write
-        job writes a complete copy-forward index as a new generation so
-        readers always scan exactly one immutable directory (no
-        read-while-overwrite hazard, no per-read version-fallback walk)."""
+        """Index generations for (version, var), ascending.  A write job
+        appends a new immutable generation: either a complete
+        copy-forward index (``full``) or, for large datasets where
+        commits must be O(touched chunks) not O(total chunks), only the
+        coordinates it wrote (``delta``, marked by a ``_DELTA`` file the
+        Parquet readers ignore).  Resolution merges the newest full
+        generation with every later delta, last writer wins;
+        :func:`mandoline_spark.maintenance.compact_index` re-materializes
+        a full generation to bound the chain."""
         base = self.index_path(version, var)
         if not os.path.isdir(base):
             return []
@@ -215,6 +230,11 @@ class Connection:
             if d.startswith("g=") and _has_parquet(os.path.join(base, d)):
                 gens.append(int(d[2:]))
         return sorted(gens)
+
+    def index_gen_is_delta(self, version: int, var: str, gen: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.index_path(version, var, gen), "_DELTA")
+        )
 
     def _maybe_cached(self, key: tuple, path: str) -> DataFrame:
         if not self.cache_reads:
@@ -235,15 +255,59 @@ class Connection:
             return None
         return self._maybe_cached(("chunks",), self.chunks_path())
 
+    def _gen_df(self, version: int, var: str, gen: int) -> DataFrame:
+        return self._maybe_cached(
+            ("index", version, var, gen), self.index_path(version, var, gen)
+        )
+
+    @staticmethod
+    def _overlay(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        """Last-writer-wins merge of a delta onto a base index.  The
+        delta side is O(touched chunks) so the anti-join broadcasts it;
+        the base is never shuffled."""
+        if base is None:
+            return delta
+        return delta.unionByName(
+            base.join(F.broadcast(delta.select("ckey")), "ckey", "left_anti")
+        )
+
     def index_df(self, version: int, var: str) -> DataFrame | None:
-        """Latest complete index generation for (version, var)."""
+        """Resolved index from this version's own generations: the
+        newest full generation overlaid with every later delta.  When
+        the version has only delta generations, the base is pulled from
+        the nearest ancestor version with an index (its own resolution,
+        recursively — compaction keeps these chains short).  None when
+        the version never wrote the variable."""
         gens = self.index_gens(version, var)
         if not gens:
             return None
-        return self._maybe_cached(
-            ("index", version, var, gens[-1]),
-            self.index_path(version, var, gens[-1]),
-        )
+        last_full = None
+        for g in gens:
+            if not self.index_gen_is_delta(version, var, g):
+                last_full = g
+        if last_full is not None:
+            df = self._gen_df(version, var, last_full)
+            deltas = [g for g in gens if g > last_full]
+        else:
+            df = None
+            deltas = gens
+        for g in deltas:
+            df = self._overlay(df, self._gen_df(version, var, g))
+        if last_full is None:
+            for vid in self.version_ids():  # newest first
+                if vid < version and self.index_gens(vid, var):
+                    anc = self.index_df(vid, var)
+                    if anc is not None:
+                        # df holds only this version's deltas here
+                        df = df.unionByName(
+                            anc.join(
+                                F.broadcast(df.select("ckey")),
+                                "ckey",
+                                "left_anti",
+                            )
+                        )
+                    break
+        return df
 
     def resolve_index_df(self, version: int, var: str) -> DataFrame | None:
         """Index for (version, var) with version fallback: the exact
@@ -252,12 +316,9 @@ class Connection:
         a variable not rewritten in a version reads its most recent
         data; uncommitted versions are invisible, failed_ingest.clj).
         Because history is linear (commit enforces parent == last) the
-        committed-ids walk IS the parent chain, and because each index
-        generation is copy-forward-complete the first hit is the whole
-        answer — reads never merge across versions."""
-        gens = self.index_gens(version, var)
-        if gens:
-            return self.spark.read.parquet(self.index_path(version, var, gens[-1]))
+        committed-ids walk IS the parent chain."""
+        if self.index_gens(version, var):
+            return self.index_df(version, var)
         for vid in self.version_ids():  # newest first
             if vid < version and self.index_gens(vid, var):
                 return self.index_df(vid, var)

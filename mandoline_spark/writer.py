@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Mapping, Sequence
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Row, functions as F, types as T
@@ -146,6 +148,7 @@ def write_variable(
     token: Mapping[str, Any],
     var: str,
     slabs: Sequence[Slab],
+    index_mode: str = "full",
 ) -> None:
     """Write a sequence of slabs to ``var`` under the in-flight version
     ``token`` as one Spark job (mandoline.clj:280-290 / impl.clj:280-308
@@ -157,15 +160,35 @@ def write_variable(
     ndim = len(md.get_variable_dimensions(token, var))
     rows = slabs_to_piece_rows(token, var, slabs)
     pieces = spark.createDataFrame(rows, schema=piece_schema(ndim))
-    write_pieces(conn, token, var, pieces)
+    write_pieces(conn, token, var, pieces, index_mode=index_mode)
 
 
 def write_pieces(
-    conn: Connection, token: Mapping[str, Any], var: str, pieces: DataFrame
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    pieces: DataFrame,
+    index_mode: str = "full",
 ) -> None:
     """Distributed write entry: ``pieces`` in :func:`piece_schema` form
     may come from any Spark computation (the 100 TB path — executors
-    generate pieces; nothing funnels through the driver)."""
+    generate pieces; nothing funnels through the driver).
+
+    ``index_mode`` picks the index-generation shape:
+
+    - ``"full"`` (default): copy-forward — the new generation carries
+      every coordinate, so readers scan exactly one directory.  Commit
+      cost is O(total chunks): fine up to ~1e8 chunks, dominant beyond.
+    - ``"delta"``: the generation holds only the coordinates this job
+      wrote (O(touched chunks) commit — the 100 TB path).  Readers
+      overlay deltas on the newest full generation last-writer-wins;
+      run :func:`mandoline_spark.maintenance.compact_index`
+      periodically to bound the overlay chain.  A delta with no base
+      index anywhere in the ancestor chain is already complete and is
+      written as full.
+    """
+    if index_mode not in ("full", "delta"):
+        raise ValueError(f"index_mode must be 'full' or 'delta': {index_mode!r}")
     spark = conn.spark
     vid = token["version-id"]
     ndim = len(md.get_variable_dimensions(token, var))
@@ -255,21 +278,25 @@ def write_pieces(
             )
         new_chunks.write.mode("append").parquet(conn.chunks_path())
 
-        # 2. Write the next complete copy-forward index generation:
-        #    written coords take the new hash; all other coords keep the
-        #    base entry.
+        # 2. Write the next index generation: written coords take the
+        #    new hash.  Full mode also carries every untouched base
+        #    entry; delta mode leaves them to read-time overlay.
         new_index = merged.select("ckey", *ccols, "chunk_hash")
         base_index = _base_index_df(conn, token, var)
-        if base_index is not None:
+        is_delta = index_mode == "delta" and base_index is not None
+        if base_index is not None and not is_delta:
             carried = base_index.join(
                 new_index.select("ckey"), "ckey", "left_anti"
             )
             new_index = new_index.unionByName(carried)
         gens = conn.index_gens(vid, var)
         next_gen = (gens[-1] + 1) if gens else 0
-        new_index.write.mode("overwrite").parquet(
-            conn.index_path(vid, var, next_gen)
-        )
+        gen_path = conn.index_path(vid, var, next_gen)
+        new_index.write.mode("overwrite").parquet(gen_path)
+        if is_delta:
+            # underscore-prefixed files are invisible to Parquet readers
+            with open(os.path.join(gen_path, "_DELTA"), "w"):
+                pass
     finally:
         merged.unpersist()
         # read-through caches are stale after any append (cache.clj's
@@ -281,8 +308,9 @@ def write(
     conn: Connection,
     token: Mapping[str, Any],
     writes: Mapping[str, Sequence[Slab]],
+    index_mode: str = "full",
 ) -> None:
     """Write slabs for several variables under one in-flight version
     (mandoline.clj:280-290)."""
     for var, slabs in writes.items():
-        write_variable(conn, token, var, slabs)
+        write_variable(conn, token, var, slabs, index_mode=index_mode)

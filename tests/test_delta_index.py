@@ -1,0 +1,229 @@
+"""Delta index generations + compaction (the O(touched-chunks) commit
+path for datasets where copy-forward indexes would dominate — SURVEY
+§7.4 risk 4).  Semantics must be indistinguishable from full mode:
+last-writer-wins within a version, version fallback across versions,
+time travel, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+from mandoline_spark.maintenance import compact_index, vacuum
+
+DDS = {
+    "dimensions": {"x": 8, "y": 8},
+    "chunk-dimensions": {"x": 4, "y": 4},
+    "variables": {
+        "foo": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+    },
+}
+
+FULL = sl.mk_slice((0, 0), (8, 8))
+TOP_LEFT = sl.mk_slice((0, 0), (4, 4))  # exactly chunk (0,0)
+
+
+def _slab(slice_, value):
+    return sb.empty("int", slice_, value)
+
+
+def _read(conn, vid, req=FULL):
+    return reader.get_slice(conn, conn.metadata(vid), "foo", req).data
+
+
+def test_delta_write_stores_only_touched_coords(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    v1 = conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(TOP_LEFT, 9)], index_mode="delta"
+    )
+    v2 = conn.finish_version(t2)
+
+    gens = conn.index_gens(v2, "foo")
+    assert gens == [0]
+    assert conn.index_gen_is_delta(v2, "foo", 0)
+    # the delta generation holds ONLY the touched chunk coordinate
+    delta_rows = store.spark.read.parquet(conn.index_path(v2, "foo", 0))
+    assert delta_rows.count() == 1
+
+    # resolution overlays the delta onto v1's full index
+    got = _read(conn, v2)
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 9
+    np.testing.assert_array_equal(got, want)
+    # time travel to v1 unaffected
+    np.testing.assert_array_equal(_read(conn, v1), np.ones((8, 8), np.int32))
+
+
+def test_delta_without_any_base_is_written_full(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t1, "foo", [_slab(TOP_LEFT, 5)], index_mode="delta"
+    )
+    v1 = conn.finish_version(t1)
+    # no ancestor index existed, so the "delta" is complete → full
+    assert not conn.index_gen_is_delta(v1, "foo", 0)
+    got = _read(conn, v1)
+    want = np.zeros((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 5
+    np.testing.assert_array_equal(got, want)
+
+
+def test_delta_chain_last_writer_wins_within_version(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    writer.write_variable(
+        conn, t2, "foo", [_slab(sl.mk_slice((0, 0), (4, 8)), 3)],
+        index_mode="delta",
+    )
+    v2 = conn.finish_version(t2)
+
+    assert len(conn.index_gens(v2, "foo")) == 2
+    got = _read(conn, v2)
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:4, :] = 3
+    np.testing.assert_array_equal(got, want)
+
+
+def test_delta_chain_across_versions(store):
+    """v2 and v3 both delta-only: v3's base resolves recursively
+    through v2's deltas to v1's full index."""
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    v1 = conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    v2 = conn.finish_version(t2)
+
+    t3 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t3, "foo", [_slab(sl.mk_slice((4, 4), (8, 8)), 4)],
+        index_mode="delta",
+    )
+    v3 = conn.finish_version(t3)
+
+    want3 = np.ones((8, 8), dtype=np.int32)
+    want3[0:4, 0:4] = 2
+    want3[4:8, 4:8] = 4
+    np.testing.assert_array_equal(_read(conn, v3), want3)
+    want2 = np.ones((8, 8), dtype=np.int32)
+    want2[0:4, 0:4] = 2
+    np.testing.assert_array_equal(_read(conn, v2), want2)
+    np.testing.assert_array_equal(_read(conn, v1), np.ones((8, 8), np.int32))
+
+
+def test_delta_read_modify_write_merges_partial_chunk(store):
+    """A delta write of half a chunk must merge onto the base chunk's
+    other half (read-modify-write), same as full mode."""
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(sl.mk_slice((0, 0), (2, 4)), 7)],
+        index_mode="delta",
+    )
+    v2 = conn.finish_version(t2)
+
+    got = _read(conn, v2)
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:2, 0:4] = 7
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_collapses_chain_and_vacuum_prunes(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    writer.write_variable(
+        conn, t2, "foo", [_slab(sl.mk_slice((4, 0), (8, 4)), 3)],
+        index_mode="delta",
+    )
+    v2 = conn.finish_version(t2)
+    before = _read(conn, v2)
+
+    stats = compact_index(conn, v2, "foo")
+    assert stats["compacted"] == 1
+    gens = conn.index_gens(v2, "foo")
+    assert not conn.index_gen_is_delta(v2, "foo", gens[-1])
+    # compacted full gen covers all 4 chunk coords
+    n = store.spark.read.parquet(
+        conn.index_path(v2, "foo", gens[-1])
+    ).count()
+    assert n == 4
+
+    np.testing.assert_array_equal(_read(conn, v2), before)
+
+    vstats = vacuum(conn)
+    assert vstats["index_gens_removed"] == 2  # both superseded deltas
+    assert conn.index_gens(v2, "foo") == [gens[-1]]
+    np.testing.assert_array_equal(_read(conn, v2), before)
+
+
+def test_vacuum_keeps_live_delta_generations(store):
+    """Without compaction, vacuum must NOT remove delta gens (they are
+    part of every descendant's resolution)."""
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    v1 = conn.finish_version(t1)
+
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    v2 = conn.finish_version(t2)
+    before = _read(conn, v2)
+
+    stats = vacuum(conn)
+    assert stats["index_gens_removed"] == 0
+    assert conn.index_gens(v2, "foo") == [0]
+    np.testing.assert_array_equal(_read(conn, v2), before)
+    np.testing.assert_array_equal(_read(conn, v1), np.ones((8, 8), np.int32))
+
+
+def test_compact_skips_single_full_gen(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [_slab(FULL, 1)])
+    v1 = conn.finish_version(t1)
+    stats = compact_index(conn)
+    assert stats == {"compacted": 0, "skipped": 1}
+
+
+def test_bad_index_mode_rejected(store):
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    with pytest.raises(ValueError, match="index_mode"):
+        writer.write_variable(
+            conn, t1, "foo", [_slab(FULL, 1)], index_mode="nope"
+        )
