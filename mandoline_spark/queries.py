@@ -1059,3 +1059,205 @@ def q51(spark, sf):
         .filter(F.col("l_quantity") == F.col("_mx"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@_q(
+    "q52_exists_correlated",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 300000) ORDER BY c_custkey",
+)
+def q52(spark, sf):
+    """Correlated EXISTS — planned as a left-semi hash join on the
+    correlation key, so it shuffles once on o_custkey and never
+    materializes the subquery per outer row."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "q53_lateral_explode",
+    "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
+    "round(unnest(embedding), 4) AS val "
+    "FROM embeddings WHERE vec_id < 32 ORDER BY vec_id, pos",
+)
+def q53(spark, sf):
+    """Lateral array expansion with element position (posexplode ≡
+    UNNEST WITH ORDINALITY).  The filter lands before the generator, so
+    only 32 vectors ever explode."""
+    e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 32)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "_v"))
+        .select("vec_id", "pos", F.round("_v", 4).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@_q(
+    "q54_window_navigation",
+    "SELECT o_orderkey, CAST(ntile(4) OVER w AS INTEGER) AS tile, "
+    "first_value(o_orderkey) OVER w AS fv, "
+    "round(cume_dist() OVER w, 6) AS cd FROM orders "
+    "WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
+)
+def q54(spark, sf):
+    """Navigation/distribution window functions (ntile, first_value,
+    cume_dist) sharing one window spec — one shuffle + one sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("tile"),
+            F.first("o_orderkey").over(w).alias("fv"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "q55_string_distance",
+    "SELECT p_partkey, levenshtein(substr(p_name, 1, 8), 'standard') AS d "
+    "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey",
+)
+def q55(spark, sf):
+    return (
+        load(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.levenshtein(
+                F.substring("p_name", 1, 8), F.lit("standard")
+            ).alias("d"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "q56_grouping_sets",
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+    "coalesce(l_linestatus, 'ALL') AS ls, "
+    "CAST(grouping(l_returnflag) AS INTEGER) AS g_rf, count(*) AS c "
+    "FROM lineitem GROUP BY GROUPING SETS "
+    "((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls",
+)
+def q56(spark, sf):
+    """Explicit GROUPING SETS (beyond the rollup/cube shorthands of
+    Q12/Q13) with the grouping() marker distinguishing data NULLs from
+    subtotal NULLs."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g_rf",
+            "c",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@_q(
+    "q57_filtered_agg",
+    "SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS nf, "
+    "round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) "
+    "AS big_avg, "
+    "count(*) FILTER (WHERE o_totalprice > 200000) AS n_big "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q57(spark, sf):
+    """Filtered aggregates — all three conditions evaluate in ONE
+    hash-aggregate pass (no self-joins, no separate scans)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("nf"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("o_totalprice") > 100000, F.col("o_totalprice")
+                    )
+                ),
+                2,
+            ).alias("big_avg"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias(
+                "n_big"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q58_date_arith",
+    "SELECT o_orderkey, "
+    "date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dd, "
+    "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld, "
+    "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d30 "
+    "FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey",
+)
+def q58(spark, sf):
+    """Date arithmetic: day differences, month-end snapping, date
+    shifting (dates serialized to strings so both engines hash the same
+    canonical form)."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1995-01-01").cast("date"), d).alias("dd"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("ld"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d30"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q59_array_hof",
+    "SELECT vec_id, "
+    "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 3) "
+    "AS ss, "
+    "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos "
+    "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id",
+)
+def q59(spark, sf):
+    """Higher-order array functions: fold (aggregate) and filter run
+    JVM-side per element with no Python round-trip.  Both engines fold
+    left-to-right, so the double sums are bit-identical."""
+    e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        e.select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x,
+                ),
+                3,
+            ).alias("ss"),
+            F.size(F.filter("embedding", lambda x: x > 0))
+            .cast("long")
+            .alias("npos"),
+        )
+        .orderBy("vec_id")
+    )
