@@ -58,6 +58,31 @@ def pruned_index_df(
     return idx.filter(cond)
 
 
+def _decode_parallelism(
+    conn: Connection, token: Mapping[str, Any], var: str, request: Slice
+) -> int:
+    """Task count for the Python decode stage, computed from the REQUEST
+    (overlapping chunk count × chunk bytes) rather than inherited from
+    the chunk table's file layout.  Without this, a scan whose parquet
+    input collapses to few partitions (one big file, large
+    maxPartitionBytes, AQE coalescing sized for JVM operators) would
+    serialize the CPU-bound decode onto one worker.  Targets one task
+    per ~128 MB of chunk data but never fewer than the cluster's core
+    count while there are chunks to go around."""
+    grid = md.get_chunk_grid_slice(token, var)
+    ranges = ck.chunk_coordinate_ranges(request, grid)
+    n_coords = 1
+    for lo, hi in ranges:
+        n_coords *= hi - lo + 1
+    chunk_elems = 1
+    for i in range(grid.ndim):
+        chunk_elems *= grid.step[i]
+    itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
+    total_bytes = n_coords * chunk_elems * itemsize
+    cores = conn.spark.sparkContext.defaultParallelism
+    return max(1, min(n_coords, max(cores, total_bytes // (128 << 20))))
+
+
 def _pieces_df(
     conn: Connection,
     token: Mapping[str, Any],
@@ -73,6 +98,14 @@ def _pieces_df(
     joined = idx.join(chunks, idx.chunk_hash == chunks.hash, "inner").select(
         *ccols, "blob"
     )
+    if ndim:
+        cores = conn.spark.sparkContext.defaultParallelism
+        target = _decode_parallelism(conn, token, var, request)
+        # Only worth an exchange when the request is big enough to keep
+        # every core busy — small slice reads run on their natural input
+        # partitioning (the extra shuffle would dominate their runtime).
+        if target >= cores:
+            joined = joined.repartition(target, *ccols)
     type_name = md.get_type(token, var)
     grid = md.get_chunk_grid_slice(token, var)
     grid_tuple = (grid.start, grid.stop, grid.step)
