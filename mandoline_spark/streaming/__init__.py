@@ -11,19 +11,23 @@ stateful operator on the ``applyInPandasWithState`` surface.
 from .ops import (
     EVENTS_SCHEMA,
     read_events_stream,
+    read_pieces_stream,
     run_available_now,
     session_counts,
     sessionize_stateful,
     sliding_sums,
+    stream_ingest,
     tumbling_counts,
 )
 
 __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
+    "read_pieces_stream",
     "run_available_now",
     "session_counts",
     "sessionize_stateful",
     "sliding_sums",
+    "stream_ingest",
     "tumbling_counts",
 ]

@@ -218,3 +218,73 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# -- streaming array ingest ---------------------------------------------------
+
+
+def read_pieces_stream(
+    spark: SparkSession, path: str, ndim: int, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of chunk pieces in
+    :func:`mandoline_spark.writer.piece_schema` form — the streaming
+    twin of ``write_pieces``'s bulk input."""
+    from ..writer import piece_schema
+
+    return (
+        spark.readStream.schema(piece_schema(ndim))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
+def stream_ingest(
+    conn,
+    spec: dict,
+    var: str,
+    pieces: DataFrame,
+    checkpoint: str,
+    index_mode: str = "delta",
+):
+    """Continuous array ingestion: every micro-batch of pieces becomes
+    one COMMITTED dataset version (MVCC over the stream — readers time
+    travel across micro-batches, and an in-flight batch is invisible
+    until its commit, exactly the reference's ingest semantics).
+
+    Built on ``foreachBatch``: the batch function runs on the driver and
+    replays the full distributed write path (merge → hash → dedup →
+    index append).  ``index_mode="delta"`` keeps each commit
+    O(batch-touched chunks) — the right default for an unbounded stream
+    of small writes; run ``maintenance.compact_index`` on a schedule to
+    bound the read-time overlay chain.
+
+    Exactly-once: ``foreachBatch`` is at-least-once under retries, so a
+    per-batch marker file (``_ingest_batches/<id>``) makes the
+    version-commit idempotent — a replayed batch is skipped before it
+    can double-write.  Returns the ``DataStreamWriter`` (callers pick
+    the trigger and call ``start()``).
+    """
+    import os
+
+    from .. import writer as _writer
+
+    marker_dir = os.path.join(conn.path, "_ingest_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        if batch_df.isEmpty():
+            return
+        token = conn.add_version(spec)
+        _writer.write_pieces(conn, token, var, batch_df, index_mode=index_mode)
+        conn.finish_version(token)
+        with open(marker, "w") as f:
+            f.write(str(token["version-id"]))
+
+    return (
+        pieces.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -198,3 +198,85 @@ def test_stateful_sessionizer_across_batches(spark, tmp_path):
         (1, "2024-01-01 10:30:00", "2024-01-01 10:35:00", 2),
         # user 99's session stays open (watermark never passed 23:10)
     ]
+
+
+def test_stream_ingest_versions_per_batch(spark, tmp_path, store):
+    """Streaming array ingest: each micro-batch commits one version
+    (delta index), readers time travel across batches, and a replayed
+    batch is skipped by the idempotence marker."""
+    import numpy as np
+    import pandas as pd
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.streaming import read_pieces_stream, stream_ingest
+
+    spec = {
+        "dimensions": {"x": 8, "y": 8},
+        "chunk-dimensions": {"x": 4, "y": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    conn = store.create_dataset("streamed")
+
+    def piece_file(path, region, value):
+        slab = sb.empty("int", region, value)
+        rows = writer.slabs_to_piece_rows(spec | {"version-id": 0}, "v", [slab])
+        spark.createDataFrame(rows, schema=writer.piece_schema(2)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "pieces"
+    src.mkdir()
+    piece_file(str(src / "b1"), sl.mk_slice((0, 0), (4, 4)), 1)
+
+    stream = read_pieces_stream(spark, str(src / "*"), ndim=2)
+    q = (
+        stream_ingest(conn, spec, "v", stream, str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v1 = conn.last_version()
+    assert v1 is not None
+
+    piece_file(str(src / "b2"), sl.mk_slice((4, 4), (8, 8)), 2)
+    q = (
+        stream_ingest(conn, spec, "v", stream, str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v2 = conn.last_version()
+    assert v2 != v1
+
+    # delta commits: the second version's generation is a delta
+    assert conn.index_gen_is_delta(v2, "v", conn.index_gens(v2, "v")[0])
+
+    want2 = np.zeros((8, 8), dtype=np.int32)
+    want2[0:4, 0:4] = 1
+    want2[4:8, 4:8] = 2
+    got2 = reader.get_slice(
+        conn, conn.metadata(v2), "v", sl.mk_slice((0, 0), (8, 8))
+    ).data
+    np.testing.assert_array_equal(got2, want2)
+
+    want1 = np.zeros((8, 8), dtype=np.int32)
+    want1[0:4, 0:4] = 1
+    got1 = reader.get_slice(
+        conn, conn.metadata(v1), "v", sl.mk_slice((0, 0), (8, 8))
+    ).data
+    np.testing.assert_array_equal(got1, want1)
+
+    # replay with a fresh checkpoint: batch ids restart, markers skip
+    # both batches — no new versions, no double-write
+    q = (
+        stream_ingest(conn, spec, "v", stream, str(tmp_path / "ck_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert conn.last_version() == v2
+    assert len(conn.version_ids()) == 2
