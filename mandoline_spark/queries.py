@@ -40,6 +40,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+
+def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the core count: the per-doc text
+    operators (regexp token scans, stopword folds, fingerprints) are
+    CPU-bound, and a one-file corpus would otherwise run them on one
+    task (measured 4x on local[32] at sf0.1).  One exchange of the raw
+    text, paid once per query."""
+    df = load(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -730,7 +741,7 @@ def q40(spark, sf):
 def q41(spark, sf):
     from .functions.text import token_count, word_count
 
-    d = load(spark, sf, "documents")
+    d = load_documents_wide(spark, sf)
     return d.select(
         "doc_id",
         word_count(F.col("text")).alias("words"),
@@ -749,7 +760,7 @@ def q41(spark, sf):
 def q42(spark, sf):
     from .functions.text import quality_score
 
-    d = load(spark, sf, "documents")
+    d = load_documents_wide(spark, sf)
     return d.select(
         "doc_id", quality_score(F.col("text")).alias("q")
     ).orderBy("doc_id")
@@ -776,7 +787,7 @@ def q42(spark, sf):
 def q43(spark, sf):
     from .functions.text import lang_id
 
-    d = load(spark, sf, "documents")
+    d = load_documents_wide(spark, sf)
     return d.select(
         "doc_id", lang_id(F.col("text")).alias("pred")
     ).orderBy("doc_id")
@@ -792,7 +803,7 @@ def q43(spark, sf):
 def q44(spark, sf):
     from .functions.text import fingerprint
 
-    d = load(spark, sf, "documents")
+    d = load_documents_wide(spark, sf)
     return d.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
