@@ -128,12 +128,33 @@ def ngram_jaccard_pairs(
         )
         g = g.join(hot, "gram", "left_anti")
     sizes = g.groupBy("id").agg(F.count("*").alias("ng"))
-    a = g.select(F.col("id").alias("a"), "gram")
-    b = g.select(F.col("id").alias("b"), "gram")
+    # Posting-list pair generation: ONE shuffle of the exploded shingles
+    # (groupBy gram), then each posting list emits its a<b pairs
+    # JVM-side.  The classic a-join-b inverted-index self-join shuffles
+    # the same rows twice AND re-runs the whole gram pipeline per
+    # branch (Catalyst can't reuse the exchange across the alias
+    # renames); this shape computes grams once.  Posting-list length is
+    # the quadratic guard — cap it with ``max_df`` at scale.
+    posts = g.groupBy("gram").agg(
+        F.sort_array(F.collect_list("id")).alias("_ids")
+    )
+    pair = F.explode_outer(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     common = (
-        a.join(b, "gram")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        posts.select(pair.alias("_p"))
+        .where(F.col("_p").isNotNull())
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .agg(F.count("*").alias("common"))
     )
     na = sizes.select(F.col("id").alias("a"), F.col("ng").alias("na"))

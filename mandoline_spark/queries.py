@@ -1272,3 +1272,31 @@ def q59(spark, sf):
         )
         .orderBy("vec_id")
     )
+
+
+@_q(
+    "q60_approx_percentile",
+    # percentile_approx is a mergeable quantile sketch (Greenwald-Khanna
+    # in Spark); like Q28 the sketch value is engine-specific, so the
+    # declared check is a within-rank-tolerance predicate against the
+    # exact per-group quantile, hash-stable on both engines.
+    "SELECT CAST(1 AS INTEGER) AS ok",
+)
+def q60(spark, sf):
+    """Approximate percentile: per-group P50/P99 from the sketch must
+    sit within the value range spanned by exact ranks +/- 1% of each
+    group — the correctness contract of a rank-error sketch."""
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("hi50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("a99"),
+        F.expr("percentile(l_extendedprice, 0.98)").alias("lo99"),
+        F.expr("percentile(l_extendedprice, 1.0)").alias("hi99"),
+    )
+    ok = (
+        F.col("a50").between(F.col("lo50"), F.col("hi50"))
+        & F.col("a99").between(F.col("lo99"), F.col("hi99"))
+    ).cast("int")
+    return agg.agg(F.min(ok).alias("ok"))

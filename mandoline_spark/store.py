@@ -57,6 +57,32 @@ from .core.slice import Slice
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
 
 
+def parse_uri(uri: str) -> tuple[str, str, int | None]:
+    """``mand://<store-root>/<dataset>[#<version>]`` → (root, dataset,
+    version | None) — the engine's dataset-spec syntax, mirroring the
+    reference's ``ddb://root/name`` parsing and backend alias resolution
+    (impl.clj:34-51, 77-119; one Parquet backend here, so the scheme
+    carries no backend choice).  The optional fragment pins a version
+    for time travel."""
+    m = re.match(r"^mand://(?P<path>/?.+?)/(?P<ds>[A-Za-z0-9_.-]+)"
+                 r"(?:#(?P<v>-?\d+))?$", uri)
+    if not m:
+        raise ValueError(f"invalid dataset URI: {uri!r}")
+    version = m.group("v")
+    return (
+        m.group("path"),
+        m.group("ds"),
+        int(version) if version is not None else None,
+    )
+
+
+def connect_uri(spark: SparkSession, uri: str) -> "Connection":
+    """Open a dataset by URI (the catalog entry point the reference's
+    `(mandoline/dataset-reader spec)` flow starts from)."""
+    root, ds, _ = parse_uri(uri)
+    return Store(spark, root).connect(ds)
+
+
 class VersionConflict(Exception):
     """Another writer committed against the same parent first."""
 

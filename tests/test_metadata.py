@@ -180,3 +180,25 @@ def test_version_ids_monotonic():
     a = md.new_version({})["version-id"]
     b = md.new_version({})["version-id"]
     assert b > a
+
+
+def test_parse_uri_forms():
+    from mandoline_spark.store import parse_uri
+    import pytest
+
+    assert parse_uri("mand:///data/stores/main/weather") == (
+        "/data/stores/main", "weather", None
+    )
+    assert parse_uri("mand://rel/path/ds#17") == ("rel/path", "ds", 17)
+    assert parse_uri("mand:///r/ds#-1") == ("/r", "ds", -1)
+    for bad in ["ddb://x/y", "mand://", "mand://onlyroot", "mand:///r/ds#x"]:
+        with pytest.raises(ValueError):
+            parse_uri(bad)
+
+
+def test_connect_uri_roundtrip(store):
+    from mandoline_spark.store import connect_uri
+
+    store.create_dataset("ds1")
+    conn = connect_uri(store.spark, f"mand://{store.root}/ds1")
+    assert conn.name == "ds1"
