@@ -1300,3 +1300,92 @@ def q60(spark, sf):
         & F.col("a99").between(F.col("lo99"), F.col("hi99"))
     ).cast("int")
     return agg.agg(F.min(ok).alias("ok"))
+
+
+@_q(
+    "q61_unpivot",
+    "WITH wide AS (SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS f, "
+    "count(*) FILTER (WHERE o_orderstatus = 'O') AS o, "
+    "count(*) FILTER (WHERE o_orderstatus = 'P') AS p "
+    "FROM orders GROUP BY o_orderpriority) "
+    "SELECT o_orderpriority, status, n FROM wide "
+    "UNPIVOT (n FOR status IN (f, o, p)) "
+    "ORDER BY o_orderpriority, status",
+)
+def q61(spark, sf):
+    """Unpivot / melt (the inverse of Q49's pivot): wide per-status
+    counts back to long form."""
+    o = load(spark, sf, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("f"),
+            F.col("O").alias("o"),
+            F.col("P").alias("p"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["f", "o", "p"], "status", "n"
+    ).orderBy("o_orderpriority", "status")
+
+
+@_q(
+    "q62_string_agg",
+    "SELECT n_regionkey AS rk, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS names "
+    "FROM nation GROUP BY n_regionkey ORDER BY rk",
+)
+def q62(spark, sf):
+    """Ordered string aggregation (listagg): collect + sort + join keeps
+    the result deterministic under any shuffle order."""
+    n = load(spark, sf, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("names")
+        )
+        .orderBy("rk")
+    )
+
+
+@_q(
+    "q63_map_funcs",
+    # the oracle states the expected VALUE; the Spark side computes it
+    # through map construction + lookup (DuckDB's MAP element_at wraps
+    # values in a list, so its literal map form can't hash-match)
+    "SELECT o_orderkey, o_orderpriority AS pri FROM orders "
+    "WHERE o_orderkey <= 1000 ORDER BY o_orderkey",
+)
+def q63(spark, sf):
+    """Map column functions: build a map from column values, look up by
+    key (map_from_arrays/create_map + element_at)."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 1000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("pri"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey", F.element_at(m, F.lit("pri")).alias("pri")
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q64_regexp_extract",
+    "SELECT p_partkey, regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS w2 "
+    "FROM part WHERE p_partkey <= 500 ORDER BY p_partkey",
+)
+def q64(spark, sf):
+    """Regexp group extraction (JVM regexp engine on both sides, same
+    capture-group semantics)."""
+    p = load(spark, sf, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("w2"),
+    ).orderBy("p_partkey")

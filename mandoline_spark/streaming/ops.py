@@ -246,6 +246,7 @@ def stream_ingest(
     pieces: DataFrame,
     checkpoint: str,
     index_mode: str = "delta",
+    compact_every: int | None = None,
 ):
     """Continuous array ingestion: every micro-batch of pieces becomes
     one COMMITTED dataset version (MVCC over the stream — readers time
@@ -264,6 +265,11 @@ def stream_ingest(
     version-commit idempotent — a replayed batch is skipped before it
     can double-write.  Returns the ``DataStreamWriter`` (callers pick
     the trigger and call ``start()``).
+
+    ``compact_every=N`` re-materializes a full index generation after
+    every Nth committed version (the stream's single driver is the
+    single-maintainer compaction needs), so the read-time delta-overlay
+    chain stays ≤ N deep no matter how long the stream runs.
     """
     import os
 
@@ -283,6 +289,10 @@ def stream_ingest(
         conn.finish_version(token)
         with open(marker, "w") as f:
             f.write(str(token["version-id"]))
+        if compact_every and len(conn.version_ids()) % compact_every == 0:
+            from ..maintenance import compact_index
+
+            compact_index(conn, var=var)
 
     return (
         pieces.writeStream.foreachBatch(handle)

@@ -280,3 +280,57 @@ def test_stream_ingest_versions_per_batch(spark, tmp_path, store):
     q.awaitTermination()
     assert conn.last_version() == v2
     assert len(conn.version_ids()) == 2
+
+
+def test_stream_ingest_auto_compaction(spark, tmp_path, store):
+    """compact_every=2: after the 2nd committed version the delta chain
+    is collapsed into a full generation; reads unchanged."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.streaming import read_pieces_stream, stream_ingest
+
+    spec = {
+        "dimensions": {"x": 8, "y": 8},
+        "chunk-dimensions": {"x": 4, "y": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    conn = store.create_dataset("compacted")
+
+    def piece_file(path, region, value):
+        slab = sb.empty("int", region, value)
+        rows = writer.slabs_to_piece_rows(spec | {"version-id": 0}, "v", [slab])
+        spark.createDataFrame(rows, schema=writer.piece_schema(2)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "pieces"
+    src.mkdir()
+    piece_file(str(src / "b1"), sl.mk_slice((0, 0), (8, 8)), 1)
+    piece_file(str(src / "b2"), sl.mk_slice((0, 0), (4, 4)), 2)
+
+    stream = read_pieces_stream(spark, str(src / "*"), ndim=2)
+    q = (
+        stream_ingest(
+            conn, spec, "v", stream, str(tmp_path / "ck"), compact_every=2
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(conn.version_ids()) == 2
+    v2 = conn.last_version()
+    gens = conn.index_gens(v2, "v")
+    # last generation is the compacted FULL one
+    assert not conn.index_gen_is_delta(v2, "v", gens[-1])
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 2
+    got = reader.get_slice(
+        conn, conn.metadata(v2), "v", sl.mk_slice((0, 0), (8, 8))
+    ).data
+    np.testing.assert_array_equal(got, want)
