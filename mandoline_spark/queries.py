@@ -1389,3 +1389,39 @@ def q64(spark, sf):
         "p_partkey",
         F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("w2"),
     ).orderBy("p_partkey")
+
+
+@_q(
+    "q65_pipeline_compose",
+    # the full LLM-data curation funnel in one declarative plan:
+    # quality-score filter -> language gate -> exact near-dup collapse
+    "WITH scored AS (SELECT doc_id, text, lang, round("
+    "least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.7"
+    " + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, "
+    "'[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / length(text)) * 5.0) * 0.3, 6) AS q "
+    "FROM documents), "
+    "kept AS (SELECT * FROM scored WHERE q >= 0.5 AND lang = 'en'), "
+    "dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) "
+    "SELECT count(*) AS survivors, "
+    "(SELECT count(*) FROM documents) AS total FROM dedup",
+)
+def q65(spark, sf):
+    """Composition capstone: the curation funnel every training-data
+    pipeline runs — quality scoring, language gating, and exact-hash
+    dedup — as ONE Catalyst plan (one scan of the corpus feeding both
+    the funnel and the total, no intermediate materialization)."""
+    from .functions.text import quality_score
+
+    d = load_documents_wide(spark, sf)
+    kept = d.withColumn("q", quality_score(F.col("text"))).filter(
+        (F.col("q") >= 0.5) & (F.col("lang") == "en")
+    )
+    dedup = kept.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    total = load(spark, sf, "documents").agg(
+        F.count("*").alias("total")
+    )
+    return dedup.agg(F.count("*").alias("survivors")).join(
+        F.broadcast(total)
+    )
