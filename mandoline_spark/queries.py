@@ -1287,17 +1287,20 @@ def q60(spark, sf):
     sit within the value range spanned by exact ranks +/- 1% of each
     group — the correctness contract of a rank-error sketch."""
     li = load(spark, sf, "lineitem")
+    # array-form percentile/approx_percentile: ONE aggregation buffer
+    # per function instead of one per requested quantile (6 separate
+    # aggregates ran ~3x slower at sf0.1)
     agg = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("lo50"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("hi50"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("a99"),
-        F.expr("percentile(l_extendedprice, 0.98)").alias("lo99"),
-        F.expr("percentile(l_extendedprice, 1.0)").alias("hi99"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
+        ).alias("a"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.98, 1.0))"
+        ).alias("e"),
     )
     ok = (
-        F.col("a50").between(F.col("lo50"), F.col("hi50"))
-        & F.col("a99").between(F.col("lo99"), F.col("hi99"))
+        F.col("a")[0].between(F.col("e")[0], F.col("e")[1])
+        & F.col("a")[1].between(F.col("e")[2], F.col("e")[3])
     ).cast("int")
     return agg.agg(F.min(ok).alias("ok"))
 
