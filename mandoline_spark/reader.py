@@ -195,10 +195,48 @@ def get_slice(
     result = sb.empty(
         md.get_type(token, var), request, md.get_fill(token, var)
     )
+    type_name = md.get_type(token, var)
+
+    # Small-read fast path: when the requested chunk bytes fit the
+    # driver comfortably anyway, collect the raw blobs and decode/clip
+    # in-process — this drops the mapInPandas stage (and its per-job
+    # Python-worker round trip, ~100-200 ms) from every small slice
+    # read, the latency-critical pattern of repeated point/slab lookups
+    # (the workload the reference's chunk cache exists for).
+    grid = md.get_chunk_grid_slice(token, var)
+    ranges = ck.chunk_coordinate_ranges(request, grid) if request.ndim else []
+    n_coords = 1
+    for lo, hi in ranges:
+        n_coords *= hi - lo + 1
+    chunk_elems = 1
+    for i in range(grid.ndim):
+        chunk_elems *= grid.step[i]
+    small = (
+        request.ndim > 0
+        and n_coords * chunk_elems * sb.as_dtype(type_name).itemsize
+        <= 16 << 20
+    )
+    if small:
+        idx = pruned_index_df(conn, token, var, request)
+        chunks = conn.chunks_df()
+        if idx is None or chunks is None:
+            return result
+        ccols = [f"c{i}" for i in range(request.ndim)]
+        rows = (
+            idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
+            .select(*ccols, "blob")
+            .collect()
+        )
+        for row in rows:
+            coord = tuple(int(row[c]) for c in ccols)
+            chunk_slice = ck.from_chunk_coordinate(grid, coord)
+            slab = sb.from_bytes(bytes(row["blob"]), type_name, chunk_slice)
+            sb.merge(result, sb.intersect(slab, request))
+        return result
+
     pieces = _pieces_df(conn, token, var, request)
     if pieces is None:
         return result
-    type_name = md.get_type(token, var)
     # collect() = one job; the pieces are already clipped to the request
     # so this materializes exactly the requested bytes
     for row in pieces.collect():
