@@ -217,6 +217,29 @@ def get_slice(
         <= 16 << 20
     )
     if small:
+        # cached path: coord→hash map + blob LRU ⇒ repeated reads of
+        # warm chunks run ZERO Spark jobs (the reference's read-wrapper
+        # stack: CachingChunkStore + read-only index cache)
+        imap = conn.index_map(token["version-id"], var)
+        if imap is not None:
+            import itertools
+
+            coords = [
+                c
+                for c in itertools.product(
+                    *[range(lo, hi + 1) for lo, hi in ranges]
+                )
+                if c in imap
+            ]
+            blobs = conn.blobs_for([imap[c] for c in coords])
+            if blobs is not None:
+                for c in coords:
+                    chunk_slice = ck.from_chunk_coordinate(grid, c)
+                    slab = sb.from_bytes(
+                        blobs[imap[c]], type_name, chunk_slice
+                    )
+                    sb.merge(result, sb.intersect(slab, request))
+                return result
         idx = pruned_index_df(conn, token, var, request)
         chunks = conn.chunks_df()
         if idx is None or chunks is None:

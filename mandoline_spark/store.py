@@ -147,6 +147,16 @@ class Connection:
     name: str
     cache_reads: bool = False
     _df_cache: dict = field(default_factory=dict, repr=False)
+    # driver-side read-through caches (reference wrapper stack,
+    # impl.clj:127-162): an LRU of raw chunk blobs (CachingChunkStore,
+    # cache.clj:83-113, default 1000 entries) and a coord→hash map per
+    # (version, var) (read-only CachingIndex — safe; the write-back
+    # variant is deliberately not reproduced).  Only consulted when
+    # ``cache_reads`` is on; invalidated with the table caches.
+    _blob_lru: dict = field(default_factory=dict, repr=False)
+    _index_map_cache: dict = field(default_factory=dict, repr=False)
+    blob_lru_size: int = 1000
+    index_map_max_entries: int = 2_000_000
 
     # -- version log ---------------------------------------------------------
 
@@ -270,10 +280,74 @@ class Connection:
         return self._df_cache[key]
 
     def invalidate_cache(self) -> None:
-        """Drop memoized table DataFrames (called after writes)."""
+        """Drop memoized table DataFrames and driver-side read caches
+        (called after writes)."""
         for df in self._df_cache.values():
             df.unpersist()
         self._df_cache.clear()
+        self._blob_lru.clear()
+        self._index_map_cache.clear()
+
+    # -- driver-side read-through caches -------------------------------------
+
+    def index_map(self, version: int, var: str) -> dict | None:
+        """coord-tuple → chunk hash for the RESOLVED (version, var)
+        index, collected to the driver once and memoized.  Returns None
+        (and caches the refusal) when the index exceeds
+        ``index_map_max_entries`` — huge datasets stay on the
+        distributed path."""
+        if not self.cache_reads:
+            return None
+        key = (version, var)
+        if key in self._index_map_cache:
+            return self._index_map_cache[key]
+        idx = self.resolve_index_df(version, var)
+        if idx is None:
+            self._index_map_cache[key] = None
+            return None
+        if idx.limit(self.index_map_max_entries + 1).count() > (
+            self.index_map_max_entries
+        ):
+            self._index_map_cache[key] = None
+            return None
+        ccols = sorted(
+            (c for c in idx.columns if re.match(r"^c\d+$", c)),
+            key=lambda c: int(c[1:]),
+        )
+        m = {
+            tuple(int(row[c]) for c in ccols): row["chunk_hash"]
+            for row in idx.select(*ccols, "chunk_hash").collect()
+        }
+        self._index_map_cache[key] = m
+        return m
+
+    def blobs_for(self, hashes: list[str]) -> dict[str, bytes] | None:
+        """hash → raw blob bytes through the LRU (read-through: misses
+        are fetched in one filtered job, hits cost nothing)."""
+        if not self.cache_reads:
+            return None
+        out: dict[str, bytes] = {}
+        missing = []
+        for h in hashes:
+            if h in self._blob_lru:
+                self._blob_lru[h] = self._blob_lru.pop(h)  # mark recent
+                out[h] = self._blob_lru[h]
+            else:
+                missing.append(h)
+        if missing:
+            chunks = self.chunks_df()
+            if chunks is None:
+                return None
+            rows = chunks.filter(chunks.hash.isin(missing)).collect()
+            got = {row["hash"]: bytes(row["blob"]) for row in rows}
+            if len(got) < len(missing):
+                return None  # store inconsistency; let caller fall back
+            for h, b in got.items():
+                out[h] = b
+                self._blob_lru[h] = b
+                while len(self._blob_lru) > self.blob_lru_size:
+                    self._blob_lru.pop(next(iter(self._blob_lru)))
+        return out
 
     def chunks_df(self) -> DataFrame | None:
         """(hash, blob, nbytes) or None when no chunks exist yet."""

@@ -91,3 +91,31 @@ def test_cached_reads_and_invalidation(store):
     got2 = reader.get_slice(conn, reader.on_version(conn, v2), "foo", FULL)
     np.testing.assert_array_equal(got2.data, np.full((8, 8), 2, np.int32))
     conn.invalidate_cache()
+
+
+def test_driver_read_caches_coherent(store):
+    """LRU blob + index-map cached reads equal uncached reads, and a
+    new version's write invalidates them (no stale chunk served)."""
+    import numpy as np
+
+    from mandoline_spark import reader
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds")
+    _write_version(conn, 1)
+    req = sl.mk_slice((0, 0), (8, 8))
+
+    conn.cache_reads = True
+    t1 = reader.on_last_version(conn)
+    first = reader.get_slice(conn, t1, "foo", req).data
+    warm = reader.get_slice(conn, t1, "foo", req).data
+    np.testing.assert_array_equal(first, warm)
+    np.testing.assert_array_equal(first, np.full((8, 8), 1, np.int32))
+
+    _write_version(conn, 2)
+    t2 = reader.on_last_version(conn)
+    after = reader.get_slice(conn, t2, "foo", req).data
+    np.testing.assert_array_equal(after, np.full((8, 8), 2, np.int32))
+    # old version still readable (cache keyed by version)
+    old = reader.get_slice(conn, t1, "foo", req).data
+    np.testing.assert_array_equal(old, np.full((8, 8), 1, np.int32))
