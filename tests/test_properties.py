@@ -221,3 +221,60 @@ def test_spark_roundtrip_random_writes(data, store_factory):
         sl.mk_slice(tuple(0 for _ in dims), dims),
     )
     np.testing.assert_array_equal(got.data, oracle)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_delta_overlay_matches_numpy_across_versions(data, store_factory):
+    """Random interleaving of full/delta writes across several versions:
+    every committed version's full read equals a per-version numpy
+    mirror (delta overlay ≡ copy-forward, time travel intact)."""
+    ndim = data.draw(st.integers(1, 2))
+    dims = tuple(data.draw(st.integers(4, 10)) for _ in range(ndim))
+    chunks = tuple(data.draw(st.integers(1, d)) for d in dims)
+    names = [f"d{i}" for i in range(ndim)]
+    dds = {
+        "dimensions": dict(zip(names, dims)),
+        "chunk-dimensions": dict(zip(names, chunks)),
+        "variables": {
+            "v": {"type": "int", "shape": names, "fill-value": 0}
+        },
+    }
+    conn = store_factory()
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.maintenance import compact_index
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    oracle = np.zeros(dims, np.int32)
+    mirrors = {}  # version -> snapshot
+    val = 1
+    for _ in range(data.draw(st.integers(2, 4))):  # versions
+        token = conn.add_version(dds)
+        for _ in range(data.draw(st.integers(1, 2))):  # write jobs
+            start = tuple(int(rng.integers(0, d)) for d in dims)
+            stop = tuple(
+                int(rng.integers(s + 1, d + 1)) for s, d in zip(start, dims)
+            )
+            region = sl.mk_slice(start, stop)
+            vals = np.full(sl.get_shape(region), val, np.int32)
+            val += 1
+            mode = data.draw(st.sampled_from(["full", "delta"]))
+            writer.write_variable(
+                conn, token, "v", [sb.Slab(vals, region)], index_mode=mode
+            )
+            oracle[tuple(slice(a, b) for a, b in zip(start, stop))] = vals
+        vid = conn.finish_version(token)
+        mirrors[vid] = oracle.copy()
+        if data.draw(st.booleans()):
+            compact_index(conn, vid, "v")
+
+    full = sl.mk_slice(tuple(0 for _ in dims), dims)
+    for vid, want in mirrors.items():
+        got = reader.get_slice(conn, conn.metadata(vid), "v", full)
+        np.testing.assert_array_equal(got.data, want)
