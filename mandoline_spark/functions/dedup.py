@@ -117,8 +117,27 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
     an inverted-index self-join on shingles.  ``max_df`` (drop shingles
     occurring in more than max_df docs) bounds join fan-out at scale
-    without affecting high-similarity pairs."""
-    g = shingles(df, text_col, id_col, n)
+    without affecting high-similarity pairs.
+
+    The posting shuffle is keyed on the 64-bit xxhash of each shingle,
+    not the shingle string — 8 bytes per key instead of ~3 words of
+    text.  A hash collision merges two posting lists and can only
+    inflate ``common`` for pairs appearing in both; with d distinct
+    shingles the expected number of colliding shingle pairs is
+    d²/2^65 (< 1 up to ~6e9 distinct shingles)."""
+    dg = doc_grams(df, text_col, id_col, n)
+    # explode_outer for the same InferFiltersFromGenerate reason as
+    # :func:`shingles`; hash BEFORE exploding so it's one vectorized
+    # transform per doc
+    g = (
+        dg.select(
+            "id",
+            F.explode_outer(
+                F.transform("grams", lambda x: F.xxhash64(x))
+            ).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
     if max_df is not None:
         hot = (
             g.groupBy("gram")
@@ -127,7 +146,11 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         g = g.join(hot, "gram", "left_anti")
-    sizes = g.groupBy("id").agg(F.count("*").alias("ng"))
+        sizes = g.groupBy("id").agg(F.count("*").alias("ng"))
+    else:
+        # grams are already distinct per doc (gram_array), so the doc's
+        # set size is just the array length — no exploded-gram shuffle
+        sizes = dg.select("id", F.size("grams").alias("ng"))
     # Posting-list pair generation: ONE shuffle of the exploded shingles
     # (groupBy gram), then each posting list emits its a<b pairs
     # JVM-side.  The classic a-join-b inverted-index self-join shuffles

@@ -35,6 +35,12 @@ def get_spark(app_name: str = "mandoline_spark") -> SparkSession:
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints,"
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Broadcast/shuffle state is context-cleaned only when the
+        # driver GCs the referencing objects; a mostly-idle large heap
+        # can let hundreds of stale broadcasts pile up across a long
+        # query sequence (observed as multi-second drag on later
+        # queries).  Periodic GC bounds that accumulation.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
