@@ -23,7 +23,8 @@ def bench_array(spark) -> dict[str, float]:
     """Array-store workload from BASELINE.md's benchmark plan: ingest +
     full-scan + random 10^3-slice reads of a performance.json-shaped
     dataset (chunks 30^3 ≈ 54 KiB of int16, the reference's perf-chunk
-    size; extent scaled to 200x300x450 = 54 MB so the whole bench stays
+    size; extent 210x300x450 = 57 MB, chunk-aligned so every cell of
+    the scan reads stored data rather than synthesized fill, and small
     minutes, not hours).  Ingest generates pieces IN EXECUTORS
     (mapInPandas over chunk coordinates → write_pieces) — the 100 TB
     shape, nothing funnels through the driver."""
@@ -37,7 +38,7 @@ def bench_array(spark) -> dict[str, float]:
     from mandoline_spark.core import slice as sl
     from mandoline_spark.store import Store
 
-    X, Y, T, C = 200, 300, 450, 30
+    X, Y, T, C = 210, 300, 450, 30
     root = tempfile.mkdtemp(prefix="mandoline_bench_arr")
     out: dict[str, float] = {}
     try:
@@ -102,7 +103,7 @@ def bench_array(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         writer.write_pieces(conn, tok, "v", pieces)
         conn.finish_version(tok)
-        out["arr_ingest_54mb"] = round(time.perf_counter() - t0, 4)
+        out["arr_ingest_57mb"] = round(time.perf_counter() - t0, 4)
 
         token = reader.on_last_version(conn)
         # best-of-2 for the read measurements: a single one-shot timing

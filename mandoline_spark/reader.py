@@ -211,10 +211,17 @@ def get_slice(
     chunk_elems = 1
     for i in range(grid.ndim):
         chunk_elems *= grid.step[i]
-    small = (
-        request.ndim > 0
-        and n_coords * chunk_elems * sb.as_dtype(type_name).itemsize
-        <= 16 << 20
+    itemsize = sb.as_dtype(type_name).itemsize
+    touched_bytes = n_coords * chunk_elems * itemsize
+    requested_bytes = sl.num_elements(request) * itemsize
+    # Driver-side decode also wins whenever clipping would discard
+    # little: get_slice materializes the result on the driver either
+    # way, so the executor decode stage only earns its shuffle + Arrow
+    # round-trip when it strips a large fraction of the touched bytes
+    # (partial chunk overlap).  A full scan strips nothing — routing it
+    # through mapInPandas moves the same bytes twice.
+    small = request.ndim > 0 and (
+        touched_bytes <= 16 << 20 or 2 * requested_bytes >= touched_bytes
     )
     if small:
         # cached path: coord→hash map + blob LRU ⇒ repeated reads of

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Iterable, Iterator, Mapping, Sequence
 
 import os
 
@@ -225,42 +225,82 @@ def write_pieces(
         ]
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        coord = tuple(int(pdf[c].iloc[0]) for c in ccols)
-        chunk_slice = ck.from_chunk_coordinate(
-            Slice(*grid_tuple), coord
-        )
-        base_blob = None
-        non_null = pdf["_base"].dropna()
-        if len(non_null):
-            base_blob = non_null.iloc[0]
-        if base_blob is not None:
-            slab = sb.from_bytes(bytes(base_blob), type_name, chunk_slice)
-        else:
-            slab = sb.empty(type_name, chunk_slice, fill)
-        for _, row in pdf.sort_values("ord").iterrows():
-            pslice = Slice(
-                tuple(int(x) for x in row["pstart"]),
-                tuple(int(x) for x in row["pstop"]),
-                tuple(1 for _ in row["pstart"]),
-            )
-            piece = sb.from_bytes(bytes(row["data"]), type_name, pslice)
-            sb.copy_into(piece, slab)
-        blob = sb.to_bytes(slab)
-        h = ck.generate_id(slab)
-        return pd.DataFrame(
-            [
-                {
-                    "ckey": _ckey(coord),
-                    **{c: coord[i] for i, c in enumerate(ccols)},
-                    "chunk_hash": h,
-                    "blob": blob,
-                    "nbytes": len(blob),
-                }
-            ]
-        )
+    # One shuffle groups each chunk's pieces; the pieces arrive as a
+    # sorted struct array (sort_array orders by ord first — ties are
+    # broken deterministically by piece position, where the reference's
+    # thread pool left them unordered).
+    grouped = pieces.groupBy("ckey", *ccols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
+        ).alias("_ps"),
+        F.first("_base").alias("_base"),
+    )
+    grouped = grouped.persist()
 
-    merged = pieces.groupBy("ckey").applyInPandas(merge_group, out_schema)
+    # Bulk-ingest fast path, all JVM: a chunk written by exactly one
+    # piece covering the whole (uncropped) chunk slice with no base to
+    # merge onto IS its own canonical blob — hash it with sha1() and
+    # never ship the bytes through a Python worker.  This is the shape
+    # of every aligned bulk load, so at scale the write path's hot loop
+    # stays inside whole-stage codegen.
+    p0 = F.col("_ps")[0]
+    full_cover = F.lit(True)
+    for i in range(ndim):
+        step_i = grid_tuple[2][i]
+        full_cover = (
+            full_cover
+            & (p0["pstart"][i] == F.col(ccols[i]) * step_i)
+            & (p0["pstop"][i] == (F.col(ccols[i]) + 1) * step_i)
+        )
+    is_fast = (
+        (F.size("_ps") == 1) & F.col("_base").isNull() & full_cover
+    )
+    fast = grouped.filter(is_fast).select(
+        "ckey",
+        *ccols,
+        F.sha1(p0["data"]).alias("chunk_hash"),
+        p0["data"].alias("blob"),
+        F.length(p0["data"]).cast("long").alias("nbytes"),
+    )
+
+    def merge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid_s = Slice(*grid_tuple)
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                coord = tuple(int(pdf[c].iloc[i]) for c in ccols)
+                chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
+                base_blob = pdf["_base"].iloc[i]
+                if isinstance(base_blob, (bytes, bytearray)):
+                    slab = sb.from_bytes(
+                        bytes(base_blob), type_name, chunk_slice
+                    )
+                else:
+                    slab = sb.empty(type_name, chunk_slice, fill)
+                for p in pdf["_ps"].iloc[i]:  # already ord-sorted
+                    pslice = Slice(
+                        tuple(int(x) for x in p["pstart"]),
+                        tuple(int(x) for x in p["pstop"]),
+                        tuple(1 for _ in p["pstart"]),
+                    )
+                    piece = sb.from_bytes(
+                        bytes(p["data"]), type_name, pslice
+                    )
+                    sb.copy_into(piece, slab)
+                blob = sb.to_bytes(slab)
+                out.append(
+                    {
+                        "ckey": _ckey(coord),
+                        **{c: coord[i] for i, c in enumerate(ccols)},
+                        "chunk_hash": ck.generate_id(slab),
+                        "blob": blob,
+                        "nbytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    slow = grouped.filter(~is_fast).mapInPandas(merge_batches, out_schema)
+    merged = fast.unionByName(slow)
     merged = merged.persist()
     try:
         # 1. Append previously-unseen chunk blobs (content-addressed
@@ -299,6 +339,7 @@ def write_pieces(
                 pass
     finally:
         merged.unpersist()
+        grouped.unpersist()
         # read-through caches are stale after any append (cache.clj's
         # write-back variant is deliberately not reproduced)
         conn.invalidate_cache()
