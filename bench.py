@@ -101,7 +101,8 @@ def bench_array(spark) -> dict[str, float]:
 
         pieces = cdf.mapInPandas(gen, writer.piece_schema(3))
         t0 = time.perf_counter()
-        writer.write_pieces(conn, tok, "v", pieces)
+        # chunk-aligned executor-generated pieces → zero-shuffle path
+        writer.ingest_aligned(conn, tok, "v", pieces)
         conn.finish_version(tok)
         out["arr_ingest_57mb"] = round(time.perf_counter() - t0, 4)
 

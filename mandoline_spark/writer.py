@@ -143,6 +143,29 @@ def _base_index_df(
     return None
 
 
+def _slabs_are_aligned(
+    token: Mapping[str, Any], var: str, slabs: Sequence[Slab]
+) -> bool:
+    """True iff every slab tiles whole (uncropped) chunks and no chunk
+    is touched twice — the precondition of :func:`ingest_aligned`,
+    checkable driver-side from the slab slices alone."""
+    grid = md.get_chunk_grid_slice(token, var)
+    if grid.ndim == 0:
+        return len(slabs) <= 1
+    seen: set[tuple[int, ...]] = set()
+    for slab in slabs:
+        s = slab.slice
+        for i in range(grid.ndim):
+            c = grid.step[i]
+            if s.start[i] % c != 0 or s.stop[i] % c != 0:
+                return False
+        for coord in ck.to_chunk_coordinates(s, grid):
+            if coord in seen:
+                return False
+            seen.add(coord)
+    return True
+
+
 def write_variable(
     conn: Connection,
     token: Mapping[str, Any],
@@ -152,15 +175,21 @@ def write_variable(
 ) -> None:
     """Write a sequence of slabs to ``var`` under the in-flight version
     ``token`` as one Spark job (mandoline.clj:280-290 / impl.clj:280-308
-    semantics, Spark shape)."""
+    semantics, Spark shape).  Chunk-aligned, non-overlapping slab sets —
+    the bulk-load shape — are routed to the zero-shuffle
+    :func:`ingest_aligned` path automatically."""
     slabs = list(slabs)
     if not slabs:
         return
     spark = conn.spark
     ndim = len(md.get_variable_dimensions(token, var))
+    aligned = _slabs_are_aligned(token, var, slabs)
     rows = slabs_to_piece_rows(token, var, slabs)
     pieces = spark.createDataFrame(rows, schema=piece_schema(ndim))
-    write_pieces(conn, token, var, pieces, index_mode=index_mode)
+    if aligned:
+        ingest_aligned(conn, token, var, pieces, index_mode=index_mode)
+    else:
+        write_pieces(conn, token, var, pieces, index_mode=index_mode)
 
 
 def write_pieces(
@@ -303,45 +332,164 @@ def write_pieces(
     merged = fast.unionByName(slow)
     merged = merged.persist()
     try:
-        # 1. Append previously-unseen chunk blobs (content-addressed
-        #    dedup: chunk.clj:35-45 / impl.clj:256-269).  Duplicate
-        #    appends lost to a concurrent job are harmless — same bytes
-        #    under the same hash; readers merge them idempotently.
-        new_chunks = merged.select("chunk_hash", "blob", "nbytes").withColumnRenamed(
-            "chunk_hash", "hash"
-        )
-        new_chunks = new_chunks.dropDuplicates(["hash"])
-        existing = conn.chunks_df()
-        if existing is not None:
-            new_chunks = new_chunks.join(
-                existing.select("hash"), "hash", "left_anti"
-            )
-        new_chunks.write.mode("append").parquet(conn.chunks_path())
-
-        # 2. Write the next index generation: written coords take the
-        #    new hash.  Full mode also carries every untouched base
-        #    entry; delta mode leaves them to read-time overlay.
-        new_index = merged.select("ckey", *ccols, "chunk_hash")
-        base_index = _base_index_df(conn, token, var)
-        is_delta = index_mode == "delta" and base_index is not None
-        if base_index is not None and not is_delta:
-            carried = base_index.join(
-                new_index.select("ckey"), "ckey", "left_anti"
-            )
-            new_index = new_index.unionByName(carried)
-        gens = conn.index_gens(vid, var)
-        next_gen = (gens[-1] + 1) if gens else 0
-        gen_path = conn.index_path(vid, var, next_gen)
-        new_index.write.mode("overwrite").parquet(gen_path)
-        if is_delta:
-            # underscore-prefixed files are invisible to Parquet readers
-            with open(os.path.join(gen_path, "_DELTA"), "w"):
-                pass
+        _commit_merged(conn, token, var, merged, index_mode)
     finally:
         merged.unpersist()
         grouped.unpersist()
         # read-through caches are stale after any append (cache.clj's
         # write-back variant is deliberately not reproduced)
+        conn.invalidate_cache()
+
+
+def _dedup_by_hash(new_chunks: DataFrame) -> DataFrame:
+    """One representative (hash, blob, nbytes) row per distinct hash,
+    WITHOUT shuffling blob bytes: the shuffle carries only (hash, row-id)
+    pairs to elect a winner per hash, and the winners broadcast back onto
+    the (persisted) input as a broadcast-hash join — the blobs stay in
+    their partitions.  ``dropDuplicates(["hash"])`` would ship every
+    unique blob through the exchange instead.
+
+    Requires a persisted (or otherwise re-evaluation-stable) input:
+    ``monotonically_increasing_id`` is evaluated twice and must agree.
+    The winner set is one 48-byte row per distinct hash in the batch —
+    broadcastable up to ~10M new chunks per job (~0.5 GB); split larger
+    ingests into multiple jobs."""
+    tagged = new_chunks.withColumn("_rid", F.monotonically_increasing_id())
+    winners = tagged.groupBy("hash").agg(F.min("_rid").alias("_rid"))
+    return tagged.join(F.broadcast(winners), ["hash", "_rid"]).drop("_rid")
+
+
+def _commit_merged(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    merged: DataFrame,
+    index_mode: str,
+) -> None:
+    """Append chunks + write the next index generation from a merged
+    (ckey, coords…, chunk_hash, blob, nbytes) DataFrame.  ``merged``
+    MUST be persisted by the caller — it is consumed by two actions and
+    the dedup semi-join needs stable row ids."""
+    vid = token["version-id"]
+    ndim = len(md.get_variable_dimensions(token, var))
+    ccols = _coord_cols(ndim)
+
+    # 1. Append previously-unseen chunk blobs (content-addressed
+    #    dedup: chunk.clj:35-45 / impl.clj:256-269).  Duplicate
+    #    appends lost to a concurrent job are harmless — same bytes
+    #    under the same hash; readers merge them idempotently.
+    new_chunks = merged.select("chunk_hash", "blob", "nbytes").withColumnRenamed(
+        "chunk_hash", "hash"
+    )
+    new_chunks = _dedup_by_hash(new_chunks)
+    existing = conn.chunks_df()
+    if existing is not None:
+        new_chunks = new_chunks.join(
+            existing.select("hash"), "hash", "left_anti"
+        )
+    new_chunks.write.mode("append").parquet(conn.chunks_path())
+
+    # 2. Write the next index generation: written coords take the
+    #    new hash.  Full mode also carries every untouched base
+    #    entry; delta mode leaves them to read-time overlay.
+    new_index = merged.select("ckey", *ccols, "chunk_hash")
+    base_index = _base_index_df(conn, token, var)
+    is_delta = index_mode == "delta" and base_index is not None
+    if base_index is not None and not is_delta:
+        carried = base_index.join(
+            new_index.select("ckey"), "ckey", "left_anti"
+        )
+        new_index = new_index.unionByName(carried)
+    gens = conn.index_gens(vid, var)
+    next_gen = (gens[-1] + 1) if gens else 0
+    gen_path = conn.index_path(vid, var, next_gen)
+    new_index.write.mode("overwrite").parquet(gen_path)
+    if is_delta:
+        # underscore-prefixed files are invisible to Parquet readers
+        with open(os.path.join(gen_path, "_DELTA"), "w"):
+            pass
+
+
+def ingest_aligned(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    pieces: DataFrame,
+    index_mode: str = "full",
+) -> None:
+    """Zero-shuffle bulk ingest for chunk-aligned pieces.
+
+    Precondition: every piece covers its whole (uncropped) chunk slice
+    and no two pieces target the same chunk — the shape of every aligned
+    bulk load (NetCDF import, ETL re-chunking, the perf workload).  Under
+    it, each piece IS its chunk's canonical blob, so the general path's
+    two data shuffles (groupBy(coord) piece-merge and dropDuplicates
+    batch-dedup) disappear: one projection hashes each blob with
+    ``sha1()`` inside whole-stage codegen and the job goes straight to
+    the dedup semi-join (which shuffles only (hash, row-id) pairs — see
+    :func:`_dedup_by_hash`) and the Parquet appends.
+
+    Both preconditions are verified without extra jobs: alignment by an
+    ``Observation`` piggybacked on the chunk append, uniqueness by a
+    blob-free scan of the just-written index generation.  A violation
+    raises after some data may have been appended — safely: the version
+    is uncommitted, so readers never see it (failed-ingest invisibility,
+    test/failed_ingest.clj:26-146), and orphaned blobs are vacuumable.
+    """
+    from pyspark.sql import Observation
+
+    if index_mode not in ("full", "delta"):
+        raise ValueError(f"index_mode must be 'full' or 'delta': {index_mode!r}")
+    ndim = len(md.get_variable_dimensions(token, var))
+    ccols = _coord_cols(ndim)
+    grid = md.get_chunk_grid_slice(token, var)
+
+    full_cover = F.lit(True)
+    for i in range(ndim):
+        step_i = grid.step[i]
+        full_cover = (
+            full_cover
+            & (F.col("pstart")[i] == F.col(ccols[i]) * step_i)
+            & (F.col("pstop")[i] == (F.col(ccols[i]) + 1) * step_i)
+        )
+    obs = Observation()
+    checked = pieces.observe(
+        obs,
+        F.sum(F.when(full_cover, 0).otherwise(1)).alias("misaligned"),
+    )
+    merged = checked.select(
+        "ckey",
+        *ccols,
+        F.sha1("data").alias("chunk_hash"),
+        F.col("data").alias("blob"),
+        F.length("data").cast("long").alias("nbytes"),
+    )
+    merged = merged.persist()
+    try:
+        _commit_merged(conn, token, var, merged, index_mode)
+        bad = obs.get.get("misaligned")
+        if bad:
+            raise ValueError(
+                f"ingest_aligned: {bad} piece(s) do not cover their "
+                "whole chunk slice; use write_pieces for partial writes"
+            )
+        vid = token["version-id"]
+        gen_path = conn.index_path(vid, var, conn.index_gens(vid, var)[-1])
+        idx = conn.spark.read.parquet(gen_path)
+        dup = (
+            idx.groupBy("ckey")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "ingest_aligned: multiple pieces target the same chunk; "
+                "use write_pieces for overlapping writes"
+            )
+    finally:
+        merged.unpersist()
         conn.invalidate_cache()
 
 

@@ -1,0 +1,148 @@
+"""Zero-shuffle aligned bulk-ingest path (writer.ingest_aligned).
+
+The aligned path must produce byte-identical store state to the general
+write_pieces path (same content addressing, same index), reject
+precondition violations, and be picked automatically by write_variable
+for chunk-aligned disjoint slab sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+
+SPEC = {
+    "dimensions": {"x": 8, "y": 6},
+    "chunk-dimensions": {"x": 4, "y": 3},
+    "variables": {
+        "v": {"type": "int", "shape": ["x", "y"], "fill-value": -1},
+    },
+}
+
+
+def _aligned_slabs():
+    rng = np.random.default_rng(7)
+    slabs = []
+    for cx in range(2):
+        for cy in range(2):
+            a = rng.integers(-100, 100, (4, 3)).astype(np.int32)
+            slabs.append(
+                sb.Slab(a, sl.mk_slice((4 * cx, 3 * cy), (4 * cx + 4, 3 * cy + 3)))
+            )
+    return slabs
+
+
+def _read_full(conn):
+    t = reader.on_last_version(conn)
+    return reader.get_slice(conn, t, "v", sl.mk_slice((0, 0), (8, 6))).data
+
+
+def test_aligned_matches_general_path(store_factory):
+    slabs = _aligned_slabs()
+    oracle = np.full((8, 6), -1, np.int32)
+    for s in slabs:
+        oracle[tuple(slice(a, b) for a, b in zip(s.slice.start, s.slice.stop))] = s.data
+
+    results = []
+    hashes = []
+    for use_aligned in (False, True):
+        conn = store_factory()
+        token = conn.add_version(SPEC)
+        rows = writer.slabs_to_piece_rows(token, "v", slabs)
+        pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+        if use_aligned:
+            writer.ingest_aligned(conn, token, "v", pieces)
+        else:
+            writer.write_pieces(conn, token, "v", pieces)
+        conn.finish_version(token)
+        results.append(_read_full(conn))
+        idx = conn.resolve_index_df(conn.last_version(), "v")
+        hashes.append(
+            sorted(r["chunk_hash"] for r in idx.select("chunk_hash").collect())
+        )
+    assert np.array_equal(results[0], oracle)
+    assert np.array_equal(results[1], oracle)
+    # content addressing identical across paths
+    assert hashes[0] == hashes[1]
+
+
+def test_misaligned_piece_rejected(store):
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    # covers only half of chunk (0,0)
+    part = sb.Slab(
+        np.ones((2, 3), np.int32), sl.mk_slice((0, 0), (2, 3))
+    )
+    rows = writer.slabs_to_piece_rows(token, "v", [part])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    with pytest.raises(ValueError, match="cover their whole chunk"):
+        writer.ingest_aligned(conn, token, "v", pieces)
+    # failed ingest stays invisible: no committed version
+    assert conn.last_version() is None
+
+
+def test_duplicate_chunk_rejected(store):
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    one = sb.Slab(np.ones((4, 3), np.int32), sl.mk_slice((0, 0), (4, 3)))
+    rows = writer.slabs_to_piece_rows(token, "v", [one, one])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    with pytest.raises(ValueError, match="same chunk"):
+        writer.ingest_aligned(conn, token, "v", pieces)
+
+
+def test_write_variable_autoroutes(store, monkeypatch):
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    calls = {"aligned": 0, "general": 0}
+    real_aligned, real_general = writer.ingest_aligned, writer.write_pieces
+    monkeypatch.setattr(
+        writer,
+        "ingest_aligned",
+        lambda *a, **k: (calls.__setitem__("aligned", calls["aligned"] + 1),
+                        real_aligned(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        writer,
+        "write_pieces",
+        lambda *a, **k: (calls.__setitem__("general", calls["general"] + 1),
+                        real_general(*a, **k))[1],
+    )
+    writer.write_variable(conn, token, "v", _aligned_slabs())
+    assert calls == {"aligned": 1, "general": 0}
+    # a partial slab forces the general merge path
+    part = sb.Slab(np.full((2, 2), 5, np.int32), sl.mk_slice((1, 1), (3, 3)))
+    writer.write_variable(conn, token, "v", [part])
+    assert calls == {"aligned": 1, "general": 1}
+    conn.finish_version(token)
+    oracle = np.full((8, 6), -1, np.int32)
+    for s in _aligned_slabs():
+        oracle[tuple(slice(a, b) for a, b in zip(s.slice.start, s.slice.stop))] = s.data
+    oracle[1:3, 1:3] = 5
+    assert np.array_equal(_read_full(conn), oracle)
+
+
+def test_aligned_overwrite_on_parent(store):
+    """Aligned pieces fully replace their chunks even when a parent
+    version exists — no base merge is needed for full-cover writes."""
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(SPEC)
+    writer.write_variable(conn, t1, "v", _aligned_slabs())
+    conn.finish_version(t1)
+
+    t2 = conn.add_version(SPEC)
+    new = sb.Slab(np.full((4, 3), 42, np.int32), sl.mk_slice((4, 3), (8, 6)))
+    rows = writer.slabs_to_piece_rows(t2, "v", [new])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    writer.ingest_aligned(conn, t2, "v", pieces)
+    conn.finish_version(t2)
+
+    oracle = np.full((8, 6), -1, np.int32)
+    for s in _aligned_slabs():
+        oracle[tuple(slice(a, b) for a, b in zip(s.slice.start, s.slice.stop))] = s.data
+    oracle[4:8, 3:6] = 42
+    assert np.array_equal(_read_full(conn), oracle)
