@@ -16,6 +16,7 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -30,14 +31,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read the raw int64 nanos and truncate to Spark's
-    native microsecond timestamps with integer division (a ns epoch
-    ~1.7e18 exceeds double's 2^53 exact range, so no float math).
-    DuckDB applies the identical truncation when it reads NANOS."""
+    """events.parquet may store TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; in that case read the raw int64 nanos
+    and truncate to Spark's native microsecond timestamps with integer
+    division (a ns epoch ~1.7e18 exceeds double's 2^53 exact range, so
+    no float math — DuckDB applies the identical truncation when it
+    reads NANOS).  Micro/milli-precision fixtures land as a native
+    timestamp column and pass through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 
