@@ -128,10 +128,14 @@ def ngram_jaccard_pairs(
     dg = doc_grams(df, text_col, id_col, n)
     # explode_outer for the same InferFiltersFromGenerate reason as
     # :func:`shingles`; hash BEFORE exploding so it's one vectorized
-    # transform per doc
+    # transform per doc.  Each exploded row also carries the doc's gram
+    # count (8 bytes): that rides the one posting shuffle we already
+    # pay, so the per-doc set sizes need no second gram pass and no
+    # join back onto the pair stream.
     g = (
         dg.select(
             "id",
+            F.size("grams").alias("ng"),
             F.explode_outer(
                 F.transform("grams", lambda x: F.xxhash64(x))
             ).alias("gram"),
@@ -146,11 +150,10 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         g = g.join(hot, "gram", "left_anti")
-        sizes = g.groupBy("id").agg(F.count("*").alias("ng"))
-    else:
-        # grams are already distinct per doc (gram_array), so the doc's
-        # set size is just the array length — no exploded-gram shuffle
-        sizes = dg.select("id", F.size("grams").alias("ng"))
+        # dropping stop-shingles changes each doc's effective set size,
+        # so recount post-filter (one extra small shuffle, max_df only)
+        sizes = g.groupBy("id").agg(F.count("*").alias("_ng"))
+        g = g.drop("ng").join(sizes, "id").withColumnRenamed("_ng", "ng")
     # Posting-list pair generation: ONE shuffle of the exploded shingles
     # (groupBy gram), then each posting list emits its a<b pairs
     # JVM-side.  The classic a-join-b inverted-index self-join shuffles
@@ -159,7 +162,7 @@ def ngram_jaccard_pairs(
     # renames); this shape computes grams once.  Posting-list length is
     # the quadratic guard — cap it with ``max_df`` at scale.
     posts = g.groupBy("gram").agg(
-        F.sort_array(F.collect_list("id")).alias("_ids")
+        F.sort_array(F.collect_list(F.struct("id", "ng"))).alias("_ids")
     )
     pair = F.explode_outer(
         F.flatten(
@@ -169,24 +172,32 @@ def ngram_jaccard_pairs(
                     F.slice(
                         "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
                     ),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        x["ng"].alias("na"),
+                        y["ng"].alias("nb"),
+                    ),
                 ),
             )
         )
     )
+    # na/nb are functionally dependent on a/b — extra grouping keys,
+    # not extra groups
     common = (
         posts.select(pair.alias("_p"))
         .where(F.col("_p").isNotNull())
-        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy(
+            F.col("_p.a").alias("a"),
+            F.col("_p.b").alias("b"),
+            F.col("_p.na").alias("na"),
+            F.col("_p.nb").alias("nb"),
+        )
         .agg(F.count("*").alias("common"))
     )
-    na = sizes.select(F.col("id").alias("a"), F.col("ng").alias("na"))
-    nb = sizes.select(F.col("id").alias("b"), F.col("ng").alias("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     out = (
-        common.join(na, "a")
-        .join(nb, "b")
-        .withColumn("_jac", jac)
+        common.withColumn("_jac", jac)
         .filter(F.col("_jac") >= threshold)
         .select(
             "a",
