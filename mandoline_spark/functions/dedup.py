@@ -287,6 +287,46 @@ def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("id", "b.band_id", "b.band_hash")
 
 
+def _posting_pairs(banded: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """a<b candidate pairs from banded rows via ONE groupBy(bucket)
+    posting shuffle.  A self-join on the bucket key would evaluate the
+    whole upstream signature pipeline twice (Catalyst cannot reuse the
+    exchange across the join's alias renames); collecting each bucket's
+    posting list evaluates it once and emits the upper-triangle pairs
+    JVM-side.  ``payload`` columns ride along (each appears as
+    ``<col>_a``/``<col>_b`` on the output).  Bucket skew note: pair
+    output is quadratic in posting-list length either way; cap list
+    length upstream (band width) when keys can go hot."""
+    cols = ["id", *payload]
+    posts = banded.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct(*cols))).alias("_ids")
+    )
+    pair = F.explode_outer(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        *[x[c].alias(f"{c}_a") for c in payload],
+                        *[y[c].alias(f"{c}_b") for c in payload],
+                    ),
+                ),
+            )
+        )
+    )
+    out_cols = ["a", "b"] + [f"{c}_{s}" for c in payload for s in ("a", "b")]
+    return (
+        posts.select(pair.alias("_p"))
+        .where(F.col("_p").isNotNull())
+        .select(*[F.col(f"_p.{c}").alias(c) for c in out_cols])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -309,21 +349,27 @@ def minhash_lsh_pairs(
     dg = doc_grams(df, text_col, id_col, n)
     sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
     banded = _banded(sig, k, bands)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "band_hash"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
+    cand = _posting_pairs(banded, ["band_id", "band_hash"], []).distinct()
+    # Verification fetches both docs' gram sets in ONE pass over dg:
+    # exploding each pair into its two member rows, joining dg once, and
+    # folding back — two plain joins of dg would run the whole gram
+    # pipeline once per join branch.  The fold-back shuffle carries gram
+    # arrays for candidate docs only, O(candidates), never O(corpus).
+    sides = cand.select(
+        "a", "b", F.explode(F.array("a", "b")).alias("id")
+    ).join(dg, "id")
+    paired = sides.groupBy("a", "b").agg(
+        F.first(
+            F.when(F.col("id") == F.col("a"), F.col("grams")), ignorenulls=True
+        ).alias("_ga"),
+        F.first(
+            F.when(F.col("id") == F.col("b"), F.col("grams")), ignorenulls=True
+        ).alias("_gb"),
     )
-    ga = dg.select(F.col("id").alias("a"), F.col("grams").alias("_ga"))
-    gb = dg.select(F.col("id").alias("b"), F.col("grams").alias("_gb"))
     common = F.size(F.array_intersect("_ga", "_gb"))
     jac = common / (F.size("_ga") + F.size("_gb") - common)
     out = (
-        cand.join(ga, "a")
-        .join(gb, "b")
-        .withColumn("_jac", jac)
+        paired.withColumn("_jac", jac)
         .filter(F.col("_jac") >= threshold)
         .select(
             "a",
@@ -416,22 +462,14 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.band_id", "b.band_val")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "band_val"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    pairs = _posting_pairs(banded, ["band_id", "band_val"], ["simhash"])
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    # hamming filter BEFORE the dedup across bands: cheap bit_count per
+    # emitted pair shrinks the distinct's shuffle to surviving pairs
     return (
-        cand.withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
         .orderBy("a", "b")
     )
