@@ -37,19 +37,22 @@ _PRIME = 2038074743
 def gram_array(words: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a BOUND words-array column.
 
-    ``concat_ws`` over ``element_at`` (NULL past the end, skipped by
+    ``concat_ws`` over ``get`` (0-based; NULL past the end, skipped by
     concat_ws) yields full n-grams plus DuckDB's partial-gram behavior
-    for texts shorter than n.  ``words`` must be a materialized column
-    attribute, not the split(...) expression itself: an expression
-    referenced inside a higher-order-function lambda is re-evaluated
-    PER ELEMENT, so inlining the split makes gram construction O(len²)
-    (~6x slower measured at sf0.1).
+    for texts shorter than n.  ``get`` and not ``element_at``:
+    element_at THROWS on out-of-bounds under ANSI mode (Spark 4
+    default), so a single <n-word document would fail the job.
+    ``words`` must be a materialized column attribute, not the
+    split(...) expression itself: an expression referenced inside a
+    higher-order-function lambda is re-evaluated PER ELEMENT, so
+    inlining the split makes gram construction O(len²) (~6x slower
+    measured at sf0.1).
     """
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            " ", *[F.get(words, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
@@ -128,10 +131,7 @@ def ngram_jaccard_pairs(
     dg = doc_grams(df, text_col, id_col, n)
     # explode_outer for the same InferFiltersFromGenerate reason as
     # :func:`shingles`; hash BEFORE exploding so it's one vectorized
-    # transform per doc.  Each exploded row also carries the doc's gram
-    # count (8 bytes): that rides the one posting shuffle we already
-    # pay, so the per-doc set sizes need no second gram pass and no
-    # join back onto the pair stream.
+    # transform per doc.
     g = (
         dg.select(
             "id",
@@ -142,59 +142,63 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("gram").isNotNull())
     )
-    if max_df is not None:
+    # Posting-list pair generation: ONE shuffle of the exploded shingles
+    # (groupBy gram), then each posting list emits its a<b pairs
+    # JVM-side, incrementally (see _pairs_from_posts).  The classic
+    # a-join-b inverted-index self-join shuffles the same rows twice AND
+    # re-runs the whole gram pipeline per branch (Catalyst can't reuse
+    # the exchange across the join's alias renames); this shape computes
+    # grams once.  Posting-list length is the quadratic guard — cap it
+    # with ``max_df`` at scale.
+    if max_df is None:
+        # each posting row carries the doc's gram count (8 bytes) on the
+        # one shuffle we already pay, so set sizes need no second pass;
+        # na/nb are functionally dependent on a/b — extra grouping keys,
+        # not extra groups
+        posts = _posting_lists(g, ["gram"], ["ng"])
+        common = (
+            _pairs_from_posts(posts, ["ng"], None)
+            .groupBy(
+                "a",
+                "b",
+                F.col("ng_a").alias("na"),
+                F.col("ng_b").alias("nb"),
+            )
+            .agg(F.count("*").alias("common"))
+        )
+    else:
         hot = (
             g.groupBy("gram")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("gram")
         )
-        g = g.join(hot, "gram", "left_anti")
+        g = g.drop("ng").join(hot, "gram", "left_anti")
+        posts = _posting_lists(g, ["gram"], [])
         # dropping stop-shingles changes each doc's effective set size,
-        # so recount post-filter (one extra small shuffle, max_df only)
-        sizes = g.groupBy("id").agg(F.count("*").alias("_ng"))
-        g = g.drop("ng").join(sizes, "id").withColumnRenamed("_ng", "ng")
-    # Posting-list pair generation: ONE shuffle of the exploded shingles
-    # (groupBy gram), then each posting list emits its a<b pairs
-    # JVM-side.  The classic a-join-b inverted-index self-join shuffles
-    # the same rows twice AND re-runs the whole gram pipeline per
-    # branch (Catalyst can't reuse the exchange across the alias
-    # renames); this shape computes grams once.  Posting-list length is
-    # the quadratic guard — cap it with ``max_df`` at scale.
-    posts = g.groupBy("gram").agg(
-        F.sort_array(F.collect_list(F.struct("id", "ng"))).alias("_ids")
-    )
-    pair = F.explode_outer(
-        F.flatten(
-            F.transform(
-                "_ids",
-                lambda x, i: F.transform(
-                    F.slice(
-                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
-                    ),
-                    lambda y: F.struct(
-                        x["id"].alias("a"),
-                        y["id"].alias("b"),
-                        x["ng"].alias("na"),
-                        y["ng"].alias("nb"),
-                    ),
-                ),
+        # so recount post-filter.  Both the recount and the pairs derive
+        # from ``posts`` — the same groupBy(gram) exchange, which Spark
+        # reuses, so the gram pipeline and the anti-join run once — and
+        # the recounted sizes join onto the (tiny) aggregated pair
+        # stream, not back onto the full exploded gram stream.
+        sizes = (
+            posts.select(F.explode("_ids").alias("_x"))
+            .groupBy(F.col("_x.id").alias("id"))
+            .agg(F.count("*").alias("ng"))
+        )
+        common = (
+            _pairs_from_posts(posts, [], None)
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+            .join(
+                sizes.select(F.col("id").alias("a"), F.col("ng").alias("na")),
+                "a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("b"), F.col("ng").alias("nb")),
+                "b",
             )
         )
-    )
-    # na/nb are functionally dependent on a/b — extra grouping keys,
-    # not extra groups
-    common = (
-        posts.select(pair.alias("_p"))
-        .where(F.col("_p").isNotNull())
-        .groupBy(
-            F.col("_p.a").alias("a"),
-            F.col("_p.b").alias("b"),
-            F.col("_p.na").alias("na"),
-            F.col("_p.nb").alias("nb"),
-        )
-        .agg(F.count("*").alias("common"))
-    )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     out = (
         common.withColumn("_jac", jac)
@@ -287,43 +291,79 @@ def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("id", "b.band_id", "b.band_hash")
 
 
-def _posting_pairs(banded: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
-    """a<b candidate pairs from banded rows via ONE groupBy(bucket)
-    posting shuffle.  A self-join on the bucket key would evaluate the
-    whole upstream signature pipeline twice (Catalyst cannot reuse the
-    exchange across the join's alias renames); collecting each bucket's
-    posting list evaluates it once and emits the upper-triangle pairs
-    JVM-side.  ``payload`` columns ride along (each appears as
-    ``<col>_a``/``<col>_b`` on the output).  Bucket skew note: pair
-    output is quadratic in posting-list length either way; cap list
-    length upstream (band width) when keys can go hot."""
+def _posting_lists(
+    banded: DataFrame, keys: list[str], payload: list[str]
+) -> DataFrame:
+    """One row per bucket: (keys..., _ids sorted array<struct(id,
+    payload...)>) via ONE groupBy(bucket) posting shuffle.  A self-join
+    on the bucket key would evaluate the whole upstream signature
+    pipeline twice (Catalyst cannot reuse the exchange across the
+    join's alias renames); collecting each bucket's posting list
+    evaluates it once."""
     cols = ["id", *payload]
-    posts = banded.groupBy(*keys).agg(
+    return banded.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct(*cols))).alias("_ids")
     )
+
+
+def _pairs_from_posts(
+    posts: DataFrame,
+    payload: list[str],
+    max_bucket: int | None,
+) -> DataFrame:
+    """Upper-triangle a<b pairs from posting lists, emitted
+    INCREMENTALLY: posexplode yields one row per (list, position) —
+    each carrying the O(L) list, never an O(L²) flattened pair array —
+    and a second explode of the per-position tail slice streams the
+    pairs out.  Peak per-row memory is O(L), so a hot bucket degrades
+    to more rows instead of one task-OOMing array.
+
+    ``max_bucket`` drops buckets whose posting list exceeds it: pair
+    output is quadratic in list length, and a pathological key (a
+    stop-shingle, a degenerate signature) would otherwise emit L²/2
+    pairs.  Dropped buckets lose candidates (recall, not precision);
+    callers that cannot tolerate that must pass None."""
+    if max_bucket is not None:
+        posts = posts.filter(F.size("_ids") <= max_bucket)
+    lhs = posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+    tail = F.slice(
+        "_ids",
+        F.col("_i") + 2,
+        F.greatest(F.size("_ids") - F.col("_i") - 1, F.lit(0)),
+    )
+    # explode_outer + null-filter: a plain explode would let
+    # InferFiltersFromGenerate push a size()>0 filter that re-evaluates
+    # the slice+transform once more per row
     pair = F.explode_outer(
-        F.flatten(
-            F.transform(
-                "_ids",
-                lambda x, i: F.transform(
-                    F.slice(
-                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
-                    ),
-                    lambda y: F.struct(
-                        x["id"].alias("a"),
-                        y["id"].alias("b"),
-                        *[x[c].alias(f"{c}_a") for c in payload],
-                        *[y[c].alias(f"{c}_b") for c in payload],
-                    ),
-                ),
-            )
+        F.transform(
+            tail,
+            lambda y: F.struct(
+                F.col("_x.id").alias("a"),
+                y["id"].alias("b"),
+                *[F.col(f"_x.{c}").alias(f"{c}_a") for c in payload],
+                *[y[c].alias(f"{c}_b") for c in payload],
+            ),
         )
     )
     out_cols = ["a", "b"] + [f"{c}_{s}" for c in payload for s in ("a", "b")]
     return (
-        posts.select(pair.alias("_p"))
+        lhs.select(pair.alias("_p"))
         .where(F.col("_p").isNotNull())
         .select(*[F.col(f"_p.{c}").alias(c) for c in out_cols])
+    )
+
+
+def _posting_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    payload: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """a<b candidate pairs from banded rows: one posting shuffle, then
+    incremental upper-triangle emission (see :func:`_pairs_from_posts`
+    for the memory shape and the ``max_bucket`` skew guard)."""
+    return _pairs_from_posts(
+        _posting_lists(banded, keys, payload), payload, max_bucket
     )
 
 
@@ -337,6 +377,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     round_to: int | None = 6,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by MinHash banding + exact-Jaccard verification.
 
@@ -345,11 +386,23 @@ def minhash_lsh_pairs(
     hash), recall 1-(1-s^r)^b (≈1 for s ≥ 0.8 at 16×4).  Verification
     joins each candidate pair to the two gram SETS and computes exact
     Jaccard with ``array_intersect`` — cost O(candidates), so the full
-    inverted-index self-join never runs."""
-    dg = doc_grams(df, text_col, id_col, n)
+    inverted-index self-join never runs.
+
+    Documents with no shingles are excluded from candidacy: every such
+    doc has the identical all-fill signature (no gram ever lowers a
+    minimum), so they'd form one guaranteed hot bucket in EVERY band —
+    quadratic pair output for pairs whose Jaccard is 0/0 and that the
+    verifier would drop anyway.  ``max_bucket`` bounds the remaining
+    (data-dependent) bucket skew; a dropped bucket of size L loses its
+    L²/2 candidates, so raise it (or pass None) when recall on
+    >max_bucket-sized dup clusters matters more than worst-case task
+    memory."""
+    dg = doc_grams(df, text_col, id_col, n).where(F.size("grams") > 0)
     sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
     banded = _banded(sig, k, bands)
-    cand = _posting_pairs(banded, ["band_id", "band_hash"], []).distinct()
+    cand = _posting_pairs(
+        banded, ["band_id", "band_hash"], [], max_bucket
+    ).distinct()
     # Verification fetches both docs' gram sets in ONE pass over dg:
     # exploding each pair into its two member rows, joining dg once, and
     # folding back — two plain joins of dg would run the whole gram
@@ -437,12 +490,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) ≤ max_hamming.
     Banding on 16-bit slices: any pair within hamming ≤ bands-1 shares
     at least one exact band (pigeonhole), so the join key is a band
-    slice, not the full n² cross product."""
-    s = simhash(df, text_col, id_col, n)
+    slice, not the full n² cross product.  For max_hamming ≤ bands-1
+    the banding is therefore EXACT (recall 1); beyond that it is a
+    candidate heuristic.
+
+    Shingle-less documents are excluded (all-zero fingerprint — one
+    guaranteed hot bucket, same rationale as
+    :func:`minhash_lsh_pairs`); ``max_bucket`` bounds residual bucket
+    skew at the cost of recall on oversized buckets."""
+    dg = doc_grams(df, text_col, id_col, n).where(F.size("grams") > 0)
+    s = dg.select("id", _simhash_col(F.col("grams")).alias("simhash"))
     width = 64 // bands
     mask = (1 << width) - 1
     banded = s.select(
@@ -462,7 +524,9 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.band_id", "b.band_val")
-    pairs = _posting_pairs(banded, ["band_id", "band_val"], ["simhash"])
+    pairs = _posting_pairs(
+        banded, ["band_id", "band_val"], ["simhash"], max_bucket
+    )
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     # hamming filter BEFORE the dedup across bands: cheap bit_count per
     # emitted pair shrinks the distinct's shuffle to surviving pairs

@@ -518,12 +518,16 @@ def q26(spark, sf):
 @_q(
     "q27_session_window",
     # gap-based sessionization (10 min) via lag, the batch-SQL equivalent
-    # of Spark's session_window
+    # of Spark's session_window: windows are [ts, ts+gap), so a delta of
+    # exactly the gap starts a NEW session (>=, not >); sums cast to
+    # BIGINT because DuckDB's integer sum is HUGEINT, which reaches
+    # pandas as float and breaks the driver's value hash
     "WITH d AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
-    "(PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE OR "
+    "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE OR "
     "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
     "THEN 1 ELSE 0 END AS new_s FROM events) "
-    "SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events "
+    "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+    "count(*) AS n_events "
     "FROM d GROUP BY user_id ORDER BY user_id",
 )
 def q27(spark, sf):
@@ -598,8 +602,10 @@ def q30(spark, sf):
 
 @_q(
     "q31_text_stats",
-    "SELECT lang, sum(n_chars) AS chars, count(*) AS docs FROM documents "
-    "GROUP BY lang ORDER BY lang",
+    # CAST: DuckDB integer sum is HUGEINT -> float64 in pandas, which
+    # would hash-mismatch Spark's bigint
+    "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars, count(*) AS docs "
+    "FROM documents GROUP BY lang ORDER BY lang",
 )
 def q31(spark, sf):
     d = load(spark, sf, "documents")

@@ -1,0 +1,188 @@
+"""Unit tests for the dedup operators against brute-force Python
+oracles — locks in the posting-list pair refactor (ADVICE r01): the
+incremental emitter, the max_df recount path, the simhash banding, and
+the shingle-less-doc exclusion all get content-level checks here
+(q38's driver check is rows-only).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mandoline_spark.functions.dedup import (
+    _posting_pairs,
+    doc_grams,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _py_grams(text: str, n: int = 3) -> set[str]:
+    """Python mirror of gram_array: word n-grams (partial tail gram for
+    short texts), distinct, empties dropped."""
+    import re
+
+    words = re.split(r"\s+", text)
+    out = set()
+    for i in range(max(len(words) - n, 0) + 1):
+        g = " ".join(w for w in words[i : i + n] if w != "")
+        if g:
+            out.add(g)
+    return out
+
+
+# -- posting-pair emitter -----------------------------------------------------
+
+
+def test_posting_pairs_enumerate_upper_triangle(spark):
+    rows = [Row(id=i, bucket=b) for b, n in [(0, 4), (1, 2), (2, 1)] for i in range(n)]
+    # bucket 0 holds ids 0..3, bucket 1 ids 0..1, bucket 2 id 0
+    banded = spark.createDataFrame(rows)
+    got = {
+        (r.a, r.b)
+        for r in _posting_pairs(banded, ["bucket"], []).collect()
+    }
+    want = set(itertools.combinations(range(4), 2)) | {(0, 1)}
+    assert got == want
+
+
+def test_posting_pairs_payload_and_max_bucket(spark):
+    rows = [
+        Row(id=i, bucket=b, v=i * 10)
+        for b, ids in [(0, [1, 2, 3]), (1, [4, 5])]
+        for i in ids
+    ]
+    banded = spark.createDataFrame(rows)
+    got = sorted(
+        (r.a, r.b, r.v_a, r.v_b)
+        for r in _posting_pairs(banded, ["bucket"], ["v"], max_bucket=2).collect()
+    )
+    # bucket 0 (size 3) dropped by the cap; bucket 1 survives
+    assert got == [(4, 5, 40, 50)]
+
+
+# -- simhash -------------------------------------------------------------------
+
+
+def _brute_simhash_pairs(spark, docs, max_hamming: int, n: int = 3):
+    """All a<b pairs with hamming(simhash) <= max_hamming, by full scan
+    over the per-doc fingerprints (shingle-less docs excluded, matching
+    simhash_pairs)."""
+    dg = doc_grams(docs, n=n).where(F.size("grams") > 0)
+    sigs = {
+        r.id: r.simhash
+        for r in dg.join(simhash(docs, n=n), "id").select("id", "simhash").collect()
+    }
+    ids = sorted(sigs)
+
+    def ham(a, b):
+        # mask: fingerprints are int64 (possibly negative); Python's
+        # bin() on a negative xor would count magnitude bits instead of
+        # two's-complement bits
+        return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    return {
+        (a, b, ham(a, b))
+        for a, b in itertools.combinations(ids, 2)
+        if ham(a, b) <= max_hamming
+    }
+
+
+def test_simhash_pairs_exact_within_pigeonhole(spark):
+    """With max_hamming <= bands-1 the banding is exact: output must
+    EQUAL the brute-force hamming scan."""
+    docs = _docs(spark)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert got == _brute_simhash_pairs(spark, docs, max_hamming=3)
+
+
+def test_simhash_pairs_sound_beyond_pigeonhole(spark):
+    """At max_hamming=8 with 4 bands the banding is a recall<1
+    heuristic, but every emitted pair must be a true hamming<=8 pair
+    and every hamming<=3 pair must still be found (pigeonhole)."""
+    docs = _docs(spark)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=8, bands=4).collect()
+    }
+    brute8 = _brute_simhash_pairs(spark, docs, max_hamming=8)
+    brute3 = {t for t in brute8 if t[2] <= 3}
+    assert got <= brute8
+    assert brute3 <= got
+
+
+# -- ngram jaccard -------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(texts: dict, threshold: float, max_df=None):
+    grams = {i: _py_grams(t) for i, t in texts.items()}
+    if max_df is not None:
+        df_count = {}
+        for gs in grams.values():
+            for g in gs:
+                df_count[g] = df_count.get(g, 0) + 1
+        grams = {
+            i: {g for g in gs if df_count[g] <= max_df}
+            for i, gs in grams.items()
+        }
+    out = set()
+    for a, b in itertools.combinations(sorted(grams), 2):
+        ga, gb = grams[a], grams[b]
+        common = len(ga & gb)
+        if common == 0:
+            continue
+        jac = common / (len(ga) + len(gb) - common)
+        if jac >= threshold:
+            out.add((a, b, round(jac, 6)))
+    return out
+
+
+@pytest.mark.parametrize("max_df", [None, 3])
+def test_ngram_jaccard_matches_bruteforce(spark, max_df):
+    docs = _docs(spark).limit(120)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {
+        (r.a, r.b): float(r.jac)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.2, max_df=max_df
+        ).collect()
+    }
+    brute = {(a, b): j for a, b, j in _brute_jaccard_pairs(texts, 0.2, max_df)}
+    assert set(got) == set(brute)
+    for pair, j in got.items():
+        assert j == pytest.approx(brute[pair], abs=1e-6)
+
+
+# -- shingle-less docs ----------------------------------------------------------
+
+
+def test_empty_docs_never_pair(spark):
+    # NB: two whitespace-only docs would legitimately pair (both carry
+    # the single gram " ", same as the DuckDB array_to_string oracle),
+    # so only one appears here; truly empty text yields no shingles
+    rows = [
+        Row(doc_id=1, text=""),
+        Row(doc_id=2, text="   "),
+        Row(doc_id=3, text="unrelated words entirely different here"),
+        Row(doc_id=4, text="alpha beta gamma delta"),
+        Row(doc_id=5, text="alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows)
+    mh = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(r.a, r.b) for r in mh] == [(4, 5)]
+    sh = simhash_pairs(docs, max_hamming=3).collect()
+    assert [(r.a, r.b) for r in sh] == [(4, 5)]

@@ -52,6 +52,16 @@ def _assert_equal(name: str, got: pd.DataFrame, want: pd.DataFrame):
     g, w = _canon(got), _canon(want)
     for c in g.columns:
         gv, wv = g[c], w[c]
+        # the driver hashes stringified values, so an integer column on
+        # one side vs a float on the other (e.g. DuckDB HUGEINT ->
+        # float64 in pandas) is a real mismatch: "42" != "42.0"
+        assert not (
+            {gv.dtype.kind, wv.dtype.kind} == {"i", "f"}
+        ), (
+            f"{name}.{c}: dtype kind mismatch spark={gv.dtype} "
+            f"oracle={wv.dtype} (cast the oracle aggregate, e.g. "
+            f"HUGEINT sums to BIGINT)"
+        )
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             for i, (a, b) in enumerate(zip(gv, wv)):
                 if pd.isna(a) and pd.isna(b):
