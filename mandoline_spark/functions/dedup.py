@@ -270,11 +270,24 @@ def minhash_signatures(
 
 
 def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
-    """(id, band_id, band_hash) rows from (id, sig array) rows."""
+    """(id, band_id, band_hash) rows from (id, sig array) rows.
+
+    Shingle-less documents get a per-document UNIQUE band hash instead
+    of their real one: every empty doc carries the identical all-_PRIME
+    signature (no gram ever lowers a minimum — so sig[0] == _PRIME is
+    the exact emptiness test), and hashing that signature would put all
+    of them in one guaranteed hot bucket in EVERY band, quadratic pair
+    output for pairs the Jaccard verifier drops anyway (0/0).  A unique
+    key excludes them from candidacy entirely.  Done as an expression
+    rather than a ``size(grams) > 0`` pre-filter because Catalyst
+    pushes such a filter below the repartition to the scan, re-inlining
+    the whole gram pipeline into a single-task Filter over the raw
+    corpus (measured 8x on a one-file sf0.1 corpus)."""
     r = k // bands
     # explode_outer: keeps InferFiltersFromGenerate from duplicating the
     # signature aggregate into a pushed-down filter (never-empty array,
     # so outer == inner here)
+    empty = F.get("sig", 0) == F.lit(_PRIME).cast("long")
     return sig_df.select(
         "id",
         F.explode_outer(
@@ -282,9 +295,9 @@ def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias(
-                        "band_hash"
-                    ),
+                    F.when(empty, F.xxhash64(F.lit("__empty__"), "id"))
+                    .otherwise(F.xxhash64(F.slice("sig", b * r + 1, r)))
+                    .alias("band_hash"),
                 ),
             )
         ).alias("b"),
@@ -388,16 +401,14 @@ def minhash_lsh_pairs(
     Jaccard with ``array_intersect`` — cost O(candidates), so the full
     inverted-index self-join never runs.
 
-    Documents with no shingles are excluded from candidacy: every such
-    doc has the identical all-fill signature (no gram ever lowers a
-    minimum), so they'd form one guaranteed hot bucket in EVERY band —
-    quadratic pair output for pairs whose Jaccard is 0/0 and that the
-    verifier would drop anyway.  ``max_bucket`` bounds the remaining
-    (data-dependent) bucket skew; a dropped bucket of size L loses its
-    L²/2 candidates, so raise it (or pass None) when recall on
-    >max_bucket-sized dup clusters matters more than worst-case task
-    memory."""
-    dg = doc_grams(df, text_col, id_col, n).where(F.size("grams") > 0)
+    Documents with no shingles are excluded from candidacy (see
+    :func:`_banded`: they all share the degenerate all-fill signature
+    and would otherwise form one guaranteed hot bucket in every band).
+    ``max_bucket`` bounds the remaining (data-dependent) bucket skew; a
+    dropped bucket of size L loses its L²/2 candidates, so raise it (or
+    pass None) when recall on >max_bucket-sized dup clusters matters
+    more than worst-case task memory."""
+    dg = doc_grams(df, text_col, id_col, n)
     sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
     banded = _banded(sig, k, bands)
     cand = _posting_pairs(
@@ -500,13 +511,26 @@ def simhash_pairs(
     candidate heuristic.
 
     Shingle-less documents are excluded (all-zero fingerprint — one
-    guaranteed hot bucket, same rationale as
-    :func:`minhash_lsh_pairs`); ``max_bucket`` bounds residual bucket
-    skew at the cost of recall on oversized buckets."""
-    dg = doc_grams(df, text_col, id_col, n).where(F.size("grams") > 0)
-    s = dg.select("id", _simhash_col(F.col("grams")).alias("simhash"))
+    guaranteed hot bucket, same rationale as :func:`minhash_lsh_pairs`).
+    As in :func:`_banded` the exclusion is an expression, not a
+    ``size(grams) > 0`` pre-filter (which Catalyst would push to the
+    scan, re-inlining the gram pipeline into a single-task Filter):
+    empty docs get a per-doc unique NEGATIVE band value, disjoint from
+    the real 16-bit slices (≥ 0), so no spurious candidate can survive
+    — unlike minhash there is no verifier downstream to drop one.
+    ``max_bucket`` bounds residual bucket skew at the cost of recall on
+    oversized buckets."""
+    dg = doc_grams(df, text_col, id_col, n)
+    s = dg.select(
+        "id",
+        _simhash_col(F.col("grams")).alias("simhash"),
+        F.size("grams").alias("_ng"),
+    )
     width = 64 // bands
     mask = (1 << width) - 1
+    empty_val = F.lit(-1).cast("long") - F.pmod(
+        F.xxhash64(F.lit("__empty__"), "id"), F.lit(1 << 62).cast("long")
+    )
     banded = s.select(
         "id",
         "simhash",
@@ -515,8 +539,12 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright("simhash", i * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.when(F.col("_ng") == 0, empty_val)
+                        .otherwise(
+                            F.shiftright("simhash", i * width).bitwiseAND(
+                                F.lit(mask)
+                            )
+                        )
                         .alias("band_val"),
                     )
                     for i in range(bands)
