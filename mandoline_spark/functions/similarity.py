@@ -189,25 +189,26 @@ def lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (sign pattern of ``n_planes``
-    projections) — the blocking key for approximate cosine search.
-    Plane vectors are a deterministic function of (seed, plane, dim)
-    so every executor derives the same planes with no driver state."""
-    import numpy as np
+    projections, packed into a long) — the blocking key for approximate
+    cosine search.  One Arrow-batched numpy projection (X·Pᵀ ≥ 0): the
+    planes are a deterministic function of (seed, dim) derived INSIDE
+    the executor from the batch's own width, so there is no driver-side
+    dim-probe job and no per-plane interpreted fold (the previous shape
+    paid one collect() plus n_planes expression folds per row)."""
+    from pyspark.sql.functions import pandas_udf
 
-    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not dim_df:
-        return df.withColumn("bucket", F.lit(""))
-    dim = dim_df[0]["d"]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    emb = _as_double(F.col(vec_col))
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(emb, arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, m.shape[1])
         )
-    return df.withColumn("bucket", F.concat(*bits))
+        bits = (m @ planes.T) >= 0
+        return pd.Series(bits @ weights)
+
+    return df.withColumn("bucket", bucket(F.col(vec_col)))
 
 
 def cosine_topk_lsh(
