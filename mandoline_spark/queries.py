@@ -1793,3 +1793,39 @@ def q80(spark, sf):
         .agg(F.count("*").alias("docs"))
         .orderBy("bucket")
     )
+
+
+@_q(
+    "q81_array_version_diff",
+    # both versions' expected cells as literal tables (the same numpy
+    # oracle as q34/q35), joined on coordinates
+    "WITH v1 AS (SELECT * FROM ({v1}) ), v2 AS (SELECT * FROM ({v2}) ) "
+    "SELECT count(*) AS n_changed, "
+    "CAST(sum(v2.value - v1.value) AS BIGINT) AS delta_sum "
+    "FROM v1 JOIN v2 USING (dim0, dim1, dim2) "
+    "WHERE v1.value != v2.value".format(
+        v1="SELECT * FROM (VALUES {}) AS t(dim0, dim1, dim2, value)".format(
+            ", ".join(
+                f"({x},{y},{t},{v})" for x, y, t, v in _array_expected(1)
+            )
+        ),
+        v2="SELECT * FROM (VALUES {}) AS t(dim0, dim1, dim2, value)".format(
+            ", ".join(
+                f"({x},{y},{t},{v})" for x, y, t, v in _array_expected(2)
+            )
+        ),
+    ),
+)
+def q81(spark, sf):
+    """MVCC version diff over the exploded cell view: which cells
+    changed between two committed versions and by how much — time
+    travel composed with an ordinary relational join (two reads of the
+    same chunk store, version-pinned indexes, co-located on chunk
+    coordinates)."""
+    v1 = _array_cells(spark, 0).withColumnRenamed("value", "v1")
+    v2 = _array_cells(spark, -1).withColumnRenamed("value", "v2")
+    joined = v2.join(v1, ["dim0", "dim1", "dim2"])
+    return joined.filter(F.col("v1") != F.col("v2")).agg(
+        F.count("*").alias("n_changed"),
+        F.sum(F.col("v2") - F.col("v1")).cast("bigint").alias("delta_sum"),
+    )
