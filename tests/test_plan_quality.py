@@ -75,6 +75,48 @@ def test_simhash_has_no_key_shuffle(spark):
     assert _only_rebalance_exchanges(text), text
 
 
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_banding_computes_signature_once(spark):
+    """The banding generator references the signature array once, so
+    CollapseProject is free to inline the (expensive) signature
+    aggregate into the per-band lambda — re-evaluating it 16x per doc.
+    Pin: exactly one `aggregate(` in the optimized plan (regression was
+    8x on minhash_lsh_pairs at sf0.1)."""
+    from mandoline_spark.functions.dedup import (
+        _banded,
+        _signature_col,
+        doc_grams,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = doc_grams(docs).select(
+        "id", _signature_col(F.col("grams"), 64, 42).alias("sig")
+    )
+    plan = _optimized_plan(_banded(sig, 64, 16))
+    assert plan.count("aggregate(") == 1, plan
+
+
+@pytest.mark.parametrize("fn_name", ["minhash_lsh_pairs", "simhash_pairs"])
+def test_neardup_pipelines_keep_gram_work_off_the_scan(spark, fn_name):
+    """No Filter at (or below) the repartition may contain the gram
+    pipeline: a pushed-down size(grams) > 0 pre-filter re-inlines split/
+    concat_ws into a single-task Filter over the raw one-file corpus
+    (regression was 6-10x at sf0.1).  Shingle-less docs are excluded via
+    unique band keys inside the banding projection instead."""
+    from mandoline_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = getattr(dedup, fn_name)(docs, 0.8 if "minhash" in fn_name else 3)
+    plan = _optimized_plan(df)
+    for line in plan.splitlines():
+        stripped = line.strip(" +-:")
+        if stripped.startswith("Filter"):
+            assert "concat_ws" not in line and "split(" not in line, line
+
+
 def test_array_read_prunes_index(store):
     """The request slice becomes a coordinate-range predicate pushed to
     the index Parquet scan (the engine's partition pruning,
