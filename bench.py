@@ -190,13 +190,27 @@ def main() -> None:
             times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 4)
+    # The per-query map (80+ entries) outgrew the driver's tail-capture
+    # window in r2 (BENCH_r02 "parsed": null) — emit it FIRST (its own
+    # line, plus BENCH_DETAIL.json beside this script), and keep the
+    # final line a compact headline the driver always parses whole.
+    detail = {"queries": times, "sf": sf, "cpus": os.cpu_count()}
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the printed lines stand alone
     print(
         json.dumps(
             {
                 "metric": "declared_query_surface_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
                 "n_queries": len(times),
             }

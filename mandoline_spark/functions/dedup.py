@@ -390,7 +390,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     round_to: int | None = 6,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by MinHash banding + exact-Jaccard verification.
 
@@ -405,9 +405,11 @@ def minhash_lsh_pairs(
     :func:`_banded`: they all share the degenerate all-fill signature
     and would otherwise form one guaranteed hot bucket in every band).
     ``max_bucket`` bounds the remaining (data-dependent) bucket skew; a
-    dropped bucket of size L loses its L²/2 candidates, so raise it (or
-    pass None) when recall on >max_bucket-sized dup clusters matters
-    more than worst-case task memory."""
+    dropped bucket of size L loses its L²/2 candidates (recall, not
+    precision).  The default is None — exact banding recall — because a
+    silent default-on recall change is worse than an opt-in guard:
+    100 TB call sites pass an explicit cap sized to their executor
+    memory (the declared q36 passes 10_000)."""
     dg = doc_grams(df, text_col, id_col, n)
     sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
     banded = _banded(sig, k, bands)
@@ -501,7 +503,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     bands: int = 4,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) ≤ max_hamming.
     Banding on 16-bit slices: any pair within hamming ≤ bands-1 shares
@@ -519,7 +521,8 @@ def simhash_pairs(
     the real 16-bit slices (≥ 0), so no spurious candidate can survive
     — unlike minhash there is no verifier downstream to drop one.
     ``max_bucket`` bounds residual bucket skew at the cost of recall on
-    oversized buckets."""
+    oversized buckets (opt-in, default None — same rationale as
+    :func:`minhash_lsh_pairs`)."""
     dg = doc_grams(df, text_col, id_col, n)
     s = dg.select(
         "id",
