@@ -1871,15 +1871,22 @@ def q80(spark, sf):
     ),
 )
 def q81(spark, sf):
-    """MVCC version diff over the exploded cell view: which cells
-    changed between two committed versions and by how much — time
-    travel composed with an ordinary relational join (two reads of the
-    same chunk store, version-pinned indexes, co-located on chunk
-    coordinates)."""
-    v1 = _array_cells(spark, 0).withColumnRenamed("value", "v1")
-    v2 = _array_cells(spark, -1).withColumnRenamed("value", "v2")
-    joined = v2.join(v1, ["dim0", "dim1", "dim2"])
-    return joined.filter(F.col("v1") != F.col("v2")).agg(
+    """MVCC version diff, chunk-hash pruned: content addressing means a
+    chunk changed iff its index hash changed, so the two version-pinned
+    indexes full-outer join on chunk coordinates and unchanged chunks —
+    the vast majority at scale — prune WITHOUT decoding; only differing
+    chunks are decoded to cells (reader.diff_cells_df).  O(changed
+    chunks), not O(cells): the r2 verdict's scale fix for the previous
+    explode-both-versions-and-join-cells plan."""
+    from . import reader
+
+    conn = _array_fixture(spark)
+    tok_a = reader.on_nth_version(conn, 0)
+    tok_b = reader.on_nth_version(conn, -1)
+    diff = reader.diff_cells_df(conn, tok_a, tok_b, "v")
+    return diff.agg(
         F.count("*").alias("n_changed"),
-        F.sum(F.col("v2") - F.col("v1")).cast("bigint").alias("delta_sum"),
+        F.sum(F.col("value_b") - F.col("value_a"))
+        .cast("bigint")
+        .alias("delta_sum"),
     )

@@ -397,6 +397,134 @@ def cells_df(
     return joined.mapInPandas(emit_cells, out_schema)
 
 
+def changed_chunks_df(
+    conn: Connection,
+    token_a: Mapping[str, Any],
+    token_b: Mapping[str, Any],
+    var: str,
+) -> DataFrame:
+    """Chunk coordinates whose CONTENT differs between two committed
+    versions, found without decoding anything: content addressing means
+    a chunk changed iff its index hash changed, so a full-outer join of
+    the two version-pinned indexes on (c0..cK) with a null-safe hash
+    inequality prunes every unchanged chunk — the vast majority of a
+    large dataset — at index scan cost, O(chunks), not O(cells).
+    Returns (c0..cK, hash_a, hash_b); a NULL hash means that version
+    never wrote the chunk (its cells read as fill).
+
+    Reference semantics: overwrite versioning, where an untouched chunk
+    is carried forward by hash (test/overwrite.clj:52-64) — the carry
+    is exactly what makes the hash equality test sufficient."""
+    ndim = md.get_var_slice(token_a, var).ndim
+    ccols = [f"c{i}" for i in range(ndim)]
+    idx_a = conn.resolve_index_df(token_a["version-id"], var)
+    idx_b = conn.resolve_index_df(token_b["version-id"], var)
+    spark = conn.spark
+
+    def side(idx: DataFrame | None, alias: str) -> DataFrame:
+        if idx is None:
+            schema = ", ".join(
+                [f"{c} int" for c in ccols] + [f"{alias} string"]
+            )
+            return spark.createDataFrame([], schema)
+        return idx.select(*ccols, F.col("chunk_hash").alias(alias))
+
+    both = side(idx_a, "hash_a").join(side(idx_b, "hash_b"), ccols, "full")
+    return both.filter(~F.col("hash_a").eqNullSafe(F.col("hash_b")))
+
+
+def diff_cells_df(
+    conn: Connection,
+    token_a: Mapping[str, Any],
+    token_b: Mapping[str, Any],
+    var: str,
+) -> DataFrame:
+    """Cell-level version diff: (dim0..dimK, value_a, value_b) for every
+    cell whose value differs between the two versions.  The scale shape
+    is :func:`changed_chunks_df` first — only chunks whose index hash
+    changed are fetched and decoded, so the cell-emitting stage's input
+    is O(changed chunks) while the result stays exactly the diff of the
+    two full cell views.  (For float variables, NaN→NaN counts as
+    unchanged; the fill value stands in for never-written chunks.)"""
+    va = md.get_var_slice(token_a, var)
+    if va != md.get_var_slice(token_b, var):
+        raise ValueError(
+            "diff_cells_df requires identical variable extents; read the "
+            "two cell views and join for shape-changing diffs"
+        )
+    ndim = va.ndim
+    ccols = [f"c{i}" for i in range(ndim)]
+    changed = changed_chunks_df(conn, token_a, token_b, var)
+    chunks = conn.chunks_df()
+    if chunks is None:
+        # no chunk data at all: both versions are pure fill, no diffs
+        # (changed is necessarily empty too)
+        chunks = conn.spark.createDataFrame([], "hash string, blob binary")
+    for alias in ("a", "b"):
+        changed = changed.join(
+            chunks.select(
+                F.col("hash").alias(f"hash_{alias}"),
+                F.col("blob").alias(f"blob_{alias}"),
+            ),
+            f"hash_{alias}",
+            "left",
+        )
+    changed = changed.select(*ccols, "blob_a", "blob_b")
+
+    grid = md.get_chunk_grid_slice(token_a, var)
+    type_name = md.get_type(token_a, var)
+    fill = md.get_fill(token_a, var)
+    grid_tuple = (grid.start, grid.stop, grid.step)
+    var_tuple = (va.start, va.stop, va.step)
+    dim_names = [f"dim{i}" for i in range(ndim)]
+    vtype = _CELL_SPARK_TYPES[type_name]
+    out_schema = ", ".join(
+        [f"{d} int" for d in dim_names]
+        + [f"value_a {vtype}", f"value_b {vtype}"]
+    )
+
+    def emit_diffs(batches):
+        import numpy as np
+
+        extent = Slice(*var_tuple)
+        grid_s = Slice(*grid_tuple)
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                coord = tuple(int(row[c]) for c in ccols)
+                chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
+
+                def load_side(blob):
+                    if blob is None:
+                        return sb.empty(type_name, chunk_slice, fill)
+                    return sb.from_bytes(bytes(blob), type_name, chunk_slice)
+
+                slab_a = sb.intersect(load_side(row["blob_a"]), extent)
+                slab_b = sb.intersect(load_side(row["blob_b"]), extent)
+                a, b = slab_a.data, slab_b.data
+                neq = a != b
+                if a.dtype.kind == "f":
+                    neq &= ~(np.isnan(a) & np.isnan(b))
+                if not neq.any():
+                    continue  # hash differs but values tie (e.g. fill)
+                s = slab_a.slice
+                mesh = np.meshgrid(
+                    *[np.arange(lo, hi) for lo, hi in zip(s.start, s.stop)],
+                    indexing="ij",
+                )
+                frame = {
+                    d: mesh[i][neq].astype("int32")
+                    for i, d in enumerate(dim_names)
+                }
+                frame["value_a"] = a[neq]
+                frame["value_b"] = b[neq]
+                frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return changed.mapInPandas(emit_diffs, out_schema)
+
+
 def on_version(conn: Connection, version: int) -> dict:
     """Reader token pinned to a committed version (mandoline.clj:117-122)."""
     return conn.metadata(version) | {"version-id": version}

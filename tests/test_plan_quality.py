@@ -151,3 +151,91 @@ def test_array_read_prunes_index(store):
     assert any("c1" in f and "LessThanOrEqual" in f for f in pf), pf
     # and the pruned set is exactly the 2x2 overlapped chunk coords
     assert idx.count() == 4
+
+
+def test_version_diff_decodes_only_changed_chunks(store):
+    """q81's scale shape: the diff's cell-emitting stage reads the
+    full-outer index join pruned by null-safe hash inequality — its
+    input is bounded by CHANGED chunks (here 4 of 100), never the full
+    cell count.  Content addressing makes hash equality a sufficient
+    unchanged test (overwrite versioning, test/overwrite.clj:52-64)."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 40, "y": 40},
+        "chunk-dimensions": {"x": 4, "y": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    t = conn.add_version(dds)
+    base = np.arange(1600, dtype=np.int32).reshape(40, 40)
+    writer.write_variable(
+        conn, t, "v", [sb.Slab(base, sl.mk_slice((0, 0), (40, 40)))]
+    )
+    conn.finish_version(t)
+    # second version overwrites a 6x6 block spanning 2x2 chunks
+    t2 = conn.add_version(dds)
+    writer.write_variable(
+        conn, t2, "v",
+        [sb.Slab(base[5:11, 5:11] + 1000, sl.mk_slice((5, 5), (11, 11)))],
+    )
+    conn.finish_version(t2)
+
+    ta = reader.on_nth_version(conn, 0)
+    tb = reader.on_nth_version(conn, -1)
+    changed = reader.changed_chunks_df(conn, ta, tb, "v")
+    assert changed.count() == 4  # 2x2 of the 10x10 chunk grid
+    diff = reader.diff_cells_df(conn, ta, tb, "v")
+    rows = {(r.dim0, r.dim1): (r.value_a, r.value_b) for r in diff.collect()}
+    # exactly the overwritten cells, with both versions' values
+    assert len(rows) == 36
+    assert rows[(5, 5)] == (base[5, 5], base[5, 5] + 1000)
+    assert rows[(10, 10)] == (base[10, 10], base[10, 10] + 1000)
+
+
+def test_version_diff_skips_hash_tied_fill(store):
+    """A chunk written in only one version whose content equals pure
+    fill produces NO diff rows (values tie even though hashes differ),
+    and a never-written coordinate on both sides never reaches the
+    decode stage at all."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds2")
+    dds = {
+        "dimensions": {"x": 8},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 7}
+        },
+    }
+    t = conn.add_version(dds)
+    writer.write_variable(
+        conn, t, "v",
+        [sb.Slab(np.full(4, 7, np.int32), sl.mk_slice((0,), (4,)))],
+    )
+    conn.finish_version(t)
+    t2 = conn.add_version(dds)
+    writer.write_variable(
+        conn, t2, "v",
+        [sb.Slab(np.full(4, 9, np.int32), sl.mk_slice((4,), (8,)))],
+    )
+    conn.finish_version(t2)
+
+    ta = reader.on_nth_version(conn, 0)
+    tb = reader.on_nth_version(conn, -1)
+    diff = reader.diff_cells_df(conn, ta, tb, "v").collect()
+    # v2 carries chunk 0 forward (same hash — pruned), chunk 1 goes
+    # from unwritten fill(7) to 9 on cells 4..7
+    assert {(r.dim0, r.value_a, r.value_b) for r in diff} == {
+        (x, 7, 9) for x in range(4, 8)
+    }
