@@ -194,19 +194,32 @@ def lsh_bucket(
     planes are a deterministic function of (seed, dim) derived INSIDE
     the executor from the batch's own width, so there is no driver-side
     dim-probe job and no per-plane interpreted fold (the previous shape
-    paid one collect() plus n_planes expression folds per row)."""
+    paid one collect() plus n_planes expression folds per row).
+
+    NULL embeddings get a NULL bucket (the old expression form's
+    behavior — they drop out of any bucket-equi join instead of failing
+    the batch's np.stack)."""
     from pyspark.sql.functions import pandas_udf
 
+    if not 0 < n_planes < 63:
+        # 1 << 63 overflows int64: the top weight would collide with
+        # the sign bit and distinct sign patterns would share buckets
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
     weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
     @pandas_udf("long")
     def bucket(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64)
-        planes = np.random.default_rng(seed).standard_normal(
-            (n_planes, m.shape[1])
-        )
-        bits = (m @ planes.T) >= 0
-        return pd.Series(bits @ weights)
+        valid = v.notna().to_numpy()
+        out = np.zeros(len(v), dtype=object)
+        out[~valid] = None
+        if valid.any():
+            m = np.stack(v.to_numpy()[valid]).astype(np.float64)
+            planes = np.random.default_rng(seed).standard_normal(
+                (n_planes, m.shape[1])
+            )
+            bits = (m @ planes.T) >= 0
+            out[valid] = bits @ weights
+        return pd.Series(out)
 
     return df.withColumn("bucket", bucket(F.col(vec_col)))
 
@@ -239,8 +252,14 @@ def cosine_topk_lsh(
         _dot(F.col("_qemb"), F.col("_emb"))
         / (F.col("_qnorm") * F.col("_norm")),
     )
+    # sim ties break to the query itself first, then lower id: an
+    # in-corpus query's top-1 is itself even when the corpus contains
+    # an exact duplicate with a lower id (ADVICE r02 — previously a
+    # fixture property, now structural)
     w = Window.partitionBy("qid").orderBy(
-        F.col("_sim").desc(), F.col(id_col)
+        F.col("_sim").desc(),
+        (F.col(id_col) == F.col("qid")).desc(),
+        F.col(id_col),
     )
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
@@ -294,10 +313,16 @@ def _train_centroids(
             F.col(vec_col).alias("v"),
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
         )
+        .where(F.col("v").isNotNull())
         .orderBy("_h")
         .limit(train_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "ivf_topk: corpus has no non-null embeddings to train the "
+            "coarse quantizer on"
+        )
     m = np.array([r.v for r in sample], dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -375,12 +400,20 @@ def ivf_topk(
 
     @pandas_udf("array<int>")
     def cell_ranking(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        d = Csq[None, :] - 2.0 * ((m / nrm) @ C.T)
-        idx = np.argsort(d, axis=1, kind="stable")
-        return pd.Series(list(idx.astype(np.int32)))
+        valid = v.notna().to_numpy()
+        out = np.zeros(len(v), dtype=object)
+        out[~valid] = None  # NULL vector -> NULL ranking -> no cell
+        if valid.any():
+            m = np.stack(v.to_numpy()[valid]).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            d = Csq[None, :] - 2.0 * ((m / nrm) @ C.T)
+            idx = np.argsort(d, axis=1, kind="stable")
+            # element-wise: boolean assignment would read the row list
+            # as a 2-D array, not one ranking object per slot
+            for pos, ranking in zip(np.flatnonzero(valid), idx.astype(np.int32)):
+                out[pos] = ranking
+        return pd.Series(out)
 
     assigned = corpus.withColumn(
         "_cell", F.get(cell_ranking(F.col(vec_col)), 0)
@@ -408,7 +441,12 @@ def ivf_topk(
         _dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm")),
     ).otherwise(F.lit(0.0))
     pairs = c.join(F.broadcast(q), "_cell").withColumn("_sim", sim)
-    w = Window.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col(id_col))
+    # same self-first tie-break as cosine_topk_lsh (ADVICE r02)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_sim").desc(),
+        (F.col(id_col) == F.col("qid")).desc(),
+        F.col(id_col),
+    )
     out = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -30,13 +30,18 @@ def _docs(spark):
 
 def _py_grams(text: str, n: int = 3) -> set[str]:
     """Python mirror of gram_array: word n-grams (partial tail gram for
-    short texts), distinct, empties dropped."""
+    short texts), distinct, only fully-empty grams dropped.  Mirrors
+    concat_ws EXACTLY: empty split tokens are KEPT (a doc with leading
+    whitespace splits to ['', ...] and its grams carry the empty word,
+    e.g. ' a b'), only past-the-end words (NULL, skipped by concat_ws)
+    are absent — dropping empties here diverged from gram_array for any
+    leading/trailing-whitespace doc (ADVICE r02)."""
     import re
 
     words = re.split(r"\s+", text)
     out = set()
     for i in range(max(len(words) - n, 0) + 1):
-        g = " ".join(w for w in words[i : i + n] if w != "")
+        g = " ".join(words[i : i + n])
         if g:
             out.add(g)
     return out

@@ -53,3 +53,64 @@ def test_lsh_topk_self_hit(emb):
     top1 = cosine_topk_lsh(q, emb, k=1, n_planes=8)
     got = {(r["qid"], r["vec_id"]) for r in top1.collect()}
     assert got == {(i, i) for i in range(10)}
+
+
+def test_lsh_null_embedding_gets_null_bucket(spark):
+    """A NULL embedding must not fail the Arrow batch — it gets a NULL
+    bucket and drops out of the bucket-equi join (ADVICE r02)."""
+    from mandoline_spark.functions.similarity import lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.bucket for r in lsh_bucket(df, 4).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and rows[3] is not None
+
+
+def test_lsh_rejects_overflowing_n_planes(spark):
+    from mandoline_spark.functions.similarity import lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_bucket(df, 63)
+
+
+def test_ivf_empty_corpus_raises_cleanly(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-null embeddings"):
+        ivf_topk(df, df, k=1)
+
+
+def test_ivf_null_embeddings_drop_out(emb, spark):
+    """NULL corpus embeddings get no cell; NULL queries emit no probes;
+    everything else is unaffected."""
+    nulls = spark.createDataFrame(
+        [(10_000, None)], "vec_id long, embedding array<double>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(nulls)
+    q = corpus.filter((F.col("vec_id") < 5) | (F.col("vec_id") == 10_000))
+    got = {(r["qid"], r["vec_id"]) for r in
+           ivf_topk(q, corpus, k=1, n_cells=8, n_probe=8).collect()}
+    assert got == {(i, i) for i in range(5)}
+
+
+def test_ann_top1_prefers_self_over_exact_duplicate(emb, spark):
+    """An exact duplicate of the query with a LOWER id must not steal
+    the top-1 slot: the re-rank tie-break prefers the query row itself
+    (ADVICE r02 — previously held only because the fixture had no
+    duplicates)."""
+    dup_of_5 = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(-1).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup_of_5)
+    q = corpus.filter(F.col("vec_id") == 5)
+    for fn, kw in (
+        (ivf_topk, dict(n_cells=8, n_probe=8)),
+        (cosine_topk_lsh, dict(n_planes=8)),
+    ):
+        top = fn(q, corpus, k=1, **kw).collect()
+        assert [(r["qid"], r["vec_id"]) for r in top] == [(5, 5)], fn.__name__
