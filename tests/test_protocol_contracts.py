@@ -1,0 +1,192 @@
+"""Property-based backend contracts, ported from the reference's
+protocol test library (PUBLIC reference, studied for semantics only):
+
+- Schema/catalog CRUD (test/protocol/schema.clj:9-343): create adds
+  exactly one listing and rejects duplicates/invalid names; destroy is
+  idempotent and removes exactly its target; list returns distinct
+  connectable names — all under arbitrary interleavings of operations.
+- Chunk-store additivity (test/protocol/chunk_store.clj:58-392): chunk
+  writes are idempotent per hash (content addressing — re-appending the
+  same bytes leaves one stored copy), additive across batches with
+  random sizes/contents, and reads return byte-identical blobs.
+
+Hypothesis drives the interleavings; each example runs against a fresh
+store root.  The Spark fixtures are session-scoped, so examples are
+capped low enough to keep the suite in tens of seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from mandoline_spark.store import Store
+from mandoline_spark import writer
+
+_NAMES = st.text(
+    alphabet="abcdefgh01_", min_size=1, max_size=8
+).filter(lambda s: s.strip("_") != "")
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+# -- Schema / catalog CRUD ----------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["create", "destroy"]), _NAMES),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_catalog_crud_interleavings(spark, tmp_path_factory, ops):
+    """Model-based CRUD: after any op sequence the listing equals the
+    model set, every listed dataset connects, create of a listed name
+    raises, and destroy is idempotent (protocol.clj:105-123)."""
+    root = str(tmp_path_factory.mktemp("crud"))
+    store = Store(spark, root)
+    model: set[str] = set()
+    for op, name in ops:
+        if op == "create":
+            if name in model:
+                with pytest.raises(ValueError):
+                    store.create_dataset(name)
+            else:
+                store.create_dataset(name)
+                model.add(name)
+        else:
+            store.destroy_dataset(name)  # idempotent: never raises
+            model.discard(name)
+        assert set(store.list_datasets()) == model
+    for name in model:
+        assert store.connect(name).name == name
+    for name in model:
+        assert store.dataset_exists(name)
+
+
+@pytest.mark.parametrize("bad", ["", "a/b", "a b", "..", "a\nb", "é"])
+def test_catalog_rejects_invalid_names(spark, tmp_path, bad):
+    store = Store(spark, str(tmp_path))
+    with pytest.raises(ValueError):
+        store.create_dataset(bad)
+
+
+def test_connect_missing_dataset_raises(spark, tmp_path):
+    store = Store(spark, str(tmp_path))
+    with pytest.raises(ValueError):
+        store.connect("nope")
+
+
+# -- Chunk-store additivity / idempotence -------------------------------------
+
+
+def _write_batch(conn, token, payloads: list[bytes]) -> None:
+    """Append payloads as 1-d pieces through the real write path (the
+    distributed writer is the engine's chunk-store client)."""
+    import pandas as pd
+
+    rows = []
+    for i, p in enumerate(payloads):
+        arr = np.frombuffer(p, dtype=np.int8)
+        rows.append(
+            {
+                "ckey": f"{i}",
+                "c0": i,
+                "ord": 0,
+                "pstart": [i * len(arr)],
+                "pstop": [(i + 1) * len(arr)],
+                "data": p,
+            }
+        )
+    pieces = conn.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ckey", "c0", "ord", "pstart", "pstop", "data"]),
+        writer.piece_schema(1),
+    )
+    writer.write_pieces(conn, token, "v", pieces)
+
+
+@settings(**_SETTINGS)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.binary(min_size=4, max_size=4).map(lambda b: b * 2),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_chunk_store_additive_and_idempotent(spark, tmp_path_factory, batches):
+    """Writing random batches (with arbitrary duplicate contents within
+    and across batches) stores exactly one blob per distinct content
+    hash, and every stored blob reads back byte-identical
+    (chunk_store.clj:79-132 write-chunk mutates/idempotent)."""
+    import hashlib
+
+    root = str(tmp_path_factory.mktemp("chunks"))
+    store = Store(spark, root)
+    conn = store.create_dataset("ds")
+    chunk = 8
+    n = 8
+    spec = {
+        "dimensions": {"x": chunk * n},
+        "chunk-dimensions": {"x": chunk},
+        "variables": {
+            "v": {"type": "byte", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    token = conn.add_version(spec)
+    expected: dict[str, bytes] = {}
+    for batch in batches:
+        _write_batch(conn, token, batch)
+        for p in batch:
+            expected[hashlib.sha1(p).hexdigest()] = p
+        stored = {
+            r["hash"]: bytes(r["blob"])
+            for r in conn.chunks_df().collect()
+        }
+        # additive: everything written so far is present, exactly once
+        # per distinct hash (collect() saw no duplicate keys iff the
+        # row count matches the distinct hash count)
+        assert conn.chunks_df().count() == len(stored)
+        assert set(stored) >= set(expected)
+        for h, payload in expected.items():
+            assert stored[h] == payload, f"blob for {h} not byte-identical"
+
+
+def test_chunk_rewrite_same_content_is_noop(store):
+    """Re-running an identical write job appends no second copy of any
+    blob (content addressing makes retries safe — the reference's
+    'write-chunk method is idempotent')."""
+    conn = store.create_dataset("idem")
+    spec = {
+        "dimensions": {"x": 16},
+        "chunk-dimensions": {"x": 8},
+        "variables": {
+            "v": {"type": "byte", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    t1 = conn.add_version(spec)
+    payloads = [b"\x01" * 8, b"\x02" * 8]
+    _write_batch(conn, t1, payloads)
+    before = conn.chunks_df().count()
+    _write_batch(conn, t1, payloads)
+    assert conn.chunks_df().count() == before
+    conn.finish_version(t1)
+    # a NEW version re-writing identical content also adds nothing
+    t2 = conn.add_version(spec)
+    _write_batch(conn, t2, payloads)
+    assert conn.chunks_df().count() == before
