@@ -1,0 +1,201 @@
+"""Filesystem abstraction for the dataset catalog.
+
+The catalog's metadata operations (version listing, commit, index
+generation discovery, maintenance swaps) are tiny-file manipulations
+that must work wherever the data lives.  The data path itself already
+does — every Parquet read/write goes through Spark and therefore
+through the Hadoop FileSystem layer — but the r2 catalog used raw
+``os.*`` calls, pinning it to POSIX paths.  This module gives the
+catalog the same reach as the data path:
+
+- :class:`LocalFS` — plain-path roots (``/data/store``): direct os/
+  shutil calls, with O_EXCL providing the atomic commit.
+- :class:`HadoopFS` — URI roots (``hdfs://…``, ``s3a://…``, and
+  ``file:/…`` for testing): the JVM's ``org.apache.hadoop.fs
+  .FileSystem`` API via the Py4J gateway, the exact client Spark's own
+  Parquet IO uses, so any filesystem the cluster can read data from
+  can also host the catalog.  Commit uses ``create(path,
+  overwrite=false)`` — atomic second-committer-fails on HDFS; on
+  S3A it narrows the race to the create call itself (same admitted
+  window as the reference's DynamoDB conditional put fallback
+  discussion, mandoline.clj:292-310).
+
+The reference reaches the same backends through its pluggable
+store protocols (impl.clj:77-119 resolves ``ddb://``/file schemes to
+backend implementations); here one Hadoop client covers them all.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+
+def is_uri(path: str) -> bool:
+    """True for scheme-qualified paths (``hdfs://…``, ``file:/tmp``) —
+    anything the local ``os`` module cannot address directly."""
+    head = path.split("/", 1)[0]
+    return head.endswith(":") or "://" in path.split("?", 1)[0].split("#")[0]
+
+
+def for_path(spark: "SparkSession", root: str):
+    """FS implementation for ``root``: LocalFS for plain paths, HadoopFS
+    for scheme-qualified URIs."""
+    return HadoopFS(spark, root) if is_uri(root) else LocalFS()
+
+
+class LocalFS:
+    """POSIX catalog operations (the single-node / NFS deployment)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text``; False if it already
+        exists (the commit primitive: second committer fails)."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
+    def replace_text(self, path: str, text: str) -> None:
+        """Atomically replace ``path``'s content (write-temp + rename):
+        a concurrent reader sees the old or the new text, never a
+        truncated file.  The pointer-flip primitive."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def tree_size(self, path: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+        return total
+
+
+class HadoopFS:
+    """Catalog operations through ``org.apache.hadoop.fs.FileSystem``
+    (the JVM client Spark's data path already uses), for URI roots."""
+
+    def __init__(self, spark: "SparkSession", root: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+            self._conf
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._p(path))
+        ]
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)  # recursive; False if absent
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            # readAllBytes returns the data (Java 9+); a read(buf) loop
+            # would mutate a Py4J COPY of the buffer and return zeros
+            return bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        stream = self._fs.create(self._p(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """``FileSystem.create(path, overwrite=false)`` — atomic on
+        HDFS/local; object stores narrow rather than eliminate the race
+        (see module docstring)."""
+        try:
+            stream = self._fs.create(self._p(path), False)
+        except Exception as e:  # Py4J wraps FileAlreadyExistsException
+            if "exist" in str(e).lower():
+                return False
+            raise
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        return True
+
+    def replace_text(self, path: str, text: str) -> None:
+        """Replace ``path``'s content via write-temp + delete + rename.
+        Hadoop's rename does not overwrite, so unlike the POSIX
+        ``os.replace`` this leaves a sub-millisecond window with the
+        target absent — callers that flip pointers treat a missing
+        pointer as 'use the default' so the window is harmless."""
+        tmp = self._p(path + ".tmp")
+        stream = self._fs.create(tmp, True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        target = self._p(path)
+        self._fs.delete(target, False)
+        if not self._fs.rename(tmp, target):
+            raise OSError(f"pointer flip failed: {path}")
+
+    def tree_size(self, path: str) -> int:
+        if not self.exists(path):
+            return 0
+        summary = self._fs.getContentSummary(self._p(path))
+        return int(summary.getLength())

@@ -20,7 +20,6 @@ vacuum must not race concurrent writers to the same dataset.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -41,12 +40,12 @@ def vacuum(conn: Connection) -> dict:
 
     # -- (c) uncommitted version index trees ---------------------------------
     index_root = os.path.join(conn.path, "index")
-    if os.path.isdir(index_root):
-        for d in os.listdir(index_root):
+    if conn.fs.isdir(index_root):
+        for d in conn.fs.listdir(index_root):
             if d.startswith("v="):
                 vid = int(d[2:])
                 if vid not in committed:
-                    shutil.rmtree(os.path.join(index_root, d))
+                    conn.fs.rmtree(os.path.join(index_root, d))
                     stats["uncommitted_versions_removed"] += 1
 
     # -- (b) superseded generations ------------------------------------------
@@ -63,7 +62,7 @@ def vacuum(conn: Connection) -> dict:
                     last_full = g
             for g in gens:
                 if last_full is not None and g < last_full:
-                    shutil.rmtree(conn.index_path(vid, var, g))
+                    conn.fs.rmtree(conn.index_path(vid, var, g))
                     stats["index_gens_removed"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
@@ -85,14 +84,26 @@ def vacuum(conn: Connection) -> dict:
         else chunks.limit(0)
     )
 
-    tmp = conn.chunks_path() + ".gc"
-    shutil.rmtree(tmp, ignore_errors=True)
-    live.write.mode("overwrite").parquet(tmp)
-    kept = conn.spark.read.parquet(tmp).count()
-    old = conn.chunks_path() + ".old"
-    os.rename(conn.chunks_path(), old)
-    os.rename(tmp, conn.chunks_path())
-    shutil.rmtree(old)
+    # Generation flip instead of rename-swap: the survivors are written
+    # BESIDE the live directory as chunks.g<N>, the CHUNKS pointer file
+    # is atomically replaced to name the new generation, and only then
+    # is the old directory deleted — a concurrent reader resolves
+    # either the old or the new generation, never a missing directory
+    # (the r2 swap left a window with no chunks dir at all).  A reader
+    # that resolved the OLD generation just before the delete can still
+    # lose a race with the rmtree; vacuum remains single-maintainer and
+    # readers retry, matching the reference's destroy semantics.
+    old_path = conn.chunks_path()
+    old_name = os.path.basename(old_path.rstrip("/"))
+    gen = int(old_name.rsplit(".g", 1)[1]) + 1 if ".g" in old_name else 0
+    new_path = os.path.join(conn.path, f"chunks.g{gen}")
+    conn.fs.rmtree(new_path)
+    live.write.mode("overwrite").parquet(new_path)
+    kept = conn.spark.read.parquet(new_path).count()
+    conn.fs.replace_text(
+        os.path.join(conn.path, "CHUNKS"), f"chunks.g{gen}\n"
+    )
+    conn.fs.rmtree(old_path)
     conn.invalidate_cache()
 
     stats["chunks_kept"] = kept

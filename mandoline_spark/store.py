@@ -50,6 +50,7 @@ from typing import Any, Iterable, Mapping
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import fs as fsmod
 from .core import metadata as md
 from .core import slab as sb
 from .core.slice import Slice
@@ -89,34 +90,44 @@ class VersionConflict(Exception):
 
 @dataclass
 class Store:
-    """Catalog of datasets under a root directory
-    (Schema protocol semantics, protocol.clj:105-123)."""
+    """Catalog of datasets under a root directory or filesystem URI
+    (Schema protocol semantics, protocol.clj:105-123).  Plain roots use
+    POSIX calls; ``hdfs://``/``s3a://``/``file:/`` roots route every
+    catalog operation through the Hadoop FileSystem client — the same
+    client the Parquet data path already uses — so the catalog works
+    wherever the data lives (the reference's pluggable store backends,
+    impl.clj:77-119)."""
 
     spark: SparkSession
     root: str
+    fs: Any = None
+
+    def __post_init__(self):
+        if self.fs is None:
+            self.fs = fsmod.for_path(self.spark, self.root)
 
     def create_dataset(self, name: str) -> "Connection":
         if not _NAME_RE.match(name):
             raise ValueError(f"invalid dataset name: {name!r}")
         path = os.path.join(self.root, name)
-        if os.path.exists(path):
+        if self.fs.exists(path):
             raise ValueError(f"dataset already exists: {name}")
-        os.makedirs(os.path.join(path, "versions"))
-        os.makedirs(os.path.join(path, "index"))
-        os.makedirs(os.path.join(path, "chunks"))
+        self.fs.makedirs(os.path.join(path, "versions"))
+        self.fs.makedirs(os.path.join(path, "index"))
+        self.fs.makedirs(os.path.join(path, "chunks"))
         return self.connect(name)
 
     def destroy_dataset(self, name: str) -> None:
         """Idempotent (protocol.clj:111-116)."""
-        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        self.fs.rmtree(os.path.join(self.root, name))
 
     def list_datasets(self) -> list[str]:
-        if not os.path.isdir(self.root):
+        if not self.fs.isdir(self.root):
             return []
         return sorted(
             d
-            for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d, "versions"))
+            for d in self.fs.listdir(self.root)
+            if self.fs.isdir(os.path.join(self.root, d, "versions"))
         )
 
     def dataset_exists(self, name: str) -> bool:
@@ -124,9 +135,9 @@ class Store:
 
     def connect(self, name: str) -> "Connection":
         path = os.path.join(self.root, name)
-        if not os.path.isdir(os.path.join(path, "versions")):
+        if not self.fs.isdir(os.path.join(path, "versions")):
             raise ValueError(f"no such dataset: {name}")
-        return Connection(self.spark, path, name)
+        return Connection(self.spark, path, name, fs=self.fs)
 
 
 @dataclass
@@ -146,6 +157,7 @@ class Connection:
     path: str
     name: str
     cache_reads: bool = False
+    fs: Any = None
     _df_cache: dict = field(default_factory=dict, repr=False)
     # driver-side read-through caches (reference wrapper stack,
     # impl.clj:127-162): an LRU of raw chunk blobs (CachingChunkStore,
@@ -158,6 +170,10 @@ class Connection:
     blob_lru_size: int = 1000
     index_map_max_entries: int = 2_000_000
 
+    def __post_init__(self):
+        if self.fs is None:
+            self.fs = fsmod.for_path(self.spark, self.path)
+
     # -- version log ---------------------------------------------------------
 
     def _versions_dir(self) -> str:
@@ -166,10 +182,13 @@ class Connection:
     def versions(self) -> list[tuple[int, dict]]:
         """Committed (version_id, token) pairs, newest first."""
         out = []
-        for fn in os.listdir(self._versions_dir()):
+        for fn in self.fs.listdir(self._versions_dir()):
             if fn.endswith(".json"):
-                with open(os.path.join(self._versions_dir(), fn)) as f:
-                    token = md.parse_metadata(f.read())
+                token = md.parse_metadata(
+                    self.fs.read_text(
+                        os.path.join(self._versions_dir(), fn)
+                    )
+                )
                 out.append((int(fn[:-5]), token))
         out.sort(key=lambda kv: kv[0], reverse=True)
         return out
@@ -199,10 +218,9 @@ class Connection:
         if vid is None:
             raise ValueError("dataset has no committed versions")
         fp = os.path.join(self._versions_dir(), f"{vid}.json")
-        if not os.path.exists(fp):
+        if not self.fs.exists(fp):
             raise ValueError(f"no such committed version: {vid}")
-        with open(fp) as f:
-            return md.parse_metadata(f.read())
+        return md.parse_metadata(self.fs.read_text(fp))
 
     # -- version lifecycle ---------------------------------------------------
 
@@ -223,7 +241,9 @@ class Connection:
         """Commit: succeeds iff the token's parent is still the last
         committed version (optimistic concurrency; same semantics and
         the same admitted few-ms race window as mandoline.clj:292-310,
-        but the O_EXCL create makes the final write itself atomic)."""
+        but the exclusive create — O_EXCL locally, ``create(path,
+        overwrite=false)`` on Hadoop filesystems — makes the final
+        write itself atomic: second committer fails)."""
         vid = token["version-id"]
         if self.last_version() != token.get("parent"):
             raise VersionConflict(
@@ -231,18 +251,45 @@ class Connection:
                 f"committed version ({self.last_version()})"
             )
         fp = os.path.join(self._versions_dir(), f"{vid}.json")
-        try:
-            fd = os.open(fp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise VersionConflict(f"version {vid} already committed") from None
-        with os.fdopen(fd, "w") as f:
-            f.write(md.generate_metadata(dict(token)))
+        if not self.fs.create_exclusive(
+            fp, md.generate_metadata(dict(token))
+        ):
+            raise VersionConflict(f"version {vid} already committed")
         return vid
 
     # -- physical table handles ----------------------------------------------
 
     def chunks_path(self) -> str:
-        return os.path.join(self.path, "chunks")
+        """Active chunk-table directory.  Normally ``<path>/chunks``;
+        after a :func:`mandoline_spark.maintenance.vacuum` a pointer
+        file ``<path>/CHUNKS`` names the live generation instead —
+        vacuum writes the surviving blobs BESIDE the old directory and
+        flips the pointer, so a concurrent reader never observes a
+        moment with no chunk directory at all (the r2 rename-swap
+        window)."""
+        ptr = os.path.join(self.path, "CHUNKS")
+        try:
+            if self.fs.exists(ptr):
+                return os.path.join(
+                    self.path, self.fs.read_text(ptr).strip()
+                )
+        except OSError:
+            pass  # pointer mid-flip (Hadoop delete+rename): fall through
+        default = os.path.join(self.path, "chunks")
+        if self.fs.isdir(default):
+            return default
+        # pointer absent mid-flip after an earlier vacuum already
+        # removed the default dir: newest surviving generation wins
+        gens = [
+            d
+            for d in self.fs.listdir(self.path)
+            if d.startswith("chunks.g")
+        ]
+        if gens:
+            return os.path.join(
+                self.path, max(gens, key=lambda d: int(d.rsplit(".g", 1)[1]))
+            )
+        return default
 
     def index_path(self, version: int, var: str, gen: int | None = None) -> str:
         base = os.path.join(self.path, "index", f"v={version}", f"var={var}")
@@ -259,16 +306,18 @@ class Connection:
         :func:`mandoline_spark.maintenance.compact_index` re-materializes
         a full generation to bound the chain."""
         base = self.index_path(version, var)
-        if not os.path.isdir(base):
+        if not self.fs.isdir(base):
             return []
         gens = []
-        for d in os.listdir(base):
-            if d.startswith("g=") and _has_parquet(os.path.join(base, d)):
+        for d in self.fs.listdir(base):
+            if d.startswith("g=") and _has_parquet(
+                self.fs, os.path.join(base, d)
+            ):
                 gens.append(int(d[2:]))
         return sorted(gens)
 
     def index_gen_is_delta(self, version: int, var: str, gen: int) -> bool:
-        return os.path.exists(
+        return self.fs.exists(
             os.path.join(self.index_path(version, var, gen), "_DELTA")
         )
 
@@ -351,9 +400,10 @@ class Connection:
 
     def chunks_df(self) -> DataFrame | None:
         """(hash, blob, nbytes) or None when no chunks exist yet."""
-        if not _has_parquet(self.chunks_path()):
+        path = self.chunks_path()
+        if not _has_parquet(self.fs, path):
             return None
-        return self._maybe_cached(("chunks",), self.chunks_path())
+        return self._maybe_cached(("chunks", path), path)
 
     def _gen_df(self, version: int, var: str, gen: int) -> DataFrame:
         return self._maybe_cached(
@@ -431,26 +481,23 @@ class Connection:
     # -- stats (protocol.clj get-stats) ---------------------------------------
 
     def get_stats(self) -> dict:
-        def tree_size(p: str) -> int:
-            total = 0
-            for dirpath, _, files in os.walk(p):
-                total += sum(
-                    os.path.getsize(os.path.join(dirpath, f)) for f in files
-                )
-            return total
-
         return {
-            "metadata-size": tree_size(self._versions_dir()),
-            "index-size": tree_size(os.path.join(self.path, "index")),
-            "data-size": tree_size(self.chunks_path()),
+            "metadata-size": self.fs.tree_size(self._versions_dir()),
+            "index-size": self.fs.tree_size(os.path.join(self.path, "index")),
+            "data-size": self.fs.tree_size(self.chunks_path()),
         }
 
 
-def _has_parquet(path: str) -> bool:
-    if not os.path.isdir(path):
+def _has_parquet(fs, path: str) -> bool:
+    """True when the directory (recursively) holds any parquet file —
+    the cheap emptiness probe before handing a path to the reader."""
+    if not fs.isdir(path):
         return False
-    for dirpath, _, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+    for name in fs.listdir(path):
+        sub = os.path.join(path, name)
+        if name.endswith(".parquet"):
+            return True
+        if fs.isdir(sub) and _has_parquet(fs, sub):
             return True
     return False
 

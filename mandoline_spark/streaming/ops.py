@@ -276,19 +276,18 @@ def stream_ingest(
     from .. import writer as _writer
 
     marker_dir = os.path.join(conn.path, "_ingest_batches")
-    os.makedirs(marker_dir, exist_ok=True)
+    conn.fs.makedirs(marker_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
+        if conn.fs.exists(marker):
             return
         if batch_df.isEmpty():
             return
         token = conn.add_version(spec)
         _writer.write_pieces(conn, token, var, batch_df, index_mode=index_mode)
         conn.finish_version(token)
-        with open(marker, "w") as f:
-            f.write(str(token["version-id"]))
+        conn.fs.write_text(marker, str(token["version-id"]))
         if compact_every and len(conn.version_ids()) % compact_every == 0:
             from ..maintenance import compact_index
 

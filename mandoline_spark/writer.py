@@ -406,8 +406,7 @@ def _commit_merged(
     new_index.write.mode("overwrite").parquet(gen_path)
     if is_delta:
         # underscore-prefixed files are invisible to Parquet readers
-        with open(os.path.join(gen_path, "_DELTA"), "w"):
-            pass
+        conn.fs.write_text(os.path.join(gen_path, "_DELTA"), "")
 
 
 def ingest_aligned(
