@@ -1,0 +1,111 @@
+"""Distributed connected components — the dedup-cluster former.
+
+Near-dup pair emitters (minhash/simhash/jaccard) produce EDGES; turning
+them into "keep one document per duplicate cluster" requires the
+connected components of that graph, with a deterministic cluster label
+(the minimum member id).
+
+Scale shape: iterative min-label propagation.  Each round is one
+hash-shuffle join (neighbor labels) + one groupBy(min) — no driver-side
+graph state, edges never leave the cluster.  Rounds needed equal the
+graph diameter, and duplicate clusters are near-cliques (diameter ≤ 2-3
+in practice) so convergence is a handful of rounds even at corpus
+scale; ``max_iter`` bounds the pathological chain.  The per-round
+convergence check is a scalar ``count`` — a control-plane signal, not a
+data collect.  Each round's labels are cached and the previous round
+unpersisted, so lineage stays one round deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster) for every node in ``edges``, where ``cluster`` is
+    the minimum node id reachable from ``id`` (deterministic canonical
+    label).  Nodes appear once; isolated nodes don't exist by
+    construction (an edge list has no degree-0 entries)."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .cache()
+    )
+    labels.count()  # materialize before the loop re-references it
+    for _ in range(max_iter):
+        # each node offers its label to every neighbor; a node keeps
+        # the smallest of (its label, best offer)
+        offers = (
+            und.join(labels, und.s == labels.id)
+            .select(F.col("d").alias("id"), "cluster")
+            .groupBy("id")
+            .agg(F.min("cluster").alias("offer"))
+        )
+        new_labels = (
+            labels.join(offers, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("offer", "cluster")
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assign every document to a duplicate cluster and pick its
+    canonical representative: cluster = min reachable id over the
+    near-dup pair graph (singletons cluster with themselves), keep =
+    the member with the largest ``size_col`` (ties to the smallest id)
+    — "keep the longest copy" is the standard curation rule.  Returns
+    (cluster, keep_id, n_docs)."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    labeled = docs.select(
+        F.col(id_col).alias("id"), F.col(size_col).alias("_sz")
+    ).join(cc, "id", "left")
+    labeled = labeled.withColumn(
+        "cluster", F.coalesce("cluster", F.col("id"))
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_sz")).alias("_neg"), F.col("id").alias("id")
+                )
+            )["id"].alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("cluster")
+    )

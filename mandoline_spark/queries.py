@@ -1890,3 +1890,327 @@ def q81(spark, sf):
         .cast("bigint")
         .alias("delta_sum"),
     )
+
+
+# -- dedup-cluster pipeline + corpus analytics (round 3) ----------------------
+
+# the jaccard-pair CTE chain shared by the cluster oracles: identical to
+# _JACCARD_SQL but ending at the thresholded pair set
+_PAIR_CTES = """
+w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+      FROM documents),
+g AS (SELECT DISTINCT doc_id AS id,
+             array_to_string(ws[i+1:i+3], ' ') AS gram
+      FROM w, unnest(range(greatest(len(ws)-3, 0)+1)) t(i)
+      WHERE len(array_to_string(ws[i+1:i+3], ' ')) > 0),
+n AS (SELECT id, count(*) AS ng FROM g GROUP BY id),
+p AS (SELECT x.id AS a, y.id AS b, count(*) AS common
+      FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id
+      GROUP BY 1, 2),
+jac AS (SELECT p.a, p.b
+        FROM p JOIN n na ON na.id = p.a JOIN n nb ON nb.id = p.b
+        WHERE common * 1.0 / (na.ng + nb.ng - common) >= 0.8),
+edges AS (SELECT a, b FROM jac UNION SELECT b AS a, a AS b FROM jac),
+reach(id, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.id, e.b FROM edges e JOIN reach ON reach.r = e.a
+),
+clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+"""
+
+
+@_q(
+    "q82_neardup_clusters",
+    "WITH RECURSIVE " + _PAIR_CTES +
+    "SELECT id, cluster FROM clusters ORDER BY id",
+)
+def q82(spark, sf):
+    """Connected components of the near-dup pair graph: every paired
+    document labeled with the minimum reachable doc id.  Spark side is
+    iterative min-label propagation (operators/graph.py — one shuffle
+    join + one min-agg per round, diameter-bounded); the oracle is the
+    transitive closure as a recursive CTE."""
+    from .functions.dedup import minhash_lsh_pairs
+    from .operators.graph import connected_components
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8, n=3, k=64, bands=16)
+    return connected_components(pairs.select("a", "b")).orderBy("id")
+
+
+@_q(
+    "q83_dedup_cluster_keep",
+    "WITH RECURSIVE " + _PAIR_CTES + """,
+lab AS (SELECT d.doc_id, d.n_chars,
+               coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+sel AS (SELECT cluster, doc_id,
+               first_value(doc_id) OVER (
+                   PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id
+               ) AS keep_id
+        FROM lab)
+SELECT cluster, keep_id, count(*) AS n_docs
+FROM sel GROUP BY cluster, keep_id ORDER BY cluster""",
+)
+def q83(spark, sf):
+    """The full near-dup curation pipeline: pair graph → clusters →
+    one canonical survivor per cluster (longest text, ties to lowest
+    id) — the operation a 100 TB training-data pipeline runs to drop
+    duplicate documents while keeping the best copy."""
+    from .functions.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8, n=3, k=64, bands=16)
+    return dedup_clusters(d, pairs.select("a", "b"))
+
+
+@_q(
+    "q84_tfidf_top_term",
+    """WITH t AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '')) AS word
+       FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM t),
+sc AS (SELECT tf.doc_id, tf.word,
+              tf.tf * ln(nd.n * 1.0 / df.df) AS score
+       FROM tf JOIN df USING (word) CROSS JOIN nd),
+rk AS (SELECT doc_id, word, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word) AS rn
+       FROM sc)
+SELECT doc_id, word AS top_term, round(score, 6) AS tfidf
+FROM rk WHERE rn = 1 ORDER BY doc_id""",
+)
+def q84(spark, sf):
+    """Highest-TF-IDF term per document (word level).  One exploded
+    token pass feeds both tf and df; N and df arrive at the scoring
+    join as broadcastable aggregates — the corpus-sized side shuffles
+    once on word."""
+    d = load_documents_wide(spark, sf)
+    t = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = t.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = t.select(F.count_distinct("doc_id").alias("n"))
+    sc = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("n") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q85_vocab_df_topk",
+    """WITH t AS (SELECT DISTINCT doc_id,
+            unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '')) AS word
+       FROM documents)
+SELECT word, count(*) AS df FROM t GROUP BY word
+ORDER BY df DESC, word LIMIT 20""",
+)
+def q85(spark, sf):
+    """Vocabulary head: the 20 terms present in the most documents —
+    the stop-word discovery scan every corpus-curation run starts
+    with."""
+    d = load_documents_wide(spark, sf)
+    t = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            )
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    return (
+        t.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(20)
+    )
+
+
+@_q(
+    "q86_event_funnel",
+    """WITH f AS (SELECT user_id,
+            min(ts) FILTER (event_type = 'view') AS tv,
+            min(ts) FILTER (event_type = 'click') AS tc,
+            min(ts) FILTER (event_type = 'purchase') AS tp
+       FROM events GROUP BY user_id)
+SELECT count(*) FILTER (tv IS NOT NULL) AS viewers,
+       count(*) FILTER (tv IS NOT NULL AND tc > tv) AS clickers,
+       count(*) FILTER (tv IS NOT NULL AND tc > tv AND tp > tc)
+           AS purchasers
+FROM f""",
+)
+def q86(spark, sf):
+    """Strict-order conversion funnel (first view → later first click
+    → later first purchase) — one groupBy(user) with conditional min
+    aggregates, one shuffle total."""
+    e = load_events(spark, sf)
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    return f.agg(
+        F.count(F.when(F.col("tv").isNotNull(), 1)).alias("viewers"),
+        F.count(
+            F.when(F.col("tv").isNotNull() & (F.col("tc") > F.col("tv")), 1)
+        ).alias("clickers"),
+        F.count(
+            F.when(
+                F.col("tv").isNotNull()
+                & (F.col("tc") > F.col("tv"))
+                & (F.col("tp") > F.col("tc")),
+                1,
+            )
+        ).alias("purchasers"),
+    )
+
+
+@_q(
+    "q87_label_cohesion",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+            FROM embeddings),
+u AS (SELECT label, i, emb[i] AS v
+      FROM e, unnest(range(1, len(emb) + 1)) t(i)),
+m AS (SELECT label, i, avg(v) AS av FROM u GROUP BY 1, 2),
+c AS (SELECT label, array_agg(av ORDER BY i) AS cent FROM m GROUP BY 1)
+SELECT e.label,
+       round(avg(list_cosine_similarity(e.emb, c.cent)), 6) AS cohesion,
+       count(*) AS n
+FROM e JOIN c USING (label) GROUP BY e.label ORDER BY e.label""",
+)
+def q87(spark, sf):
+    """Cluster cohesion: mean-pooled centroid per label (elementwise
+    avg via posexplode + groupBy(label, pos) — the scalable mean-pool
+    shape) and the average cosine of members to their centroid."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    u = e.select("label", F.posexplode("emb").alias("i", "v"))
+    cent = (
+        u.groupBy("label", "i")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "av"))),
+                lambda s: s["av"],
+            ).alias("cent")
+        )
+    )
+    j = e.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("emb", "cent", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    j = j.withColumn("_d", dot).withColumn(
+        "_cos", F.col("_d") / (norm(F.col("emb")) * norm(F.col("cent")))
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.round(F.avg("_cos"), 6).alias("cohesion"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
+    "q88_bow_dup_groups",
+    """WITH f AS (SELECT doc_id,
+            array_to_string(list_sort(list_distinct(
+                list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x != ''))), ' ') AS bow
+       FROM documents)
+SELECT min(doc_id) AS rep, count(*) AS n_docs
+FROM f GROUP BY bow HAVING count(*) > 1 ORDER BY rep""",
+)
+def q88(spark, sf):
+    """Bag-of-words duplicate groups: documents identical up to word
+    order and multiplicity (normalized-content dedup — catches
+    shuffled/re-joined copies exact hashing misses).  One projection
+    per doc, one groupBy of the (small) fingerprint."""
+    d = load_documents_wide(spark, sf)
+    bow = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            )
+        ),
+        " ",
+    )
+    return (
+        d.select("doc_id", bow.alias("bow"))
+        .groupBy("bow")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("rep", "n_docs")
+        .orderBy("rep")
+    )
+
+
+@_q(
+    "q89_event_transitions",
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+       FROM events)
+SELECT prev, event_type AS next, count(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, next ORDER BY prev, next""",
+)
+def q89(spark, sf):
+    """Event-transition matrix (first-order Markov counts) per user
+    session stream: one window pass partitioned by user (ties broken
+    by event_id for determinism), then a global count of (prev, next)
+    pairs."""
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        s.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev", "next")
+    )

@@ -173,3 +173,42 @@ def test_salted_join_matches_plain_join(spark):
         .first()
     )
     assert (a["c"], float(a["s"])) == (b["c"], float(b["s"]))
+
+
+# -- connected components (operators/graph.py) --------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (worst-case diameter), a triangle, and a 2-clique
+    all label to their minimum member."""
+    from mandoline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        (r.id, r.cluster) for r in connected_components(edges).collect()
+    }
+    assert got == (
+        {(i, 1) for i in (1, 2, 3, 4)}
+        | {(i, 10) for i in (10, 11, 12)}
+        | {(i, 20) for i in (20, 21)}
+    )
+
+
+def test_dedup_clusters_keep_longest(spark):
+    from mandoline_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = [
+        (r.cluster, r.keep_id, r.n_docs)
+        for r in dedup_clusters(docs, pairs).collect()
+    ]
+    # cluster 1 = {1,2,3}: longest are 2 and 3 (30 chars), tie -> id 2;
+    # doc 4 is a singleton cluster of itself
+    assert got == [(1, 2, 3), (4, 4, 1)]
