@@ -37,6 +37,9 @@ def connected_components(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
         )
         .distinct()
+        .cache()  # every round joins und: without this the upstream
+        # pair pipeline (e.g. the whole minhash computation) would
+        # re-run once per iteration
     )
     labels = (
         und.select(F.col("s").alias("id"))
@@ -74,6 +77,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    und.unpersist()
     return labels
 
 

@@ -1998,11 +1998,13 @@ def q84(spark, sf):
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("word"),
     ).where(F.col("word").isNotNull())
+    # tf first; df and N DERIVE from tf's aggregate so all three
+    # branches share the one token-explode exchange (ReuseExchange
+    # dedups identical subtrees — three independent groupBys over `t`
+    # would each re-run the corpus explode)
     tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = t.groupBy("word").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    nd = t.select(F.count_distinct("doc_id").alias("n"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nd = tf.select(F.count_distinct("doc_id").alias("n"))
     sc = (
         tf.join(df_, "word")
         .crossJoin(F.broadcast(nd))
