@@ -167,20 +167,18 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("common"))
         )
     else:
-        hot = (
-            g.groupBy("gram")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("gram")
+        # A gram's posting-list length IS its document frequency (one
+        # distinct row per (id, gram)), so the stop-shingle drop is a
+        # size filter on the posting lists themselves — no separate
+        # df-count shuffle, no anti-join back onto the exploded stream
+        # (the r2 shape paid both: measured +22% on the declared q37).
+        posts = _posting_lists(g.drop("ng"), ["gram"], []).filter(
+            F.size("_ids") <= max_df
         )
-        g = g.drop("ng").join(hot, "gram", "left_anti")
-        posts = _posting_lists(g, ["gram"], [])
         # dropping stop-shingles changes each doc's effective set size,
-        # so recount post-filter.  Both the recount and the pairs derive
-        # from ``posts`` — the same groupBy(gram) exchange, which Spark
-        # reuses, so the gram pipeline and the anti-join run once — and
-        # the recounted sizes join onto the (tiny) aggregated pair
-        # stream, not back onto the full exploded gram stream.
+        # so recount post-filter; the recounted sizes join onto the
+        # (tiny) aggregated pair stream, not back onto the full
+        # exploded gram stream.
         sizes = (
             posts.select(F.explode("_ids").alias("_x"))
             .groupBy(F.col("_x.id").alias("id"))
