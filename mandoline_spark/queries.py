@@ -1975,7 +1975,7 @@ def q83(spark, sf):
        FROM documents),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
 df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
-nd AS (SELECT count(DISTINCT doc_id) AS n FROM t),
+nd AS (SELECT count(*) AS n FROM documents),
 sc AS (SELECT tf.doc_id, tf.word,
               tf.tf * ln(nd.n * 1.0 / df.df) AS score
        FROM tf JOIN df USING (word) CROSS JOIN nd),
@@ -1998,15 +1998,19 @@ def q84(spark, sf):
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("word"),
     ).where(F.col("word").isNotNull())
-    # tf first; df and N DERIVE from tf's aggregate so all three
-    # branches share the one token-explode exchange (ReuseExchange
-    # dedups identical subtrees — three independent groupBys over `t`
-    # would each re-run the corpus explode)
+    # ONE corpus explode: df is a count-over-window on the (already
+    # aggregated, corpus-much-smaller) tf rows — a join of separately
+    # derived tf/df/N branches re-runs the explode per branch, because
+    # per-branch column pruning specializes each aggregate and defeats
+    # ReuseExchange.  N is the plain document count, read with a
+    # column-pruned scan of the base table, broadcast as one row.
     tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    nd = tf.select(F.count_distinct("doc_id").alias("n"))
+    df_w = Window.partitionBy("word")
+    nd = load(spark, sf, "documents").select(
+        F.count("*").alias("n")
+    )
     sc = (
-        tf.join(df_, "word")
+        tf.withColumn("df", F.count("*").over(df_w))
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score", F.col("tf") * F.log(F.col("n") / F.col("df"))
