@@ -2220,3 +2220,143 @@ def q89(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("prev", "next")
     )
+
+
+@_q(
+    "q90_resample_ffill",
+    """WITH bounds AS (SELECT min(date_trunc('day', ts)) AS d0,
+                       max(date_trunc('day', ts)) AS d1 FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+grid AS (SELECT u.user_id, t.d
+         FROM users u CROSS JOIN bounds b,
+              unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) t(d)),
+daily AS (SELECT user_id, d, value FROM (
+    SELECT user_id, date_trunc('day', ts) AS d, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+ff AS (SELECT g.user_id, g.d,
+              last_value(daily.value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS v
+       FROM grid g LEFT JOIN daily USING (user_id, d))
+SELECT user_id, d, round(v, 6) AS v FROM ff ORDER BY user_id, d""",
+)
+def q90(spark, sf):
+    """Time-series resampling with forward fill: every (user, day) grid
+    cell carries the user's last observed value at or before that day —
+    gap filling for irregular event streams.  The grid is generated
+    with sequence/explode (no driver loop), the per-day last value is
+    one window pass, and the fill is last-ignorenulls over the grid —
+    two shuffles on user, both O(grid)."""
+    e = load_events(spark, sf)
+    daily_w = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", "value")
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    ff_w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "d"], "left")
+        .withColumn("v", F.round(
+            F.last("value", ignorenulls=True).over(ff_w), 6
+        ))
+        .select("user_id", "d", "v")
+        .orderBy("user_id", "d")
+    )
+
+
+@_q(
+    "q91_star_join",
+    "SELECT n_name, year(o_orderdate) AS y, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev, "
+    "count(*) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name, y ORDER BY n_name, y",
+)
+def q91(spark, sf):
+    """Star-schema join (TPC-H Q5 core): the fact table joins three
+    dimensions; customer→nation broadcast, lineitem→orders as the one
+    big shuffle — the plan shape Catalyst's join reordering + AQE
+    should produce, pinned by the declared result."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("rev"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_name", "y")
+    )
+
+
+@_q(
+    "q92_word_entropy",
+    """WITH t AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '')) AS word
+       FROM documents),
+f AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total
+      FROM f GROUP BY doc_id)
+SELECT f.doc_id,
+       round(-sum((c * 1.0 / total) * ln(c * 1.0 / total)), 6) AS entropy
+FROM f JOIN n USING (doc_id) GROUP BY f.doc_id ORDER BY f.doc_id""",
+)
+def q92(spark, sf):
+    """Shannon entropy of each document's word distribution — the
+    repetitiveness/quality signal curation pipelines threshold on.
+    One explode, one (doc, word) aggregate; the per-doc total is a
+    window sum over that aggregate (no second corpus pass, same
+    rationale as q84)."""
+    d = load_documents_wide(spark, sf)
+    t = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    f = t.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    total_w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(total_w)
+    return (
+        f.withColumn("_term", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum("_term"), 6).alias("entropy"))
+        .orderBy("doc_id")
+    )
