@@ -239,3 +239,21 @@ def test_version_diff_skips_hash_tied_fill(store):
     assert {(r.dim0, r.value_a, r.value_b) for r in diff} == {
         (x, 7, 9) for x in range(4, 8)
     }
+
+
+@pytest.mark.parametrize("qname", ["q84_tfidf_top_term", "q92_word_entropy"])
+def test_token_analytics_explode_corpus_once(spark, qname):
+    """q84/q92 are single-corpus-pass plans: per-branch column pruning
+    specializes aggregates and defeats ReuseExchange, so a tf/df/N join
+    shape silently re-ran the token explode 3x.  Pin: exactly one
+    Generate node."""
+    plan = _optimized_plan(QUERIES[qname](spark, SF))
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """q91: the fact-table shuffle is the only big exchange; customer
+    and nation arrive broadcast."""
+    q = QUERIES["q91_star_join"](spark, SF)
+    plan = explain_str(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
