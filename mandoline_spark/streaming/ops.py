@@ -123,6 +123,37 @@ _SESSION_STATE = T.StructType(
 )
 
 
+def dedup_stream(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop any record whose CONTENT hash was
+    already seen — the ingestion-side gate a training-data pipeline
+    runs so duplicates never reach storage.
+
+    ``dropDuplicates`` on the content hash keeps per-key state in the
+    state store (first writer wins, exactly-once under replay because
+    the state is checkpointed with the batch).  Without ``ts_col`` the
+    state grows with the number of DISTINCT contents forever — the
+    correct global-dedup semantics, sized by one 8-byte hash per
+    distinct document.  With ``ts_col`` the check is bounded to the
+    watermark horizon (``dropDuplicatesWithinWatermark``): duplicates
+    farther apart than the delay are admitted, and state is evicted —
+    the shape for unbounded streams where near-in-time duplicates are
+    the target (crawler re-fetches, retry storms)."""
+    hashed = df.withColumn("_h", F.xxhash64(F.col(content_col)))
+    if ts_col is None:
+        return hashed.dropDuplicates(["_h"]).drop("_h")
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 def sessionize_stateful(
     events: DataFrame, gap_minutes: int = 10, watermark: str = "5 minutes"
 ) -> DataFrame:

@@ -334,3 +334,37 @@ def test_stream_ingest_auto_compaction(spark, tmp_path, store):
         conn, conn.metadata(v2), "v", sl.mk_slice((0, 0), (8, 8))
     ).data
     np.testing.assert_array_equal(got, want)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Global streaming dedup: a content re-sent in a LATER micro-batch
+    is dropped (first writer wins), distinct contents all pass."""
+    import pandas as pd
+
+    from mandoline_spark.streaming.ops import dedup_stream, run_available_now
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); batch 2
+    # repeats one content from batch 1 and adds a new one
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, "alpha beta"), (4, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = dedup_stream(stream, content_col="text", id_col="doc_id")
+    run_available_now(out, "dedup_out", "append", str(tmp_path / "ck"))
+    got = {
+        (r.doc_id, r.text) for r in spark.table("dedup_out").collect()
+    }
+    kept_texts = {t for _, t in got}
+    assert kept_texts == {"alpha beta", "gamma delta", "epsilon zeta"}
+    # the duplicate content survives exactly once, from its first batch
+    assert sum(1 for _, t in got if t == "alpha beta") == 1
