@@ -110,9 +110,9 @@ def test_vacuum_flips_chunk_generations(spark, tmp_path, root_kind):
     t1 = conn.add_version(_spec())
     _write(conn, t1, np.arange(8))
     conn.finish_version(t1)
-    # overwrite everything in v2 so v1-only chunks become garbage once
-    # v1's index is the only reference... both committed versions stay
-    # live here, so first vacuum only rewrites, removing nothing
+    # both committed versions stay live, so each vacuum only rewrites
+    # the chunk table (removing nothing) — the swap mechanics are what
+    # this test exercises
     t2 = conn.add_version(_spec())
     _write(conn, t2, np.arange(8) + 50)
     conn.finish_version(t2)
@@ -133,3 +133,22 @@ def test_vacuum_flips_chunk_generations(spark, tmp_path, root_kind):
     assert conn.chunks_path().endswith("chunks.g1")
     assert read_all() == before
     assert s1["chunks_removed"] == 0 and s2["chunks_removed"] == 0
+
+
+def test_chunks_path_survives_missing_pointer(spark, tmp_path):
+    """Mid-flip simulation: if the CHUNKS pointer is momentarily absent
+    (Hadoop replace = delete + rename) after the default dir is gone,
+    chunks_path resolves the newest surviving generation instead of
+    silently reporting an empty store."""
+    store = Store(spark, str(tmp_path))
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(_spec())
+    _write(conn, t1, np.arange(8))
+    conn.finish_version(t1)
+    vacuum(conn)
+    assert conn.chunks_path().endswith("chunks.g0")
+    os.remove(os.path.join(conn.path, "CHUNKS"))  # the flip window
+    assert conn.chunks_path().endswith("chunks.g0")
+    tok = reader.on_last_version(conn)
+    got = reader.get_slice(conn, tok, "v", sl.mk_slice((0,), (8,)))
+    assert got.data.tolist() == list(range(8))
