@@ -2360,3 +2360,179 @@ def q92(spark, sf):
         .agg(F.round(-F.sum("_term"), 6).alias("entropy"))
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q93_boilerplate_prefix_groups",
+    """WITH f AS (SELECT doc_id, substr(text, 1, 50) AS pre
+       FROM documents)
+SELECT min(doc_id) AS rep, count(*) AS n_docs
+FROM f GROUP BY pre HAVING count(*) > 1 ORDER BY rep""",
+)
+def q93(spark, sf):
+    """Boilerplate detection: documents sharing their first 50
+    characters (headers, templates, crawler artifacts) grouped to a
+    representative — one projection + one groupBy of a 50-byte key."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.substring("text", 1, 50).alias("pre"))
+        .groupBy("pre")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("rep", "n_docs")
+        .orderBy("rep")
+    )
+
+
+@_q(
+    "q94_rare_token_docs",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+           FROM documents),
+t AS (SELECT DISTINCT doc_id AS id, unnest(ws) AS word FROM w),
+tw AS (SELECT id, word FROM t WHERE word != ''),
+rare AS (SELECT word FROM tw GROUP BY word
+         HAVING count(*) <= (SELECT count(*) * 0.1 FROM documents))
+SELECT id AS doc_id, count(*) AS n_rare
+FROM tw WHERE word IN (SELECT word FROM rare)
+GROUP BY id ORDER BY doc_id""",
+)
+def q94(spark, sf):
+    """Rare-token screen: documents carrying words whose document
+    frequency is ≤ 10% of the corpus — the contamination/canary scan a
+    curation pipeline runs (rare tokens are where leaked secrets and
+    eval-set canaries live; the relative cutoff keeps the scan
+    meaningful at any corpus size, and this fixture's rarest words sit
+    at 5%).  The df filter keeps ONLY rare words before any further
+    work, so unlike a containment/pair join the hot keys die at the
+    first aggregate: one word-keyed shuffle, output bounded by the
+    rare-word postings."""
+    d = load_documents_wide(spark, sf)
+    tw = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.filter(F.split("text", r"\s+"), lambda x: x != "")
+                )
+            ).alias("word"),
+        )
+        .where(F.col("word").isNotNull())
+    )
+    nd = load(spark, sf, "documents").select(
+        F.count("*").alias("_nd")
+    )
+    rare = (
+        tw.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.col("_nd") * 0.1)
+        .select("word")
+    )
+    return (
+        tw.join(rare, "word", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rare"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q95_source_token_share",
+    """WITH s AS (SELECT source,
+            CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x != ''))) AS BIGINT) AS words,
+            count(*) AS docs
+       FROM documents GROUP BY source)
+SELECT source, words, docs,
+       round(words * 100.0 / sum(words) OVER (), 4) AS pct
+FROM s ORDER BY source""",
+)
+def q95(spark, sf):
+    """Per-source token budget: word volume, document count, and each
+    source's share of the corpus — the mixture report a training-data
+    pipeline checks before sampling.  Share-of-total is a window over
+    the tiny aggregate, not a second corpus pass."""
+    d = load_documents_wide(spark, sf)
+    words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    s = d.groupBy("source").agg(
+        F.sum(words).cast("bigint").alias("words"),
+        F.count("*").alias("docs"),
+    )
+    return (
+        s.withColumn(
+            "pct",
+            F.round(
+                F.col("words") * 100.0
+                / F.sum("words").over(Window.partitionBy()),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "q96_embedding_hygiene",
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb
+            FROM embeddings),
+s AS (SELECT label,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e)
+SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       CAST(count(*) FILTER (nrm = 0) AS BIGINT) AS zeros
+FROM s GROUP BY label ORDER BY label""",
+)
+def q96(spark, sf):
+    """Embedding hygiene audit per label: count, norm statistics, and
+    zero-vector tally — the sanity scan run before any similarity or
+    ANN job (zero vectors break cosine).  Pure JVM column arithmetic."""
+    e = load(spark, sf, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zeros"),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
+    "q97_above_nation_avg",
+    """WITH a AS (SELECT c_nationkey, avg(c_acctbal) AS nat_avg
+       FROM customer GROUP BY c_nationkey)
+SELECT n_name, count(*) AS n_above
+FROM customer JOIN a USING (c_nationkey)
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > nat_avg
+GROUP BY n_name ORDER BY n_name""",
+)
+def q97(spark, sf):
+    """Correlated-aggregate decorrelation: customers above their own
+    nation's average balance — the classic correlated scalar subquery,
+    executed as a broadcast join against the per-nation aggregate
+    (one customer shuffle, no per-row subquery)."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    a = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nat_avg"))
+    return (
+        c.join(F.broadcast(a), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy("n_name")
+    )
