@@ -115,6 +115,14 @@ class Store:
         self.fs.makedirs(os.path.join(path, "versions"))
         self.fs.makedirs(os.path.join(path, "index"))
         self.fs.makedirs(os.path.join(path, "chunks"))
+        # makedirs is idempotent on every backend, so two racing
+        # creators would both succeed and both believe they won; the
+        # exclusive marker is the arbiter — exactly one create returns
+        # (the reference's concurrent-create contract, test/protocol/
+        # schema.clj:145-182).  The loser raises without deleting
+        # anything: the directories are the winner's.
+        if not self.fs.create_exclusive(os.path.join(path, ".created"), ""):
+            raise ValueError(f"dataset already exists: {name}")
         return self.connect(name)
 
     def destroy_dataset(self, name: str) -> None:

@@ -257,3 +257,42 @@ def test_star_join_broadcasts_dimensions(spark):
     q = QUERIES["q91_star_join"](spark, SF)
     plan = explain_str(q)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_version_diff_nan_to_nan_is_unchanged(store):
+    """Float diff semantics: NaN -> NaN does not count as a change
+    (IEEE != would say it does); a real value change in the same chunk
+    still surfaces."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("dsf")
+    dds = {
+        "dimensions": {"x": 4},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "double", "shape": ["x"], "fill-value": 0.0}
+        },
+    }
+    t1 = conn.add_version(dds)
+    writer.write_variable(
+        conn, t1, "v",
+        [sb.Slab(np.array([1.0, np.nan, 3.0, 4.0]),
+                 sl.mk_slice((0,), (4,)))],
+    )
+    conn.finish_version(t1)
+    t2 = conn.add_version(dds)
+    writer.write_variable(
+        conn, t2, "v",
+        [sb.Slab(np.array([1.0, np.nan, 30.0, 4.0]),
+                 sl.mk_slice((0,), (4,)))],
+    )
+    conn.finish_version(t2)
+
+    ta = reader.on_nth_version(conn, 0)
+    tb = reader.on_nth_version(conn, -1)
+    diff = reader.diff_cells_df(conn, ta, tb, "v").collect()
+    assert [(r.dim0, r.value_a, r.value_b) for r in diff] == [(2, 3.0, 30.0)]

@@ -190,3 +190,36 @@ def test_chunk_rewrite_same_content_is_noop(store):
     t2 = conn.add_version(spec)
     _write_batch(conn, t2, payloads)
     assert conn.chunks_df().count() == before
+
+
+def test_concurrent_create_has_one_winner(spark, tmp_path):
+    """Racing creators of the same dataset: exactly one create returns,
+    the rest raise, and the dataset is usable afterwards (the
+    reference's multi-threaded Schema contract, schema.clj:145-182).
+    makedirs alone is idempotent on every backend, so without the
+    exclusive marker every racer would 'win'."""
+    import threading
+
+    store = Store(spark, str(tmp_path))
+    results: list[str] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(4)
+
+    def racer():
+        barrier.wait()
+        try:
+            store.create_dataset("ds")
+            outcome = "won"
+        except ValueError:
+            outcome = "lost"
+        with lock:
+            results.append(outcome)
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == ["lost", "lost", "lost", "won"]
+    assert store.list_datasets() == ["ds"]
+    assert store.connect("ds").name == "ds"
