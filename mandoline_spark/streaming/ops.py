@@ -104,6 +104,44 @@ def session_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "15 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events for the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the enrichment shape (clicks
+    joined to the views that preceded them, readings to calibration
+    events).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range in BOTH directions, which is what lets Spark evict
+    buffered rows: without the time bound a stream-stream join must
+    keep every row forever.  State per key is O(events within
+    lookback + watermark)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rcols = [
+        F.col(c).alias(f"{right_prefix}{c}")
+        for c in rw.columns
+        if c != on
+    ]
+    rw = rw.select(F.col(on), *rcols)
+    rts = f"{right_prefix}{right_ts}"
+    cond = (
+        (lw[on] == rw[on])
+        & (F.col(rts) <= F.col(left_ts))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"interval {lookback}"))
+    )
+    return lw.join(rw, cond).drop(rw[on])
+
+
 _SESSION_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

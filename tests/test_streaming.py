@@ -368,3 +368,50 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert kept_texts == {"alpha beta", "gamma delta", "epsilon zeta"}
     # the duplicate content survives exactly once, from its first batch
     assert sum(1 for _, t in got if t == "alpha beta") == 1
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join equals the identical batch join, and
+    only right rows within the lookback window pair up."""
+    from pyspark.sql import functions as F
+
+    from mandoline_spark.streaming.ops import (
+        interval_join_streams,
+        run_available_now,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    base = "2024-01-01 10:{m:02d}:00"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, u, base.format(m=m), v) for i, (u, m, v) in enumerate(rows)],
+            "event_id long, user_id long, ts_s string, value double",
+        ).select(
+            "event_id", "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        )
+
+    # left clicks at :10 and :30; right views at :05, :08, :25 —
+    # lookback 10m pairs click:10 with views :05/:08, click:30 with :25
+    mk([(1, 10, 1.0), (1, 30, 2.0)]).write.parquet(str(lsrc))
+    mk([(1, 5, 9.0), (1, 8, 8.0), (1, 25, 7.0), (2, 9, 6.0)]).write.parquet(
+        str(rsrc)
+    )
+
+    def stream(p):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            ).parquet(str(p))
+        )
+
+    joined = interval_join_streams(
+        stream(lsrc), stream(rsrc), on="user_id", lookback="10 minutes"
+    )
+    run_available_now(joined, "ij_out", "append", str(tmp_path / "ck"))
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.table("ij_out").collect()
+    }
+    assert got == {(0, 0), (0, 1), (1, 2)}
