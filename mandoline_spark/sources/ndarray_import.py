@@ -133,3 +133,55 @@ def import_xarray(
     return import_arrays(
         store, dataset, arrays, dim_names, chunks or default_chunks, fills
     )
+
+
+def export_arrays(
+    conn: Connection,
+    token: Mapping[str, Any] | None = None,
+    variables: list[str] | None = None,
+) -> dict[str, np.ndarray]:
+    """Read variables back at full extent as numpy arrays (the return
+    leg of the ndarray interop: import → query/version → export).
+    Defaults to the last committed version and every variable.  Each
+    array materializes on the driver — this is the interop exit for
+    results that fit one machine; stay on the cells/diff DataFrames for
+    anything bigger."""
+    from .. import reader
+    from ..core import metadata as md
+
+    if token is None:
+        token = reader.on_last_version(conn)
+    names = variables or list(token.get("variables", {}))
+    out: dict[str, np.ndarray] = {}
+    for var in names:
+        extent = md.get_var_slice(token, var)
+        out[var] = reader.get_slice(conn, token, var, extent).data
+    return out
+
+
+def export_xarray(
+    conn: Connection,
+    token: Mapping[str, Any] | None = None,
+) -> "object":
+    """Store → ``xarray.Dataset`` (write out with ``to_netcdf`` /
+    ``to_zarr``).  Import-gated like :func:`import_xarray`; dimension
+    names and fill values round-trip from the dataset definition."""
+    try:
+        import xarray
+    except ImportError as exc:  # pragma: no cover - xarray absent here
+        raise ImportError(
+            "xarray is required for NetCDF/Zarr export; install xarray "
+            "or use export_arrays for plain numpy"
+        ) from exc
+    from .. import reader
+    from ..core import metadata as md
+
+    if token is None:
+        token = reader.on_last_version(conn)
+    data_vars = {}
+    for var in token.get("variables", {}):
+        arr = export_arrays(conn, token, [var])[var]
+        dims = md.get_variable_dimensions(token, var)
+        attrs = {"_FillValue": md.get_fill(token, var)}
+        data_vars[var] = xarray.DataArray(arr, dims=dims, attrs=attrs)
+    return xarray.Dataset(data_vars)

@@ -75,3 +75,44 @@ def test_xarray_gate_gives_guidance(store):
         pass
     with pytest.raises(ImportError, match="xarray is required"):
         import_xarray(store, "ds", FakeXr())
+
+
+def test_export_arrays_roundtrip(spark, store):
+    """import → export round-trips every variable bit for bit, and a
+    version token pins the export for time travel."""
+    import numpy as np
+
+    from mandoline_spark import reader
+    from mandoline_spark.sources.ndarray_import import (
+        export_arrays,
+        import_arrays,
+    )
+
+    t = np.arange(24, dtype=np.int32).reshape(4, 6)
+    p = np.linspace(0, 1, 24).reshape(4, 6)
+    conn = import_arrays(
+        store, "rt", {"t": t, "p": p},
+        {"t": ["x", "y"], "p": ["x", "y"]}, {"x": 2, "y": 3},
+    )
+    got = export_arrays(conn)
+    assert (got["t"] == t).all()
+    np.testing.assert_array_equal(got["p"], p)
+
+    # a second version overwrites a corner; the old token still exports
+    # the original
+    tok0 = reader.on_nth_version(conn, 0)
+    spec = conn.metadata()
+    tk = conn.add_version(spec)
+    from mandoline_spark import writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    writer.write_variable(
+        conn, tk, "t",
+        [sb.Slab(np.full((2, 2), 99, np.int32), sl.mk_slice((0, 0), (2, 2)))],
+    )
+    conn.finish_version(tk)
+    new = export_arrays(conn)["t"]
+    assert new[0, 0] == 99 and new[3, 5] == t[3, 5]
+    old = export_arrays(conn, tok0)["t"]
+    assert (old == t).all()
