@@ -32,7 +32,9 @@ def _driver_order() -> list[str]:
     changed = ["q19_string_funcs", "q37_ngram_jaccard", "q38_simhash_neardup"]
 
     def num(name: str) -> int:
-        return int(name[1:3])
+        import re
+
+        return int(re.match(r"q(\d+)", name).group(1))
 
     head = sorted((n for n in QUERIES if num(n) >= 51), key=num)
     head += [n for n in changed if n in QUERIES]
