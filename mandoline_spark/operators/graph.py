@@ -41,13 +41,18 @@ def connected_components(
         # pair pipeline (e.g. the whole minhash computation) would
         # re-run once per iteration
     )
+    # localCheckpoint (not cache) each round: caching materializes the
+    # DATA but the logical plan still nests every earlier round, so by
+    # ~25 rounds the planner itself OOMs the driver (observed on a
+    # 30-node chain).  Checkpointing truncates the lineage to the
+    # materialized blocks — plan size stays O(1) per round.
     labels = (
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()  # materialize before the loop re-references it
+    converged = False
     for _ in range(max_iter):
         # each node offers its label to every neighbor; a node keeps
         # the smallest of (its label, best offer)
@@ -65,7 +70,7 @@ def connected_components(
                     F.col("cluster"), F.coalesce("offer", "cluster")
                 ).alias("cluster"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -73,11 +78,20 @@ def connected_components(
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # partial labels are silently WRONG (a path longer than
+        # max_iter hasn't finished propagating its minimum) — fail
+        # loudly; callers with genuinely deep graphs raise max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; the graph has a component with a longer diameter "
+            "— raise max_iter"
+        )
     return labels
 
 

@@ -212,3 +212,23 @@ def test_dedup_clusters_keep_longest(spark):
     # cluster 1 = {1,2,3}: longest are 2 and 3 (30 chars), tie -> id 2;
     # doc 4 is a singleton cluster of itself
     assert got == [(1, 2, 3), (4, 4, 1)]
+
+
+def test_connected_components_long_chain_converges_or_raises(spark):
+    """A 30-node chain needs ~29 propagation rounds: with enough
+    iterations the labels are exact; with too few the operator must
+    FAIL rather than silently return half-propagated labels."""
+    import pytest
+
+    from mandoline_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "a long, b long"
+    )
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components(chain, max_iter=40).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 31)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
