@@ -223,3 +223,80 @@ def test_concurrent_create_has_one_winner(spark, tmp_path):
     assert sorted(results) == ["lost", "lost", "lost", "won"]
     assert store.list_datasets() == ["ds"]
     assert store.connect("ds").name == "ds"
+
+
+# -- MVCC overlay model property ----------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[
+    HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+])
+@given(
+    versions=st.lists(
+        st.tuples(
+            st.lists(  # writes within the version
+                st.tuples(
+                    st.sampled_from(["full", "delta"]),
+                    st.integers(min_value=0, max_value=9),  # start
+                    st.integers(min_value=1, max_value=3),  # length
+                    st.integers(min_value=1, max_value=99),  # value seed
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+            st.booleans(),  # compact after commit?
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_mvcc_overlay_matches_model(spark, tmp_path_factory, versions):
+    """Random interleavings of full/delta writes, commits, and
+    compactions against a numpy model: every committed version's full
+    read equals 'previous version's content patched by this version's
+    writes in order' — the reference's overwrite semantics
+    (test/overwrite.clj:52-64) under the delta-overlay machinery."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.maintenance import compact_index
+
+    N, FILL = 12, -1
+    root = str(tmp_path_factory.mktemp("mvcc"))
+    conn = Store(spark, root).create_dataset("ds")
+    spec = {
+        "dimensions": {"x": N},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": FILL}
+        },
+    }
+    model: list[np.ndarray] = []
+    committed: list[int] = []
+    content = np.full(N, FILL, np.int32)
+    for writes, do_compact in versions:
+        token = conn.add_version(spec)
+        for mode, start, length, seed in writes:
+            stop = min(start + length, N)
+            vals = (np.arange(start, stop, dtype=np.int32) + seed * 7) % 100
+            writer.write_variable(
+                conn, token, "v",
+                [sb.Slab(vals, sl.mk_slice((start,), (stop,)))],
+                index_mode=mode,
+            )
+            content = content.copy()
+            content[start:stop] = vals
+        vid = conn.finish_version(token)
+        committed.append(vid)
+        model.append(content.copy())
+        if do_compact:
+            compact_index(conn, version=vid)
+        # every committed version still reads exactly its model content
+        for v, want in zip(committed, model):
+            tok = reader.on_version(conn, v)
+            got = reader.get_slice(conn, tok, "v", sl.mk_slice((0,), (N,)))
+            assert got.data.tolist() == want.tolist(), (
+                f"version {v} diverged from model"
+            )
