@@ -57,10 +57,20 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable resolved at oracle_sql() time — used by
+# oracles whose literal-VALUES expectation depends on which sf fixture
+# the harness pairs them with (q38); __spark_entry__.oracle_sql and
+# tests/test_oracle_parity.py both resolve callables.
+ORACLES: dict[str, str | Callable[[], str]] = {}
+
+# The sf dir the ORACLE side is generated for.  The driver runs its
+# DuckDB comparison at sf0.01 and never sets this; the local parity
+# suite exports it to whatever sf the Spark side reads.
+ORACLE_SF_ENV = "MANDOLINE_TEST_SF"
+_DRIVER_SF = "/root/testdata/sf0.01"
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle: str | Callable[[], str] | None = None):
     def reg(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -736,28 +746,82 @@ def q37(spark, sf):
     return ngram_jaccard_pairs(d, threshold=0.5, n=3, max_df=20)
 
 
-@_q("q38_simhash_neardup")  # rows-only BY MEASUREMENT, see docstring
-def q38(spark, sf):
-    """SimHash near-dup candidates — deliberately rows-only, forever.
+def _simhash_expected(sf_dir: str, max_hamming: int, n: int = 3):
+    """Independent brute-force oracle for q38: per-doc simhash from the
+    pure-Python XXH64 mirror (functions/_xxh64.py, pinned byte-for-byte
+    against ``F.xxhash64`` in tests/test_dedup.py) + all-pairs hamming.
+    Shares NO code with the engine's Spark expressions — grams via
+    re.split/join, votes/packing in plain ints."""
+    import itertools
+    import re
 
-    The result set is {pairs with hamming(simhash) ≤ 8 found by
-    pigeonhole banding}, and simhash is engine-defined (xxhash64 bit
-    votes), so a DuckDB oracle would have to reproduce the identical
-    hash — not portable.  The alternative the r2 verdict floated
-    (declare the Jaccard-verified form so the oracle is _JACCARD_SQL)
-    was measured and rejected: the fixture's true Jaccard ≥ 0.8 pairs
-    carry simhash hamming up to 12 (sf0.001: max 12, sf0.01: 10,
-    sf0.1: 11), so no (bands, max_hamming) with scale-sane bucket
-    widths makes the candidate set a superset of any Jaccard threshold
-    set.  Correctness is pinned instead by the brute-force hamming
-    oracle in tests/test_dedup.py (every emitted pair verified, every
-    ≤-threshold pair required present — banding is exact for
-    max_hamming ≤ bands-1 by pigeonhole, and the test covers the
-    heuristic regime too)."""
+    import pyarrow.parquet as pq
+
+    from .functions._xxh64 import xxh64
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pydict()
+    sigs = {}
+    for d, txt in zip(t["doc_id"], t["text"]):
+        words = re.split(r"\s+", txt)
+        grams = {
+            g
+            for i in range(max(len(words) - n, 0) + 1)
+            if (g := " ".join(words[i : i + n]))
+        }
+        if not grams:
+            continue  # shingle-less docs are excluded from candidacy
+        votes = [0] * 64
+        for g in grams:
+            h = xxh64(g.encode("utf-8"))
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sigs[d] = sum(1 << b for b in range(64) if votes[b] > 0)
+    return sorted(
+        (a, b, ham)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if (ham := bin(sigs[a] ^ sigs[b]).count("1")) <= max_hamming
+    )
+
+
+def _simhash_values_sql() -> str:
+    """Literal-VALUES oracle (the q34/q81 pattern) computed lazily so it
+    binds to the sf the harness actually runs: the driver compares at
+    sf0.01 (the default), the local parity suite exports
+    MANDOLINE_TEST_SF."""
+    sf_dir = os.environ.get(ORACLE_SF_ENV, _DRIVER_SF)
+    rows = _simhash_expected(sf_dir, max_hamming=3)
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (0, 0, 0)) AS t(a, b, hamming) "
+            "WHERE FALSE"
+        )
+    vals = ", ".join(f"({a},{b},{h})" for a, b, h in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(a, b, hamming) ORDER BY a, b"
+    )
+
+
+@_q("q38_simhash_neardup", _simhash_values_sql)
+def q38(spark, sf):
+    """SimHash near-dup pairs in the EXACT pigeonhole regime:
+    max_hamming = bands-1 = 3, where banding provably finds every pair
+    (any ≤3-bit difference leaves at least one of 4 bands identical),
+    so the declared result is exactly the all-pairs hamming scan — and
+    the oracle IS that scan, recomputed independently in Python
+    (pure-Python XXH64 + plain-int bit votes, `_simhash_expected`) and
+    declared as a literal VALUES table.  Simhash is engine-defined
+    (xxhash64 bit votes), so a portable SQL oracle can't exist; r2/r3
+    measurements also ruled out a Jaccard-declared form (true
+    Jaccard≥0.8 pairs carry hamming up to 12).  The heuristic regime
+    (max_hamming > bands-1, recall<1) stays covered by
+    tests/test_dedup.py.  No max_bucket here: the function default None
+    is exact recall; 100 TB call sites opt into the skew guard."""
     from .functions.dedup import simhash_pairs
 
     d = load(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8, n=3, max_bucket=10_000)
+    return simhash_pairs(d, max_hamming=3, n=3, bands=4)
 
 
 @_q(

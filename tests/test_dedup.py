@@ -77,6 +77,35 @@ def test_posting_pairs_payload_and_max_bucket(spark):
     assert got == [(4, 5, 40, 50)]
 
 
+# -- pure-python xxh64 mirror --------------------------------------------------
+
+
+def test_py_xxh64_matches_spark(spark):
+    """The oracle-side XXH64 (functions/_xxh64.py, used to generate
+    q38's literal-VALUES expectation) must match F.xxhash64 byte-for-
+    byte across stripe/tail lengths and multi-byte UTF-8."""
+    import random
+    import string
+
+    from pyspark.sql import Row
+
+    from mandoline_spark.functions._xxh64 import xxh64_signed
+
+    random.seed(7)
+    alphabet = string.ascii_letters + " äöü€𝄞"
+    samples = [""] + [
+        "".join(random.choice(alphabet) for _ in range(n))
+        for n in list(range(1, 40)) + [63, 64, 65, 95, 96, 97]
+    ]
+    rows = (
+        spark.createDataFrame([Row(s=s) for s in samples])
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh64_signed(r.s.encode("utf-8")) == r.h, repr(r.s)
+
+
 # -- simhash -------------------------------------------------------------------
 
 

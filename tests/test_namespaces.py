@@ -44,7 +44,7 @@ def test_query_surface_is_complete():
 
     assert set(e.queries()) == set(QUERIES)
     assert set(e.oracle_sql()) == set(ORACLES)
-    missing = set(QUERIES) - set(ORACLES)
-    # engine-specific hashes / streaming-only ops have no SQL oracle
-    assert missing == {"q38_simhash_neardup"}, missing
+    # every query now carries an oracle: q38 joined via the literal-
+    # VALUES brute-force (r3 verdict item 1)
+    assert set(QUERIES) == set(ORACLES)
     assert len(QUERIES) >= 51

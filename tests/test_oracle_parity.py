@@ -21,6 +21,10 @@ import __spark_entry__ as entry_mod
 from mandoline_spark.queries import TABLES
 
 SF_DIR = os.environ.get("MANDOLINE_TEST_SF", "/root/testdata/sf0.001")
+# lazily-built oracles (q38's literal VALUES) read this env var to bind
+# to the sf the Spark side runs at; the driver leaves it unset and gets
+# the sf0.01 default it compares at
+os.environ["MANDOLINE_TEST_SF"] = SF_DIR
 
 
 @pytest.fixture(scope="module")
