@@ -12,8 +12,16 @@ graph diameter, and duplicate clusters are near-cliques (diameter ≤ 2-3
 in practice) so convergence is a handful of rounds even at corpus
 scale; ``max_iter`` bounds the pathological chain.  The per-round
 convergence check is a scalar ``count`` — a control-plane signal, not a
-data collect.  Each round's labels are cached and the previous round
-unpersisted, so lineage stays one round deep.
+data collect.  Each round is checkpointed to keep the plan O(1), and
+the previous round's blocks are freed eagerly once its convergence
+count has consumed them, so at most two label snapshots are live.
+
+Fault tolerance: the default ``localCheckpoint`` stores blocks on
+executors WITHOUT replication — fast, but an executor loss
+mid-iteration kills the job unrecoverably.  On a real cluster pass
+``checkpoint_dir`` (an HDFS/S3A path): rounds then use reliable
+``df.checkpoint()`` files that survive executor loss, at the cost of
+one write+read of the (small: id, cluster) label table per round.
 """
 
 from __future__ import annotations
@@ -26,11 +34,47 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster) for every node in ``edges``, where ``cluster`` is
     the minimum node id reachable from ``id`` (deterministic canonical
     label).  Nodes appear once; isolated nodes don't exist by
-    construction (an edge list has no degree-0 entries)."""
+    construction (an edge list has no degree-0 entries).
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable checkpoints under this directory (executor-loss tolerant —
+    the 100 TB deployment path); when None, executor-local
+    checkpoints (single-job local runs).  Results are identical."""
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _persisted_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set]:
+        """Eagerly checkpoint ``df`` and return the persistent-RDD ids
+        the checkpoint registered, so the PREVIOUS round's blocks can
+        be freed deterministically once their last consumer (the
+        convergence count) has run.  ``df.rdd.unpersist()`` does NOT
+        free them (``.rdd`` wraps a derived RDD, measured no-op), and
+        waiting for the driver's GC leaves up to max_iter label
+        snapshots in executor block storage (ADVICE r03)."""
+        before = _persisted_ids()
+        out = (
+            df.checkpoint()
+            if checkpoint_dir is not None
+            else df.localCheckpoint()
+        )
+        return out, _persisted_ids() - before
+
+    def _free(ids: set) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist()
+
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
@@ -41,16 +85,18 @@ def connected_components(
         # pair pipeline (e.g. the whole minhash computation) would
         # re-run once per iteration
     )
-    # localCheckpoint (not cache) each round: caching materializes the
+    # materialize und's cache OUTSIDE any _ckpt diff window so its
+    # persisted RDD id can never be mistaken for a label snapshot
+    und.count()
+    # checkpoint (not cache) each round: caching materializes the
     # DATA but the logical plan still nests every earlier round, so by
     # ~25 rounds the planner itself OOMs the driver (observed on a
     # 30-node chain).  Checkpointing truncates the lineage to the
     # materialized blocks — plan size stays O(1) per round.
-    labels = (
+    labels, label_ids = _ckpt(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
@@ -62,7 +108,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("cluster").alias("offer"))
         )
-        new_labels = (
+        new_labels, new_ids = _ckpt(
             labels.join(offers, "id", "left")
             .select(
                 "id",
@@ -70,7 +116,6 @@ def connected_components(
                     F.col("cluster"), F.coalesce("offer", "cluster")
                 ).alias("cluster"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -78,7 +123,12 @@ def connected_components(
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels = new_labels
+        # the convergence count was the last consumer of the previous
+        # round's blocks — free them now; at most two snapshots are
+        # ever live (a localCheckpoint is unreadable once freed, so
+        # this must stay AFTER the count)
+        _free(label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             converged = True
             break
@@ -101,14 +151,18 @@ def dedup_clusters(
     id_col: str = "doc_id",
     size_col: str = "n_chars",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every document to a duplicate cluster and pick its
     canonical representative: cluster = min reachable id over the
     near-dup pair graph (singletons cluster with themselves), keep =
     the member with the largest ``size_col`` (ties to the smallest id)
     — "keep the longest copy" is the standard curation rule.  Returns
-    (cluster, keep_id, n_docs)."""
-    cc = connected_components(pairs, max_iter=max_iter)
+    (cluster, keep_id, n_docs).  ``checkpoint_dir``: see
+    :func:`connected_components` (pass on clusters)."""
+    cc = connected_components(
+        pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
     labeled = docs.select(
         F.col(id_col).alias("id"), F.col(size_col).alias("_sz")
     ).join(cc, "id", "left")

@@ -232,3 +232,53 @@ def test_connected_components_long_chain_converges_or_raises(spark):
     assert got == {(i, 1) for i in range(1, 31)}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The cluster deployment path (r3 verdict item 3): with
+    ``checkpoint_dir`` set, per-round lineage truncation uses reliable
+    ``df.checkpoint()`` files (executor-loss tolerant) instead of
+    unreplicated executor-local blocks.  Asserts the reliable path was
+    actually exercised (checkpoint files exist under the dir) and the
+    labels equal the localCheckpoint default's."""
+    from mandoline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    want = {
+        (r.id, r.cluster) for r in connected_components(edges).collect()
+    }
+    assert got == want
+    import os
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert files, "no reliable checkpoint files were written"
+
+
+def test_connected_components_frees_prior_round_blocks(spark):
+    """At most two label snapshots live in block storage during the
+    loop, and after it only the returned snapshot (+ any pre-existing
+    persists) remains — the ADVICE r03 accumulation fix."""
+    from mandoline_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "a long, b long"
+    )
+    labels = connected_components(chain, max_iter=20)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    # ~11 rounds ran; without eager freeing each would leave a snapshot
+    assert len(after) <= 2, f"leaked {len(after)} persisted RDDs"
+    assert labels.count() == 12  # the survivor is still readable
