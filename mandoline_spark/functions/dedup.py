@@ -26,7 +26,7 @@ signature, and touches the shuffle only for banded candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Prime just under 2^31 (the one Spark MLlib's MinHashLSH uses): keeps
 # every affine-map product under 2^62, so the arithmetic stays in int64
@@ -167,14 +167,13 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("common"))
         )
     else:
-        # A gram's posting-list length IS its document frequency (one
-        # distinct row per (id, gram)), so the stop-shingle drop is a
-        # size filter on the posting lists themselves — no separate
+        # A gram's per-bucket row count IS its document frequency (one
+        # distinct row per (id, gram)), so the stop-shingle drop is the
+        # pre-collect window filter inside _posting_lists — no separate
         # df-count shuffle, no anti-join back onto the exploded stream
-        # (the r2 shape paid both: measured +22% on the declared q37).
-        posts = _posting_lists(g.drop("ng"), ["gram"], []).filter(
-            F.size("_ids") <= max_df
-        )
+        # (the r2 shape paid both: measured +22% on the declared q37),
+        # and no hot posting array ever materializes (ADVICE r03).
+        posts = _posting_lists(g.drop("ng"), ["gram"], [], max_size=max_df)
         # dropping stop-shingles changes each doc's effective set size,
         # so recount post-filter; the recounted sizes join onto the
         # (tiny) aggregated pair stream, not back onto the full
@@ -303,15 +302,34 @@ def _banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
 
 
 def _posting_lists(
-    banded: DataFrame, keys: list[str], payload: list[str]
+    banded: DataFrame,
+    keys: list[str],
+    payload: list[str],
+    max_size: int | None = None,
 ) -> DataFrame:
     """One row per bucket: (keys..., _ids sorted array<struct(id,
     payload...)>) via ONE groupBy(bucket) posting shuffle.  A self-join
     on the bucket key would evaluate the whole upstream signature
     pipeline twice (Catalyst cannot reuse the exchange across the
     join's alias renames); collecting each bucket's posting list
-    evaluates it once."""
+    evaluates it once.
+
+    ``max_size`` drops over-sized buckets BEFORE any list is built: a
+    window ``count`` partitioned by the bucket key runs on the same
+    hash distribution the groupBy needs (one Exchange serves both — the
+    window adds a spillable sort, no shuffle), and hot-key rows are
+    filtered out as rows.  Filtering post-collect instead would
+    materialize a corpus-scale stop-shingle's whole posting array in
+    ONE unspillable aggregation buffer before dropping it — the exact
+    skew OOM the cap exists to guard (ADVICE r03)."""
     cols = ["id", *payload]
+    if max_size is not None:
+        w = Window.partitionBy(*keys)
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_size)
+            .drop("_bsz")
+        )
     return banded.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct(*cols))).alias("_ids")
     )
@@ -333,7 +351,10 @@ def _pairs_from_posts(
     output is quadratic in list length, and a pathological key (a
     stop-shingle, a degenerate signature) would otherwise emit L²/2
     pairs.  Dropped buckets lose candidates (recall, not precision);
-    callers that cannot tolerate that must pass None."""
+    callers that cannot tolerate that must pass None.  Callers building
+    the lists themselves should prefer ``_posting_lists(max_size=...)``
+    (pre-collect, memory-bounded); this post-collect filter covers
+    already-built lists."""
     if max_bucket is not None:
         posts = posts.filter(F.size("_ids") <= max_bucket)
     lhs = posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
@@ -372,9 +393,13 @@ def _posting_pairs(
 ) -> DataFrame:
     """a<b candidate pairs from banded rows: one posting shuffle, then
     incremental upper-triangle emission (see :func:`_pairs_from_posts`
-    for the memory shape and the ``max_bucket`` skew guard)."""
+    for the memory shape).  ``max_bucket`` is enforced PRE-collect
+    (window count on the same exchange, see :func:`_posting_lists`) so
+    a hot bucket never materializes its posting array at all."""
     return _pairs_from_posts(
-        _posting_lists(banded, keys, payload), payload, max_bucket
+        _posting_lists(banded, keys, payload, max_size=max_bucket),
+        payload,
+        None,
     )
 
 

@@ -117,6 +117,41 @@ def test_neardup_pipelines_keep_gram_work_off_the_scan(spark, fn_name):
             assert "concat_ws" not in line and "split(" not in line, line
 
 
+def test_bucket_caps_filter_before_collect(spark):
+    """max_df / max_bucket must drop hot keys BEFORE collect_list: the
+    guard is a window count on the groupBy's own exchange, so the plan
+    shows a Window + row-level filter below the list aggregate and NO
+    extra hashpartitioning exchange for it (a post-collect size filter
+    would materialize a corpus-scale stop-shingle's posting array in
+    one unspillable aggregation buffer — ADVICE r03)."""
+    from mandoline_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        ngram_jaccard_pairs(docs, threshold=0.5, max_df=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan, plan
+    assert "_bsz" in plan, plan
+    # the guard adds no exchange: gram exchanges stay at the posting
+    # shuffle's 3 re-evaluated branches (pairs + the two size joins),
+    # each Window riding its branch's existing exchange
+    assert plan.count("hashpartitioning(gram") <= 3, plan
+    plan2 = (
+        minhash_lsh_pairs(docs, threshold=0.8, max_bucket=10_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan2 and "_bsz" in plan2, plan2
+    assert plan2.count("hashpartitioning(band") == 1, plan2
+
+
 def test_array_read_prunes_index(store):
     """The request slice becomes a coordinate-range predicate pushed to
     the index Parquet scan (the engine's partition pruning,
