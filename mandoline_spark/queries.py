@@ -1994,12 +1994,20 @@ def q82(spark, sf):
     document labeled with the minimum reachable doc id.  Spark side is
     iterative min-label propagation (operators/graph.py — one shuffle
     join + one min-agg per round, diameter-bounded); the oracle is the
-    transitive closure as a recursive CTE."""
-    from .functions.dedup import minhash_lsh_pairs
+    transitive closure as a recursive CTE.
+
+    The declared pair emitter is the EXACT Jaccard inverted index
+    (ngram_jaccard_pairs), matching the oracle's pair set with recall 1
+    at every sf.  The r3 declared form fed minhash-LSH pairs instead
+    (per-pair recall ~0.9998 at 16x4 — not 1), and one near-threshold
+    pair missing every band would split a cluster and diverge the whole
+    component labeling (ADVICE r03).  minhash stays the at-scale
+    emitter (q36; same `pairs` contract — swap one call)."""
+    from .functions.dedup import ngram_jaccard_pairs
     from .operators.graph import connected_components
 
     d = load(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8, n=3, k=64, bands=16)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3)
     return connected_components(pairs.select("a", "b")).orderBy("id")
 
 
@@ -2022,12 +2030,14 @@ def q83(spark, sf):
     """The full near-dup curation pipeline: pair graph → clusters →
     one canonical survivor per cluster (longest text, ties to lowest
     id) — the operation a 100 TB training-data pipeline runs to drop
-    duplicate documents while keeping the best copy."""
-    from .functions.dedup import minhash_lsh_pairs
+    duplicate documents while keeping the best copy.  Exact-Jaccard
+    pair emitter for the declared form (see q82's recall note);
+    minhash-LSH is the drop-in at-scale alternative."""
+    from .functions.dedup import ngram_jaccard_pairs
     from .operators.graph import dedup_clusters
 
     d = load(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8, n=3, k=64, bands=16)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3)
     return dedup_clusters(d, pairs.select("a", "b"))
 
 
