@@ -167,6 +167,7 @@ def dedup_stream(
     id_col: str = "doc_id",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Streaming exact dedup: drop any record whose CONTENT hash was
     already seen — the ingestion-side gate a training-data pipeline
@@ -176,20 +177,47 @@ def dedup_stream(
     state store (first writer wins, exactly-once under replay because
     the state is checkpointed with the batch).  Without ``ts_col`` the
     state grows with the number of DISTINCT contents forever — the
-    correct global-dedup semantics, sized by one 8-byte hash per
-    distinct document.  With ``ts_col`` the check is bounded to the
-    watermark horizon (``dropDuplicatesWithinWatermark``): duplicates
-    farther apart than the delay are admitted, and state is evicted —
-    the shape for unbounded streams where near-in-time duplicates are
-    the target (crawler re-fetches, retry storms)."""
-    hashed = df.withColumn("_h", F.xxhash64(F.col(content_col)))
+    correct global-dedup semantics.  With ``ts_col`` the check is
+    bounded to the watermark horizon
+    (``dropDuplicatesWithinWatermark``): duplicates farther apart than
+    the delay are admitted, and state is evicted — the shape for
+    unbounded streams where near-in-time duplicates are the target
+    (crawler re-fetches, retry storms).
+
+    ``hash_fn`` sizes the state key and sets the collision exposure —
+    a hash collision here silently DROPS a distinct document, which is
+    data loss, not dedup:
+
+    - ``"md5"`` (default): 128-bit, 32 bytes state/distinct doc;
+      expected collisions n²/2¹²⁹ ≈ 10⁻¹⁹ even at n = 10 billion docs
+      — the safe choice at target scale, and the same key the batch
+      exact-dedup (q29) groups on.
+    - ``"sha256"``: 64 bytes; for pipelines that standardize on sha2.
+    - ``"xxhash64"``: 8 bytes, cheapest state, but expected collisions
+      reach 1 around n ≈ 6×10⁹ distinct docs — only for bounded
+      (watermarked) scopes where n is the in-horizon count.
+    - ``"none"``: dedup on the content itself (state stores the full
+      text — zero collision risk, heaviest state)."""
+    exprs = {
+        "md5": lambda c: F.md5(c.cast("binary")),
+        "sha256": lambda c: F.sha2(c.cast("binary"), 256),
+        "xxhash64": F.xxhash64,
+    }
+    if hash_fn == "none":
+        hashed, key = df, content_col
+    elif hash_fn in exprs:
+        hashed = df.withColumn("_h", exprs[hash_fn](F.col(content_col)))
+        key = "_h"
+    else:
+        raise ValueError(
+            f"hash_fn must be one of {sorted(exprs) + ['none']}, "
+            f"got {hash_fn!r}"
+        )
     if ts_col is None:
-        return hashed.dropDuplicates(["_h"]).drop("_h")
-    return (
-        hashed.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_h"])
-        .drop("_h")
-    )
+        out = hashed.dropDuplicates([key])
+    else:
+        out = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+    return out.drop("_h") if key == "_h" else out
 
 
 def sessionize_stateful(

@@ -282,6 +282,130 @@ def test_stream_ingest_versions_per_batch(spark, tmp_path, store):
     assert len(conn.version_ids()) == 2
 
 
+def test_stream_ingest_replay_same_checkpoint_is_exactly_once(
+    spark, tmp_path, store
+):
+    """foreachBatch is at-least-once: if the job dies AFTER the batch
+    function's side effects but BEFORE the checkpoint records the
+    commit, the restart re-runs the same batch id.  Simulate exactly
+    that failure window by deleting the checkpoint's commit record for
+    the last batch and restarting from the SAME checkpoint: the replayed
+    batch must be skipped by the idempotence marker — no duplicate
+    version, no double-applied chunks (r3 verdict item 6)."""
+    import os
+
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.streaming import read_pieces_stream, stream_ingest
+
+    spec = {
+        "dimensions": {"x": 8, "y": 8},
+        "chunk-dimensions": {"x": 4, "y": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    conn = store.create_dataset("replayed")
+
+    def piece_file(path, region, value):
+        slab = sb.empty("int", region, value)
+        rows = writer.slabs_to_piece_rows(spec | {"version-id": 0}, "v", [slab])
+        spark.createDataFrame(rows, schema=writer.piece_schema(2)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "pieces"
+    src.mkdir()
+    # value 3 on an overlapping region: a double-apply would be visible
+    # as an extra version, not silently idempotent data
+    piece_file(str(src / "b1"), sl.mk_slice((0, 0), (4, 4)), 1)
+    piece_file(str(src / "b2"), sl.mk_slice((2, 2), (6, 6)), 3)
+
+    ck = str(tmp_path / "ck")
+    stream = read_pieces_stream(spark, str(src / "*"), ndim=2)
+    q = (
+        stream_ingest(conn, spec, "v", stream, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(conn.version_ids()) == 2
+    v2 = conn.last_version()
+    want = np.zeros((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 1
+    want[2:6, 2:6] = 3
+    np.testing.assert_array_equal(
+        reader.get_slice(
+            conn, conn.metadata(v2), "v", sl.mk_slice((0, 0), (8, 8))
+        ).data,
+        want,
+    )
+
+    # the failure window: batch 1's side effects landed but its commit
+    # record didn't — Spark WILL re-deliver batch 1 on restart
+    commit_file = os.path.join(ck, "commits", "1")
+    assert os.path.exists(commit_file)
+    os.remove(commit_file)
+    # Hadoop's ChecksumFileSystem leaves a .crc sidecar; a re-commit
+    # renames onto it and fails as a phantom concurrent query
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = (
+        stream_ingest(conn, spec, "v", stream, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(conn.version_ids()) == 2, "replayed batch double-committed"
+    assert conn.last_version() == v2
+    np.testing.assert_array_equal(
+        reader.get_slice(
+            conn, conn.metadata(v2), "v", sl.mk_slice((0, 0), (8, 8))
+        ).data,
+        want,
+    )
+
+
+def test_dedup_stream_hash_fn_options(spark, tmp_path):
+    """md5 default and the full-content ('none') path both drop the
+    cross-batch duplicate; an unknown hash_fn raises."""
+    import pytest
+
+    from mandoline_spark.streaming.ops import dedup_stream, run_available_now
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, "alpha beta"), (3, "new text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    for i, fn in enumerate(["md5", "none"]):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = dedup_stream(
+            stream, content_col="text", id_col="doc_id", hash_fn=fn
+        )
+        name = f"dedup_hash_{i}"
+        run_available_now(out, name, "append", str(tmp_path / f"ck{i}"))
+        got = {(r.doc_id, r.text) for r in spark.table(name).collect()}
+        assert got == {(1, "alpha beta"), (3, "new text")}, (fn, got)
+        assert "_h" not in spark.table(name).columns
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup_stream(spark.range(1), content_col="id", hash_fn="crc32")
+
+
 def test_stream_ingest_auto_compaction(spark, tmp_path, store):
     """compact_every=2: after the 2nd committed version the delta chain
     is collapsed into a full generation; reads unchanged."""
