@@ -23,6 +23,26 @@ catalog the same reach as the data path:
 The reference reaches the same backends through its pluggable
 store protocols (impl.clj:77-119 resolves ``ddb://``/file schemes to
 backend implementations); here one Hadoop client covers them all.
+
+Object-store commit contract
+----------------------------
+The commit primitive is :meth:`create_exclusive` (second committer
+fails).  Its strength depends on the backend:
+
+- **HDFS / POSIX / file:/** — ``create(path, overwrite=false)`` is
+  atomic in the namenode / kernel; the race is fully closed.
+- **S3A** — the Hadoop client implements overwrite=false as HEAD then
+  PUT, so two committers that both pass the HEAD can both PUT (last
+  writer wins silently).  This is the same admitted window the
+  reference documents for its file backend and closes only on
+  DynamoDB's conditional put (mandoline.clj:292-310).  Deployments on
+  S3 close it the modern way — S3 conditional writes
+  (``If-None-Match: *``, supported since 2024) — by injecting a
+  ``conditional_create`` callable into :class:`HadoopFS`: it receives
+  ``(path, text)`` and returns True iff it created the object, e.g. a
+  boto3 ``put_object(..., IfNoneMatch='*')`` catching
+  ``PreconditionFailed``.  Everything above the primitive (version
+  tokens, pointer flips) is unchanged.
 """
 
 from __future__ import annotations
@@ -112,12 +132,22 @@ class HadoopFS:
     """Catalog operations through ``org.apache.hadoop.fs.FileSystem``
     (the JVM client Spark's data path already uses), for URI roots."""
 
-    def __init__(self, spark: "SparkSession", root: str):
+    def __init__(
+        self,
+        spark: "SparkSession",
+        root: str,
+        conditional_create=None,
+    ):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
             self._conf
         )
+        #: optional (path, text) -> bool hook replacing the Hadoop
+        #: create(overwrite=false) commit primitive — the injection
+        #: point for S3 conditional puts (see module docstring).  May
+        #: also be assigned after construction.
+        self.conditional_create = conditional_create
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -161,14 +191,41 @@ class HadoopFS:
         finally:
             stream.close()
 
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """Classify by Java exception CLASS, not message text: an
+        unrelated failure whose message merely contains 'exists'
+        ('Parent path does not exist', a connectivity error quoting a
+        path) must re-raise, not masquerade as a lost commit race
+        (ADVICE r03).  Matches FileAlreadyExistsException (Hadoop and
+        java.nio) / PathExistsException on the exception or its cause
+        chain, plus HDFS RemoteException's wrapped class name."""
+        je = getattr(e, "java_exception", None)
+        seen = 0
+        while je is not None and seen < 8:
+            name = je.getClass().getName()
+            if name.endswith(
+                ("FileAlreadyExistsException", "PathExistsException")
+            ):
+                return True
+            if name == "org.apache.hadoop.ipc.RemoteException" and str(
+                je.getClassName()
+            ).endswith("FileAlreadyExistsException"):
+                return True
+            je = je.getCause()
+            seen += 1
+        return False
+
     def create_exclusive(self, path: str, text: str) -> bool:
         """``FileSystem.create(path, overwrite=false)`` — atomic on
-        HDFS/local; object stores narrow rather than eliminate the race
-        (see module docstring)."""
+        HDFS/local; on S3A it is HEAD-then-PUT, a window closed by
+        injecting :attr:`conditional_create` (see module docstring)."""
+        if self.conditional_create is not None:
+            return bool(self.conditional_create(path, text))
         try:
             stream = self._fs.create(self._p(path), False)
-        except Exception as e:  # Py4J wraps FileAlreadyExistsException
-            if "exist" in str(e).lower():
+        except Exception as e:  # Py4J wraps the Java exception
+            if self._is_already_exists(e):
                 return False
             raise
         try:

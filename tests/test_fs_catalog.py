@@ -99,6 +99,88 @@ def test_commit_race_semantics_on_file_uri(uri_store):
     assert conn.fs.create_exclusive(fp, "x") is False
 
 
+def test_already_exists_classified_by_class_not_message(spark):
+    """Only FileAlreadyExists-shaped Java exceptions (direct, via cause
+    chain, or wrapped in an HDFS RemoteException) read as a lost commit
+    race; an unrelated error whose MESSAGE mentions 'exist' ('Parent
+    path does not exist') must re-raise (ADVICE r03)."""
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JE:
+        def __init__(self, name, cause=None, remote_cls=None):
+            self._c = _JClass(name)
+            self._cause = cause
+            self._remote = remote_cls
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+        def getClassName(self):
+            return self._remote
+
+    class _PyE(Exception):
+        def __init__(self, je):
+            self.java_exception = je
+
+    ok = HadoopFS._is_already_exists
+    assert ok(_PyE(_JE("org.apache.hadoop.fs.FileAlreadyExistsException")))
+    assert ok(_PyE(_JE("java.nio.file.FileAlreadyExistsException")))
+    assert ok(_PyE(_JE("org.apache.hadoop.fs.PathExistsException")))
+    # wrapped one level down the cause chain
+    assert ok(
+        _PyE(
+            _JE(
+                "java.io.IOException",
+                cause=_JE("org.apache.hadoop.fs.FileAlreadyExistsException"),
+            )
+        )
+    )
+    # HDFS RPC wrapping
+    assert ok(
+        _PyE(
+            _JE(
+                "org.apache.hadoop.ipc.RemoteException",
+                remote_cls="org.apache.hadoop.fs.FileAlreadyExistsException",
+            )
+        )
+    )
+    # message says 'exist', class says otherwise -> NOT already-exists
+    assert not ok(
+        _PyE(_JE("java.io.FileNotFoundException"))
+    )
+    assert not ok(_PyE(_JE("java.net.ConnectException")))
+    assert not ok(Exception("Parent path does not exist"))
+
+
+def test_conditional_create_hook_replaces_commit_primitive(spark, tmp_path):
+    """The S3 conditional-put injection point: when set, the hook IS the
+    commit primitive — the Hadoop create path is never touched, and the
+    hook's verdict is returned as-is."""
+    fs = HadoopFS(spark, f"file:{tmp_path}")
+    calls = []
+
+    def fake_conditional_put(path, text):
+        calls.append((path, text))
+        return len(calls) == 1  # first committer wins, second loses
+
+    fs.conditional_create = fake_conditional_put
+    p = f"file:{tmp_path}/versions/7.json"
+    assert fs.create_exclusive(p, "tok") is True
+    assert fs.create_exclusive(p, "tok2") is False
+    assert calls == [(p, "tok"), (p, "tok2")]
+    # the real filesystem was bypassed entirely
+    assert not fs.exists(p)
+
+
 @pytest.mark.parametrize("root_kind", ["local", "uri"])
 def test_vacuum_flips_chunk_generations(spark, tmp_path, root_kind):
     """Vacuum writes survivors BESIDE the live chunk dir and flips the
