@@ -188,6 +188,83 @@ def test_array_read_prunes_index(store):
     assert idx.count() == 4
 
 
+def test_array_read_prunes_8400_chunk_grid(store):
+    """Index pruning at the reference's own perf shape
+    (resources/performance.json: 400x600x900 short, 30^3 chunks =
+    8,400 chunks, x-edge chunks partial): a 10^3 request must prune
+    the 8,400-entry index down to exactly the overlapped 2x2x2 chunk
+    coords, and a cross-edge request must include the partial edge
+    chunks.  All chunks here are identical zeros, so content-address
+    dedup stores ONE blob behind 8,400 index rows — the index scale is
+    real, the storage is not."""
+    from pyspark.sql import functions as Fn
+
+    import pandas as pd
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slice as sl
+
+    X, Y, Z, C = 400, 600, 900, 30
+    conn = store.create_dataset("perf")
+    dds = {
+        "dimensions": {"x": X, "y": Y, "z": Z},
+        "chunk-dimensions": {"x": C, "y": C, "z": C},
+        "variables": {
+            "v": {"type": "short", "shape": ["x", "y", "z"], "fill-value": -3}
+        },
+    }
+    t = conn.add_version(dds)
+    coords = [
+        (cx, cy, cz)
+        for cx in range(-(-X // C))
+        for cy in range(-(-Y // C))
+        for cz in range(-(-Z // C))
+    ]
+    assert len(coords) == 8400
+    cdf = store.spark.createDataFrame(
+        pd.DataFrame(coords, columns=["c0", "c1", "c2"])
+    ).repartition(8)
+    blob = b"\x00" * (C * C * C * 2)
+    pieces = cdf.select(
+        Fn.concat_ws("_", "c0", "c1", "c2").alias("ckey"),
+        Fn.col("c0").cast("int"),
+        Fn.col("c1").cast("int"),
+        Fn.col("c2").cast("int"),
+        Fn.lit(0).cast("long").alias("ord"),
+        Fn.array(
+            *[(Fn.col(c) * C).cast("int") for c in ("c0", "c1", "c2")]
+        ).alias("pstart"),
+        Fn.array(
+            *[((Fn.col(c) + 1) * C).cast("int") for c in ("c0", "c1", "c2")]
+        ).alias("pstop"),
+        Fn.lit(blob).alias("data"),
+    )
+    writer.ingest_aligned(conn, t, "v", pieces)
+    conn.finish_version(t)
+
+    token = reader.on_last_version(conn)
+    # interior 10^3 request straddling one chunk boundary per axis
+    idx = reader.pruned_index_df(
+        conn, token, "v", sl.mk_slice((25, 25, 25), (35, 35, 35))
+    )
+    pf = pushed_filters(idx)
+    assert any("c0" in f and "GreaterThanOrEqual" in f for f in pf), pf
+    assert any("c2" in f and "LessThanOrEqual" in f for f in pf), pf
+    assert idx.count() == 8  # 2x2x2 of 8,400
+
+    # request crossing the partial x-edge (chunk c0=13 covers 390..420
+    # uncropped; only 390..400 is in-extent)
+    edge = reader.pruned_index_df(
+        conn, token, "v", sl.mk_slice((385, 0, 0), (400, 35, 35))
+    )
+    assert edge.count() == 2 * 2 * 2  # c0 in {12,13}, c1/c2 in {0,1}
+    # and the read itself returns the stored zeros, cropped to extent
+    got = reader.get_slice(
+        conn, token, "v", sl.mk_slice((395, 0, 0), (400, 5, 5))
+    )
+    assert got.data.shape == (5, 5, 5) and (got.data == 0).all()
+
+
 def test_version_diff_decodes_only_changed_chunks(store):
     """q81's scale shape: the diff's cell-emitting stage reads the
     full-outer index join pruned by null-safe hash inequality — its
