@@ -2610,3 +2610,436 @@ def q97(spark, sf):
         .agg(F.count("*").alias("n_above"))
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: contamination / repetition / quantization /
+# sessionization / mixture-sampling operators (q98-q105) — the
+# remaining screens of a training-data curation pipeline, each with a
+# DuckDB oracle.
+
+
+@_q(
+    "q98_contamination_screen",
+    r"""WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x != '') AS ws
+       FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                 THEN list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END) AS gs
+      FROM w),
+t AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+b AS (SELECT DISTINCT gram, 1 AS hit FROM t WHERE doc_id % 97 = 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       round(sum(COALESCE(hit, 0)) * 100.0 / count(*), 4) AS pct
+FROM t LEFT JOIN b USING (gram)
+WHERE t.doc_id % 97 != 0
+GROUP BY t.doc_id ORDER BY t.doc_id""",
+)
+def q98(spark, sf):
+    """Benchmark-contamination screen: per-document share of distinct
+    word 3-gram shingles that also appear in a held-out benchmark set
+    (here the doc_id % 97 == 0 docs) — the eval-leak scan every
+    training-data pipeline runs before a model sees the corpus.  The
+    benchmark gram set is tiny relative to the corpus by construction,
+    so it BROADCASTS and the corpus is touched in ONE explode pass with
+    no shuffle keyed on gram; at 100 TB the benchmark side (a fixed
+    eval suite) stays broadcast-sized while the corpus side scales
+    linearly."""
+    d = load_documents_wide(spark, sf)
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size("ws") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.array_join(F.slice("ws", i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = (
+        d.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    b = (
+        t.where(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(b), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "pct", F.round(F.col("n_hit") * 100.0 / F.col("n_grams"), 4)
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q99_repetition_screen",
+    r"""WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x != '') AS ws
+       FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+f AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
+ww AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS tot
+       FROM f GROUP BY doc_id),
+g AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)),
+                      i -> array_to_string(ws[i:i+1], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM w),
+gg AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS total_g,
+              CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_g
+       FROM g)
+SELECT ww.doc_id,
+       round(top * 1.0 / tot, 6) AS top_word_share,
+       round(1.0 - distinct_g * 1.0 / total_g, 6) AS dup_bigram_share
+FROM ww JOIN gg ON ww.doc_id = gg.doc_id
+WHERE total_g > 0 ORDER BY ww.doc_id""",
+)
+def q99(spark, sf):
+    """Repetition screen (the Gopher/MassiveText quality rules): per
+    document, the share of its tokens taken by its single most
+    frequent word, and the duplicate-bigram share (1 − distinct/total
+    bigrams).  Both signals come from ONE tokenization: the bigram
+    stats are per-row array expressions (no explode), and the word
+    stats are one (doc, word) aggregate."""
+    d = load_documents_wide(spark, sf)
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
+    )
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.array_join(F.slice("ws", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gg = base.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("total_g"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_g"),
+    )
+    f = (
+        base.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    ww = f.groupBy("doc_id").agg(
+        F.max("c").alias("top"), F.sum("c").cast("bigint").alias("tot")
+    )
+    return (
+        ww.join(gg, "doc_id")
+        .where(F.col("total_g") > 0)
+        .select(
+            "doc_id",
+            F.round(F.col("top") * 1.0 / F.col("tot"), 6).alias(
+                "top_word_share"
+            ),
+            F.round(
+                1.0 - F.col("distinct_g") * 1.0 / F.col("total_g"), 6
+            ).alias("dup_bigram_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q100_embedding_quantize",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings),
+s AS (SELECT vec_id, emb, list_min(emb) AS mn, list_max(emb) AS mx
+      FROM e),
+r AS (SELECT vec_id,
+  CASE WHEN mx = mn THEN 0.0 ELSE
+    list_max(list_transform(emb, x -> abs(x - (mn +
+      round((x - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0)))))
+  END AS max_err,
+  CASE WHEN mx = mn THEN 0.0 ELSE
+    list_sum(list_transform(emb, x -> (x - (mn +
+      round((x - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0))) ** 2))
+      / len(emb)
+  END AS mse
+FROM s)
+SELECT vec_id, round(max_err, 6) AS max_err, round(mse, 9) AS mse
+FROM r ORDER BY vec_id""",
+)
+def q100(spark, sf):
+    """Scalar (int8-range) quantization audit: per vector, the max
+    absolute and mean squared reconstruction error of min-max
+    quantization to 256 levels — the check run before shipping
+    quantized embeddings to an ANN index.  Pure JVM array expressions
+    (transform/aggregate), one pass, no shuffle at all; at 100 TB this
+    is a map-only job."""
+    e = load(spark, sf, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    s = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.array_min(emb).alias("mn"),
+        F.array_max(emb).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    deq_err = lambda x: F.abs(  # noqa: E731
+        x - (F.col("mn") + F.round((x - F.col("mn")) / scale, 0) * scale)
+    )
+    max_err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.array_max(F.transform("emb", deq_err))
+    )
+    mse = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform("emb", lambda x: F.pow(deq_err(x), 2)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("emb")
+    )
+    return (
+        s.select(
+            "vec_id",
+            F.round(max_err, 6).alias("max_err"),
+            F.round(mse, 9).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_q(
+    "q101_token_length_hist",
+    r"""WITH t AS (SELECT source,
+            unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x != '')) AS w
+       FROM documents)
+SELECT source, CAST(least(len(w), 15) AS BIGINT) AS wlen,
+       count(*) AS n
+FROM t GROUP BY source, wlen ORDER BY source, wlen""",
+)
+def q101(spark, sf):
+    """Token-length histogram per source (capped at 15) — the
+    tokenizer-health profile that catches sources full of
+    unsegmentable runs.  One explode, one (source, len) aggregate
+    whose key space is |sources| x 15 — tiny at any corpus scale."""
+    d = load_documents_wide(spark, sf)
+    t = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    return (
+        t.select(
+            "source",
+            F.least(F.length("w"), F.lit(15)).cast("bigint").alias("wlen"),
+        )
+        .groupBy("source", "wlen")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "wlen")
+    )
+
+
+@_q(
+    "q102_length_outliers",
+    """WITH m AS (SELECT source, median(n_chars) AS med
+       FROM documents GROUP BY source),
+d2 AS (SELECT d.doc_id, d.source, d.n_chars, m.med
+       FROM documents d JOIN m USING (source)),
+md AS (SELECT source, median(abs(n_chars - med)) AS mad
+       FROM d2 GROUP BY source)
+SELECT d2.doc_id, d2.source,
+       round((n_chars - med) / (1.4826 * mad), 4) AS rz
+FROM d2 JOIN md USING (source)
+WHERE mad > 0 AND abs((n_chars - med) / (1.4826 * mad)) > 2
+ORDER BY d2.doc_id""",
+)
+def q102(spark, sf):
+    """Robust length-outlier screen: documents whose length sits more
+    than 2 robust z-scores (median/MAD) from their source's center —
+    the truncation/concatenation-artifact detector.  Both statistics
+    are per-source aggregates (exact interpolated median), broadcast
+    back against the corpus: two tiny aggregates + one broadcast
+    join, corpus touched twice but never shuffled on a wide key."""
+    d = load(spark, sf, "documents")
+    m = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    d2 = d.join(F.broadcast(m), "source")
+    md = d2.groupBy("source").agg(
+        F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad")
+    )
+    rz = (F.col("n_chars") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        d2.join(F.broadcast(md), "source")
+        .where((F.col("mad") > 0) & (F.abs(rz) > 2))
+        .select("doc_id", "source", F.round(rz, 4).alias("rz"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q103_sessionize_events",
+    """WITH e AS (SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS brk
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             date_diff('microsecond', min(ts), max(ts)) AS dur_us
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(n_events), 4) AS avg_events,
+       CAST(max(dur_us) // 1000000 AS BIGINT) AS max_dur_s
+FROM g GROUP BY user_id ORDER BY user_id""",
+)
+def q103(spark, sf):
+    """Batch gap-sessionization (30-minute inactivity gap): per user,
+    session count, mean session size, and longest session duration —
+    the batch twin of the streaming session window (q27).  One
+    user-keyed shuffle feeds BOTH windows and the session aggregate
+    (same partitioning, Catalyst reuses the exchange); session ids are
+    a running sum over gap breaks, the standard islands technique."""
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # micro/milli fixtures surface ts as TIMESTAMP_NTZ; unix_micros
+    # needs an instant, and the cast's epoch shift cancels in every
+    # use below (gaps and durations are differences)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = F.when(
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    s = e.select(
+        "user_id", "ts", "event_id", brk.alias("brk")
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("dur_us"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.expr("max(dur_us) div 1000000").cast("bigint").alias(
+                "max_dur_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q104_shipping_priority",
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q104(spark, sf):
+    """TPC-H Q3 core (shipping priority, adapted to the fixture's
+    o_orderpriority): top unshipped orders by revenue for one market
+    segment.  The segment filter reduces customer to a broadcast
+    side; orders x lineitem is the one real shuffle, on the join key
+    both sides already aggregate on."""
+    c = load(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q105_token_budget_sample",
+    r"""WITH w AS (SELECT doc_id, source,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '')) AS BIGINT) AS words
+       FROM documents),
+r AS (SELECT *, sum(words) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w)
+SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(words) AS BIGINT) AS kept_words
+FROM r WHERE cum - words < 2000
+GROUP BY source ORDER BY source""",
+)
+def q105(spark, sf):
+    """Deterministic token-budget mixture draw: per source, keep
+    documents in md5(doc_id) order until a 2,000-word budget is
+    reached (greedy; the first over-budget doc is kept so every
+    nonempty source contributes).  This is the reproducible sampling
+    step that turns the q95 mixture report into an actual training
+    mix — hash order makes the draw stable across engines, runs, and
+    partitionings.  One source-keyed shuffle for the running sum; the
+    aggregate rides the same partitioning."""
+    d = load_documents_wide(spark, sf)
+    words = (
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+    )
+    w = d.select("doc_id", "source", words.alias("words"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = w.withColumn("cum", F.sum("words").over(win))
+    return (
+        r.where(F.col("cum") - F.col("words") < 2000)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("words").cast("bigint").alias("kept_words"),
+        )
+        .orderBy("source")
+    )
