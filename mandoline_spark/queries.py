@@ -2645,11 +2645,12 @@ def q98(spark, sf):
     word 3-gram shingles that also appear in a held-out benchmark set
     (here the doc_id % 97 == 0 docs) — the eval-leak scan every
     training-data pipeline runs before a model sees the corpus.  The
-    benchmark gram set is tiny relative to the corpus by construction,
-    so it BROADCASTS and the corpus is touched in ONE explode pass with
-    no shuffle keyed on gram; at 100 TB the benchmark side (a fixed
-    eval suite) stays broadcast-sized while the corpus side scales
-    linearly."""
+    benchmark gram set (a fixed eval suite — bounded by construction)
+    is folded to ONE set-valued row and broadcast; each corpus doc then
+    scores itself with a per-row ``array_intersect``, so the corpus
+    side is MAP-ONLY — no explode, no shuffle keyed on gram or doc —
+    and scales linearly at 100 TB.  The only exchange in the job is the
+    benchmark side's tiny collect_set aggregation."""
     d = load_documents_wide(spark, sf)
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     grams = F.when(
@@ -2661,23 +2662,23 @@ def q98(spark, sf):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    t = (
-        d.select("doc_id", ws.alias("ws"))
-        .select("doc_id", F.explode(grams).alias("gram"))
+    g = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id", grams.alias("gs")
     )
     b = (
-        t.where(F.col("doc_id") % 97 == 0)
-        .select("gram")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+        g.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .agg(F.collect_set("gram").alias("bench"))
     )
     return (
-        t.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(b), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        g.where((F.col("doc_id") % 97 != 0) & (F.size("gs") > 0))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "doc_id",
+            F.size("gs").cast("bigint").alias("n_grams"),
+            F.size(F.array_intersect("gs", "bench"))
+            .cast("bigint")
+            .alias("n_hit"),
         )
         .withColumn(
             "pct", F.round(F.col("n_hit") * 100.0 / F.col("n_grams"), 4)

@@ -408,3 +408,36 @@ def test_version_diff_nan_to_nan_is_unchanged(store):
     tb = reader.on_nth_version(conn, -1)
     diff = reader.diff_cells_df(conn, ta, tb, "v").collect()
     assert [(r.dim0, r.value_a, r.value_b) for r in diff] == [(2, 3.0, 30.0)]
+
+
+def test_contamination_screen_corpus_is_map_only(spark):
+    """q98: the corpus side must never shuffle — scoring is a per-row
+    array_intersect against the broadcast benchmark gram set.  The only
+    exchange allowed is the benchmark fold's SinglePartition."""
+    q = QUERIES["q98_contamination_screen"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_sessionize_reuses_user_partitioning(spark):
+    """q103: both windows and both aggregates ride ONE user_id
+    exchange (same partitioning -> Catalyst plans a single shuffle)."""
+    q = QUERIES["q103_sessionize_events"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_shipping_priority_broadcasts_customer(spark):
+    """q104: the filtered customer dimension arrives broadcast; the
+    orders x lineitem equi-join is the only worker-scale join."""
+    q = QUERIES["q104_shipping_priority"](spark, SF)
+    assert has_broadcast_join(q)
+
+
+def test_length_outliers_broadcast_stats(spark):
+    """q102: the per-source median/MAD statistics join back to the
+    corpus as broadcasts — the corpus never shuffles on source."""
+    q = QUERIES["q102_length_outliers"](spark, SF)
+    plan = explain_str(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
