@@ -124,6 +124,79 @@ def get_intersection(a: Slice, b: Slice) -> Slice:
     return Slice(start, stop, a.step)
 
 
+def intersect_sorted_vector(x: Sequence[int], y: Sequence[int]) -> list:
+    """Intersection of two sorted int sequences (slice.clj:61-74) —
+    kept for parity/testing; the engine path uses the O(1) arithmetic
+    in :func:`get_intersection_general` instead."""
+    out: list[int] = []
+    i = j = 0
+    while i < len(x) and j < len(y):
+        if x[i] < y[j]:
+            i += 1
+        elif x[i] > y[j]:
+            j += 1
+        else:
+            out.append(x[i])
+            i += 1
+            j += 1
+    return out
+
+
+def _ap_intersection(
+    a0: int, a1: int, sa: int, b0: int, b1: int, sb: int
+) -> Tuple[int, int, int] | None:
+    """Intersection of the arithmetic progressions
+    ``range(a0, a1, sa)`` and ``range(b0, b1, sb)`` as
+    ``(first, last+1, lcm)``, or None when empty.
+
+    Two APs intersect in an AP whose step is ``lcm(sa, sb)``; the
+    anchor solves ``x ≡ a0 (mod sa), x ≡ b0 (mod sb)`` (CRT), which is
+    solvable iff ``gcd(sa, sb)`` divides ``b0 - a0``.  O(1) per
+    dimension vs the reference's materialize-and-scan
+    (get-intersection-slow, slice.clj:76-102) — same result, usable at
+    any extent."""
+    g = math.gcd(sa, sb)
+    if (b0 - a0) % g:
+        return None
+    step = sa // g * sb  # lcm
+    # CRT anchor: a0 + sa * t where t ≡ (b0-a0)/g * inv(sa/g) (mod sb/g)
+    m = sb // g
+    t = ((b0 - a0) // g * pow(sa // g, -1, m)) % m if m > 1 else 0
+    x0 = a0 + sa * t  # smallest common element ≥ a0 congruent-wise
+    lo = max(a0, b0)
+    if x0 < lo:
+        x0 += (lo - x0 + step - 1) // step * step
+    hi = min(a1, b1)  # exclusive
+    if x0 >= hi:
+        return None
+    last = x0 + (hi - 1 - x0) // step * step
+    return x0, last + 1, step
+
+
+def get_intersection_general(a: Slice, b: Slice) -> Slice:
+    """Stride-general intersection (get-intersection-slow,
+    slice.clj:76-102): per dimension, the set intersection of the two
+    strided ranges, returned as ``[min, max+1)`` with
+    ``step = lcm(step_a, step_b)``.  Raises ValueError when any
+    dimension's intersection is empty — same contract as
+    :func:`get_intersection`, which remains the step-1 fast path."""
+    if a.ndim != b.ndim:
+        raise ValueError("arity mismatch")
+    if a == b:
+        return a
+    start, stop, step = [], [], []
+    for a0, a1, sa, b0, b1, sb in zip(
+        a.start, a.stop, a.step, b.start, b.stop, b.step
+    ):
+        got = _ap_intersection(a0, a1, sa, b0, b1, sb)
+        if got is None:
+            raise ValueError(f"The slices do not intersect: {a} {b}")
+        start.append(got[0])
+        stop.append(got[1])
+        step.append(got[2])
+    return Slice(tuple(start), tuple(stop), tuple(step))
+
+
 def intersects(a: Slice, b: Slice) -> bool:
     """Non-throwing intersection test (step=1)."""
     if len(a.start) == 0:

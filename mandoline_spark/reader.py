@@ -187,9 +187,24 @@ def get_slice(
     check_bounds: bool = True,
 ) -> Slab:
     """Materialize ``request``: fill-initialized slab + merge of all
-    stored pieces (mandoline.clj:260-270)."""
+    stored pieces (mandoline.clj:260-270).
+
+    Strided requests (step>1) are served by reading the step-1 bounding
+    box and subsampling driver-side — the capability the reference's
+    deprecated ``get-intersection-slow`` gestured at (slice.clj:76-102)
+    but its read path never shipped (stride tests are ``future-fact``
+    in test/slice_test.clj).  The chunk fetch is still pruned to the
+    bounding box, so the extra cost is decode-side only."""
     if not sl.step_is_one(request):
-        raise ValueError("read requests must have step=1")
+        if any(s < 1 for s in request.step):
+            raise ValueError(f"steps must be >= 1: {request}")
+        box = sl.Slice(
+            request.start, request.stop, tuple(1 for _ in request.step)
+        )
+        full = get_slice(conn, token, var, box, check_bounds)
+        return sb.Slab(
+            full.data[sl.to_numpy_index(request, box)].copy(), request
+        )
     if check_bounds:
         _check_bounds(token, var, request)
     result = sb.empty(

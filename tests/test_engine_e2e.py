@@ -142,3 +142,27 @@ def test_unwritten_variable_reads_fill(store):
         sl.mk_slice((0, 0, 0), (3, 3, 3)),
     )
     assert np.array_equal(got.data, np.full((3, 3, 3), -3, dtype=np.int16))
+
+
+def test_strided_read_matches_numpy(store):
+    """Strided get_slice (step>1): pruned bounding-box read +
+    driver-side subsample equals the numpy oracle — the capability the
+    reference's deprecated get-intersection-slow gestured at
+    (slice.clj:76-102) but never shipped in its read path."""
+    conn = store.create_dataset("ds")
+    token = conn.add_version(FOOBAR)
+    rng = np.random.default_rng(7)
+    a = rng.integers(-500, 500, (10, 11, 13)).astype(np.int16)
+    writer.write_variable(conn, token, "foo", [_slab(a, (0, 0, 0))])
+    conn.finish_version(token)
+
+    rt = reader.on_last_version(conn)
+    req = sl.mk_slice((1, 0, 2), (9, 11, 13), (3, 2, 4))
+    got = reader.get_slice(conn, rt, "foo", req)
+    np.testing.assert_array_equal(got.data, a[1:9:3, 0:11:2, 2:13:4])
+    assert got.slice == req
+    # step=0 / negative steps are rejected loudly
+    with pytest.raises(ValueError):
+        reader.get_slice(
+            conn, rt, "foo", sl.Slice((0, 0, 0), (5, 5, 5), (1, 0, 1))
+        )
