@@ -591,3 +591,47 @@ def simhash_pairs(
         .distinct()
         .orderBy("a", "b")
     )
+
+
+def band_key_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    out_col: str = "_band_keys",
+    empty_salt: str = "__empty__",
+) -> DataFrame:
+    """Append an ``array<long>`` of LSH band keys per row, keeping
+    every other column — the streaming-composable (pure-projection,
+    no explode/shuffle) form of :func:`_banded`.
+
+    Each key hashes its band id INTO the band hash, so keys from
+    different bands can never collide into a spurious match.
+    Shingle-less documents get per-(doc, band) unique keys derived
+    from ``empty_salt`` + id (same rationale as :func:`_banded`);
+    callers comparing two corpora must pass DIFFERENT salts per side
+    so an id shared across sides cannot make two empty docs "match".
+
+    The signature lands in its own projection before the band lambda
+    references it ``bands`` times — the same CollapseProject guard
+    :func:`minhash_signatures` documents (re-inlining would run the
+    signature aggregate once per band)."""
+    if k % bands:
+        raise ValueError(f"bands must divide k: k={k} bands={bands}")
+    r = k // bands
+    s1 = df.withColumn("_words", F.split(F.col(text_col), r"\s+"))
+    s2 = s1.withColumn("_grams", gram_array(F.col("_words"), n))
+    s3 = s2.withColumn(
+        "_sig", _signature_col(F.col("_grams"), k, seed)
+    )
+    empty = F.get("_sig", 0) == F.lit(_PRIME).cast("long")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.when(
+            empty, F.xxhash64(F.lit(empty_salt), F.col(id_col), b)
+        ).otherwise(F.xxhash64(b, F.slice("_sig", b * r + 1, r))),
+    )
+    return s3.withColumn(out_col, keys).drop("_words", "_grams", "_sig")

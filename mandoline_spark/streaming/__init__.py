@@ -10,6 +10,9 @@ stateful operator on the ``applyInPandasWithState`` surface.
 
 from .ops import (
     EVENTS_SCHEMA,
+    dedup_stream,
+    interval_join_streams,
+    neardup_gate_stream,
     read_events_stream,
     read_pieces_stream,
     run_available_now,
@@ -22,6 +25,9 @@ from .ops import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "dedup_stream",
+    "interval_join_streams",
+    "neardup_gate_stream",
     "read_events_stream",
     "read_pieces_stream",
     "run_available_now",

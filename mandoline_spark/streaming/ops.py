@@ -301,6 +301,100 @@ def sessionize_stateful(
     )
 
 
+def neardup_gate_stream(
+    stream: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Streaming near-duplicate gate against a KNOWN reference corpus:
+    MinHash-LSH band keys on both sides; an incoming document sharing
+    ANY band key with the reference is a near-dup candidate.
+
+    Two scale shapes (both pure-projection on the stream side — no
+    stream aggregation, so append mode and arbitrary sinks work):
+
+    - ``mode="broadcast"`` (default): the reference band-key set is
+      collected ONCE at query-definition time and shipped as a
+      broadcast numpy array inside an Arrow-batched pandas UDF; each
+      micro-batch row does a vectorized sorted-membership test.
+      Returns the stream of documents that are NOT candidates (the
+      kept/novel docs).  The reference must be gate-sized — an eval
+      suite, a blocklist, yesterday's benchmark set — the same
+      bounded-side contract as the batch contamination screen (q98).
+      A reference that changes after definition is not seen (the
+      gate is a snapshot), matching broadcast semantics.
+    - ``mode="join"``: stream-static LEFT SEMI join on the exploded
+      band key; returns the stream of FLAGGED candidate doc ids
+      (one row per doc via an in-batch dropDuplicates).  The static
+      side is re-read per micro-batch, so it scales to any reference
+      size and picks up reference updates between batches.
+
+    Candidate semantics are banding-recall (same as
+    ``minhash_lsh_pairs`` BEFORE its exact-Jaccard verify): a gate
+    errs toward flagging, and callers needing exact thresholds verify
+    the flagged minority downstream."""
+    from ..functions.dedup import band_key_array
+
+    strm = band_key_array(
+        stream, text_col, id_col, n, k, bands, seed,
+        empty_salt="__gate_stream__",
+    )
+    ref_keys = (
+        band_key_array(
+            reference, text_col, id_col, n, k, bands, seed,
+            empty_salt="__gate_ref__",
+        )
+        .select(F.explode("_band_keys").alias("key"))
+        .distinct()
+    )
+    if mode == "join":
+        flagged = (
+            strm.select(F.col(id_col), F.explode("_band_keys").alias("key"))
+            .join(ref_keys, "key", "left_semi")
+            .select(id_col)
+            .dropDuplicates([id_col])
+        )
+        return flagged
+    if mode != "broadcast":
+        raise ValueError(f"mode must be 'broadcast' or 'join': {mode!r}")
+
+    import numpy as np
+
+    keys = np.sort(
+        np.array([r["key"] for r in ref_keys.collect()], dtype=np.int64)
+    )
+    out_schema = stream.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    # mapInPandas, not a pandas_udf filter: a Python predicate in a
+    # streaming WHERE gets pushed into the source scan (where it cannot
+    # evaluate); mapInPandas is an explicit Arrow-batched barrier.  The
+    # membership test is one vectorized searchsorted over the
+    # flattened batch (bands keys/doc), then a per-doc any-fold.
+    def gate(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or keys.size == 0:
+                yield pdf[out_cols]
+                continue
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["_band_keys"]]
+            )
+            idx = np.searchsorted(keys, flat)
+            idx[idx == keys.size] = 0
+            hit = keys[idx] == flat
+            n = np.array([len(a) for a in pdf["_band_keys"]])
+            doc_hit = np.add.reduceat(hit, np.r_[0, n[:-1].cumsum()]) > 0
+            yield pdf.loc[~doc_hit, out_cols]
+
+    return strm.mapInPandas(gate, out_schema)
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str, checkpoint: str
 ) -> None:

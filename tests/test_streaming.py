@@ -539,3 +539,73 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         for r in spark.table("ij_out").collect()
     }
     assert got == {(0, 0), (0, 1), (1, 2)}
+
+
+def test_neardup_gate_stream_both_modes(spark, tmp_path):
+    """Streaming near-dup gate vs a static reference: exact copies and
+    heavy-overlap near-dups of reference docs are gated out
+    (broadcast mode keeps only novel docs; join mode flags the
+    candidates), and both modes agree with the batch banding oracle —
+    docs sharing >= 1 LSH band key with the reference."""
+    from mandoline_spark.functions.dedup import band_key_array
+    from mandoline_spark.streaming.ops import (
+        neardup_gate_stream,
+        run_available_now,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "pack my box with five dozen liquor jugs every single day"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        # exact copy of ref 100 -> all bands match, must be gated
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        # novel doc -> kept
+        (2, "completely different words about spark catalyst and parquet files"),
+        # near-dup of ref 101 (one word changed) -> likely gated
+        (3, "pack my box with five dozen liquor jugs every single night"),
+        # empty doc -> kept (unique band keys by construction)
+        (4, ""),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*"))
+        )
+
+    # batch banding oracle: stream docs sharing any band key with ref
+    ref_keys = {
+        r["key"]
+        for r in band_key_array(ref, empty_salt="__gate_ref__")
+        .selectExpr("explode(_band_keys) AS key")
+        .collect()
+    }
+    batch_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect_flagged = {
+        r["doc_id"]
+        for r in band_key_array(batch_docs, empty_salt="__gate_stream__")
+        .selectExpr("doc_id", "explode(_band_keys) AS key")
+        .collect()
+        if r["key"] in ref_keys
+    }
+    assert 1 in expect_flagged and 2 not in expect_flagged
+    assert 4 not in expect_flagged
+
+    kept = neardup_gate_stream(stream(), ref)
+    run_available_now(kept, "gate_kept", "append", str(tmp_path / "ck1"))
+    got_kept = {r.doc_id for r in spark.table("gate_kept").collect()}
+    assert got_kept == {r[0] for r in rows} - expect_flagged
+
+    flagged = neardup_gate_stream(stream(), ref, mode="join")
+    run_available_now(flagged, "gate_flag", "append", str(tmp_path / "ck2"))
+    got_flagged = {r.doc_id for r in spark.table("gate_flag").collect()}
+    assert got_flagged == expect_flagged
