@@ -395,8 +395,11 @@ class Connection:
             chunks = self.chunks_df()
             if chunks is None:
                 return None
-            rows = chunks.filter(chunks.hash.isin(missing)).collect()
-            got = {row["hash"]: bytes(row["blob"]) for row in rows}
+            pdf = chunks.filter(chunks.hash.isin(missing)).toPandas()
+            got = {
+                r.hash: bytes(r.blob)
+                for r in pdf.itertuples(index=False)
+            }
             if len(got) < len(missing):
                 return None  # store inconsistency; let caller fall back
             for h, b in got.items():
