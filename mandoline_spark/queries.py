@@ -2632,13 +2632,17 @@ g AS (SELECT doc_id,
                  ELSE CAST([] AS VARCHAR[]) END) AS gs
       FROM w),
 t AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-b AS (SELECT DISTINCT gram, 1 AS hit FROM t WHERE doc_id % 97 = 0)
-SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(sum(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
-       round(sum(COALESCE(hit, 0)) * 100.0 / count(*), 4) AS pct
-FROM t LEFT JOIN b USING (gram)
-WHERE t.doc_id % 97 != 0
-GROUP BY t.doc_id ORDER BY t.doc_id""",
+b AS (SELECT DISTINCT gram, 1 AS hit FROM t WHERE doc_id % 97 = 0),
+a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(COALESCE(hit, 0)) AS BIGINT) AS n_hit
+      FROM t LEFT JOIN b USING (gram) GROUP BY t.doc_id)
+SELECT g.doc_id, COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN round(n_hit * 100.0 / n_grams, 4) ELSE 0.0 END AS pct
+FROM g LEFT JOIN a USING (doc_id)
+WHERE g.doc_id % 97 != 0
+ORDER BY g.doc_id""",
 )
 def q98(spark, sf):
     """Benchmark-contamination screen: per-document share of distinct
@@ -2670,8 +2674,14 @@ def q98(spark, sf):
         .select(F.explode("gs").alias("gram"))
         .agg(F.collect_set("gram").alias("bench"))
     )
+    # no row filter on gram emptiness: a size(gs) > 0 predicate gets
+    # pushed below the repartition into a single-task scan Filter with
+    # the whole gram pipeline inlined (measured 6x at sf0.1 — the trap
+    # test_neardup_pipelines_keep_gram_work_off_the_scan pins for the
+    # dedup pipelines).  Zero-gram docs are instead REPORTED with
+    # pct = 0, and the oracle mirrors that via a doc-level left join.
     return (
-        g.where((F.col("doc_id") % 97 != 0) & (F.size("gs") > 0))
+        g.where(F.col("doc_id") % 97 != 0)
         .crossJoin(F.broadcast(b))
         .select(
             "doc_id",
@@ -2681,7 +2691,11 @@ def q98(spark, sf):
             .alias("n_hit"),
         )
         .withColumn(
-            "pct", F.round(F.col("n_hit") * 100.0 / F.col("n_grams"), 4)
+            "pct",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit") * 100.0 / F.col("n_grams"), 4),
+            ).otherwise(F.lit(0.0)),
         )
         .orderBy("doc_id")
     )
@@ -2708,9 +2722,11 @@ gg AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS total_g,
        FROM g)
 SELECT ww.doc_id,
        round(top * 1.0 / tot, 6) AS top_word_share,
-       round(1.0 - distinct_g * 1.0 / total_g, 6) AS dup_bigram_share
+       CASE WHEN total_g > 0
+            THEN round(1.0 - distinct_g * 1.0 / total_g, 6)
+            ELSE 0.0 END AS dup_bigram_share
 FROM ww JOIN gg ON ww.doc_id = gg.doc_id
-WHERE total_g > 0 ORDER BY ww.doc_id""",
+ORDER BY ww.doc_id""",
 )
 def q99(spark, sf):
     """Repetition screen (the Gopher/MassiveText quality rules): per
@@ -2744,17 +2760,23 @@ def q99(spark, sf):
     ww = f.groupBy("doc_id").agg(
         F.max("c").alias("top"), F.sum("c").cast("bigint").alias("tot")
     )
+    # no total_g > 0 row filter: it would push below the repartition
+    # into a single-task scan Filter with the bigram pipeline inlined
+    # (see q98's note); 0/1-word docs report dup_bigram_share = 0 and
+    # the oracle's CASE mirrors that
     return (
         ww.join(gg, "doc_id")
-        .where(F.col("total_g") > 0)
         .select(
             "doc_id",
             F.round(F.col("top") * 1.0 / F.col("tot"), 6).alias(
                 "top_word_share"
             ),
-            F.round(
-                1.0 - F.col("distinct_g") * 1.0 / F.col("total_g"), 6
-            ).alias("dup_bigram_share"),
+            F.when(
+                F.col("total_g") > 0,
+                F.round(
+                    1.0 - F.col("distinct_g") * 1.0 / F.col("total_g"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_bigram_share"),
         )
         .orderBy("doc_id")
     )
