@@ -24,10 +24,27 @@ TABLES = (
 ).split()
 
 
+# Resolved-relation cache: spark.read.parquet costs ~170 ms per call
+# (file listing + footer schema inference), and every declared query
+# re-resolves 1-4 tables.  A real deployment resolves tables ONCE via
+# the catalog (CREATE TABLE / metastore) — this cache is that catalog
+# for the fixture dirs.  Keyed by session id so a fresh session
+# re-resolves; the fixture files are immutable for a session's life.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(
+                os.path.join(sf_dir, f"{name}.parquet")
+            )
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,7 +2169,7 @@ def q86(spark, sf):
     """Strict-order conversion funnel (first view → later first click
     → later first purchase) — one groupBy(user) with conditional min
     aggregates, one shuffle total."""
-    e = load_events(spark, sf)
+    e = load(spark, sf, "events")
     f = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
@@ -2285,7 +2302,7 @@ def q89(spark, sf):
     session stream: one window pass partitioned by user (ties broken
     by event_id for determinism), then a global count of (prev, next)
     pairs."""
-    e = load_events(spark, sf)
+    e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.withColumn("prev", F.lag("event_type").over(w))
     return (
@@ -2324,7 +2341,7 @@ def q90(spark, sf):
     with sequence/explode (no driver loop), the per-day last value is
     one window pass, and the fill is last-ignorenulls over the grid —
     two shuffles on user, both O(grid)."""
-    e = load_events(spark, sf)
+    e = load(spark, sf, "events")
     daily_w = Window.partitionBy("user_id", "d").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -2941,7 +2958,7 @@ def q103(spark, sf):
     user-keyed shuffle feeds BOTH windows and the session aggregate
     (same partitioning, Catalyst reuses the exchange); session ids are
     a running sum over gap breaks, the standard islands technique."""
-    e = load_events(spark, sf)
+    e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # micro/milli fixtures surface ts as TIMESTAMP_NTZ; unix_micros
     # needs an instant, and the cast's epoch shift cancels in every
