@@ -30,20 +30,21 @@ TABLES = (
 # the catalog (CREATE TABLE / metastore) — this cache is that catalog
 # for the fixture dirs.  Keyed by session id so a fresh session
 # re-resolves; the fixture files are immutable for a session's life.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# value keeps a strong ref to the session so a stopped session's id()
+# can never be reused for a different live session
+_LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
-    df = _LOAD_CACHE.get(key)
-    if df is None:
-        if name == "events":
-            df = load_events(spark, sf_dir)
-        else:
-            df = spark.read.parquet(
-                os.path.join(sf_dir, f"{name}.parquet")
-            )
-        _LOAD_CACHE[key] = df
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if name == "events":
+        df = load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 
