@@ -22,7 +22,7 @@ that materialization.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Mapping
+from typing import Any, Iterator, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -562,3 +562,38 @@ def on_last_version(conn: Connection) -> dict:
     if last is None:
         raise ValueError("dataset has no committed versions")
     return on_version(conn, last)
+
+
+def register_cells_views(
+    conn: Connection,
+    token: Mapping[str, Any],
+    vars: Sequence[str] | None = None,
+    prefix: str = "cells_",
+) -> list[str]:
+    """Register each variable's exploded cell view as a temp view
+    ``<prefix><var>`` so plain ``spark.sql`` can join/aggregate array
+    cells against relational tables — the full §1.4 bridge.
+
+    Views are lazy plans over the version pinned by ``token``: queries
+    against them keep reading that version (time travel by view), and
+    Catalyst prunes/pushes into the underlying index scan as usual.
+    The generic ``dimK`` cell columns are exposed under the variable's
+    REAL dimension names (``x``, ``time``, …) so SQL joins read
+    naturally.  Returns the registered view names."""
+    names = []
+    for var in (
+        vars if vars is not None else sorted(token["variables"])
+    ):
+        name = f"{prefix}{var}"
+        df = cells_df(conn, token, var)
+        dims = md.get_variable_dimensions(token, var)
+        df = df.select(
+            *[
+                F.col(f"dim{i}").alias(d)
+                for i, d in enumerate(dims)
+            ],
+            "value",
+        )
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

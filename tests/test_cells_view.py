@@ -91,3 +91,55 @@ def test_cells_sql_registration(store, spark):
         "SELECT dim0, sum(value) AS s FROM cells_v GROUP BY dim0 ORDER BY dim0"
     ).collect()
     assert [r["s"] for r in got] == [21] * 9
+
+
+def test_register_cells_views_sql(store):
+    """The §1.4 SQL bridge end-to-end: register the cell views, then
+    join array cells against a relational temp table with plain
+    spark.sql."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds_sql")
+    dds = {
+        "dimensions": {"x": 6, "y": 4},
+        "chunk-dimensions": {"x": 3, "y": 2},
+        "variables": {
+            "t": {"type": "int", "shape": ["x", "y"], "fill-value": -1},
+            "u": {"type": "double", "shape": ["x"], "fill-value": 0.0},
+        },
+    }
+    tok = conn.add_version(dds)
+    a = np.arange(24, dtype=np.int32).reshape(6, 4)
+    writer.write_variable(
+        conn, tok, "t", [sb.Slab(a, sl.mk_slice((0, 0), (6, 4)))]
+    )
+    u = np.linspace(0.0, 1.0, 6)
+    writer.write_variable(
+        conn, tok, "u", [sb.Slab(u, sl.mk_slice((0,), (6,)))]
+    )
+    conn.finish_version(tok)
+
+    token = reader.on_last_version(conn)
+    names = reader.register_cells_views(conn, token)
+    assert names == ["cells_t", "cells_u"]
+
+    spark = store.spark
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(6)], "x int, label string"
+    ).createOrReplaceTempView("dims")
+    got = spark.sql(
+        """SELECT d.label, CAST(sum(c.value) AS BIGINT) AS s,
+                  round(max(w.value), 6) AS wmax
+           FROM cells_t c JOIN dims d ON c.x = d.x
+           JOIN cells_u w ON w.x = c.x
+           GROUP BY d.label ORDER BY d.label"""
+    ).collect()
+    assert len(got) == 6
+    for i, r in enumerate(got):
+        assert r.label == f"row{i}"
+        assert r.s == int(a[i].sum())
+        assert abs(r.wmax - u[i]) < 1e-9
