@@ -174,6 +174,16 @@ def ngram_jaccard_pairs(
         # (the r2 shape paid both: measured +22% on the declared q37),
         # and no hot posting array ever materializes (ADVICE r03).
         posts = _posting_lists(g.drop("ng"), ["gram"], [], max_size=max_df)
+        # posts feeds THREE consumers (the pair emitter and both sides
+        # of the size join); without materialization each consumer
+        # re-runs the whole corpus explode + posting shuffle (measured
+        # 3x at sf0.1).  MEMORY_AND_DISK: posting lists are bounded by
+        # max_df, and the ContextCleaner evicts the cache once the
+        # returned plan is unreachable (periodic GC is on in the
+        # session factory).
+        from pyspark import StorageLevel
+
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
         # dropping stop-shingles changes each doc's effective set size,
         # so recount post-filter; the recounted sizes join onto the
         # (tiny) aggregated pair stream, not back onto the full
