@@ -6,12 +6,14 @@ exactly the pattern the array store uses for chunk blobs
 All per-blob work runs as Arrow-batched `mapInPandas` so decode
 libraries operate on whole batches, never row-at-a-time Python.
 
-Real image/audio codecs are absent in this container, so the pipeline
-runs on a deterministic fake wire format (RAW8: a tiny header + raw
-uint8 pixels / frames).  The format is the ONLY fake part: the Spark
-plumbing — schemas, UDF signatures, Arrow batch shapes, explode of
-sampled frames — is the production shape; swap `decode_image` /
-`encode_image` for PIL/ffmpeg calls and nothing else changes.
+Uncompressed standard formats are decoded for REAL with no external
+libraries: binary PPM (P6) images and RIFF/WAVE 16-bit PCM audio
+(stdlib ``wave``).  Compressed codecs (JPEG/PNG/MP3/MP4) are absent in
+this container, so those paths raise NotImplementedError until a codec
+library is swapped into `decode_image`/`decode_wav`; RAW8/VID8 are
+deterministic test stand-ins for them.  Either way the Spark plumbing
+— schemas, UDF signatures, Arrow batch shapes, explode of sampled
+frames — is the production shape; only the decode call changes.
 
 Scale notes: blobs never leave executors (no collect); feature/resize
 stages are projections (no shuffle); frame sampling explodes to
@@ -46,16 +48,100 @@ def encode_image(arr: np.ndarray) -> bytes:
     return _IMG_MAGIC + struct.pack("<HHB", h, w, c) + arr.astype(np.uint8).tobytes()
 
 
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 array → binary PPM (P6) — a REAL image format."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("PPM is RGB: expected HxWx3")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 HxWx3.  Standard header: magic,
+    whitespace/comment-separated width height maxval, single whitespace,
+    raw samples."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return np.frombuffer(blob, np.uint8, h * w * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
 def decode_image(blob: bytes) -> np.ndarray:
-    """RAW8 blob → uint8 HxWxC array.  For real formats (JPEG/PNG/...)
-    swap in PIL here; the callers only see ndarrays."""
+    """Image blob → uint8 HxWxC array.  Real support: binary PPM (P6).
+    RAW8 is the deterministic test stand-in.  Compressed formats
+    (JPEG/PNG/...) raise until a codec library is present — swap in
+    PIL here; the callers only see ndarrays."""
     blob = bytes(blob)
-    if blob[:4] != _IMG_MAGIC:
-        raise NotImplementedError(
-            "non-RAW8 image decoding requires an image codec library"
+    if blob[:4] == _IMG_MAGIC:
+        h, w, c = struct.unpack("<HHB", blob[4:9])
+        return np.frombuffer(blob, np.uint8, h * w * c, offset=9).reshape(
+            h, w, c
         )
-    h, w, c = struct.unpack("<HHB", blob[4:9])
-    return np.frombuffer(blob, np.uint8, h * w * c, offset=9).reshape(h, w, c)
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    raise NotImplementedError(
+        "compressed image decoding requires an image codec library "
+        "(supported here: PPM P6, RAW8)"
+    )
+
+
+# -- audio: REAL RIFF/WAVE PCM via the stdlib wave module --------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000
+) -> bytes:
+    """int16 samples ([n] mono or [n, channels]) → RIFF/WAVE PCM."""
+    import io
+    import wave
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM blob → (int16 [n, channels], sample_rate).
+    Compressed audio (mp3/flac/...) raises until a codec library is
+    present."""
+    import io
+    import wave
+
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decoding requires a codec library "
+            "(supported here: RIFF/WAVE PCM)"
+        )
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM supported")
+        n, ch = w.getnframes(), w.getnchannels()
+        data = np.frombuffer(w.readframes(n), dtype="<i2").reshape(n, ch)
+        return data, w.getframerate()
 
 
 def encode_video(frames: np.ndarray) -> bytes:
@@ -185,3 +271,46 @@ def frame_sample(
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def audio_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Per-clip audio statistics decoded in executors: duration,
+    RMS/peak level, zero-crossing rate — the screens an audio curation
+    pipeline thresholds on (silence, clipping, noise).  Arrow-batched
+    mapInPandas; one decode per blob, no shuffle."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (
+        ", sample_rate int, n_samples bigint, channels int,"
+        " duration_s double, rms double, peak double, zcr double"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[blob_col]:
+                data, rate = decode_wav(bytes(b))
+                x = data.astype(np.float64) / 32768.0
+                mono = x.mean(axis=1)
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "sample_rate": rate,
+                        "n_samples": data.shape[0],
+                        "channels": data.shape[1],
+                        "duration_s": data.shape[0] / rate,
+                        "rms": float(np.sqrt(np.mean(x**2))),
+                        "peak": float(np.abs(x).max(initial=0.0)),
+                        "zcr": zc,
+                    }
+                )
+            out = pdf.copy()
+            for k in rows[0] if rows else []:
+                out[k] = [r[k] for r in rows]
+            yield out
+
+    return df.mapInPandas(feats, out_schema)

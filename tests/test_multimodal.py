@@ -105,3 +105,70 @@ def test_frame_sample(spark):
         np.testing.assert_array_equal(
             decode_image(bytes(r["frame"])), vids[r["id"]][r["frame_idx"]]
         )
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from mandoline_spark.functions.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    # header with a comment line (valid per the spec)
+    blob = b"P6\n# made by a camera\n5 7\n255\n" + img.tobytes()
+    assert (decode_image(blob) == img).all()
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from mandoline_spark.functions.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype(np.int16)
+    silence = np.zeros(rate // 2, dtype=np.int16)
+    stereo = np.stack([sine, -sine], axis=1)
+
+    got, r = decode_wav(encode_wav(sine, rate))
+    assert r == rate and (got[:, 0] == sine).all()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(sine, rate))),
+            (2, bytearray(encode_wav(silence, rate))),
+            (3, bytearray(encode_wav(stereo, rate))),
+        ],
+        "clip_id long, blob binary",
+    )
+    rows = {r.clip_id: r for r in audio_features(df).collect()}
+    assert rows[1].sample_rate == rate and rows[1].channels == 1
+    assert abs(rows[1].duration_s - 1.0) < 1e-9
+    # 440 Hz sine: RMS = amp/sqrt(2), zcr = 2*440/8000
+    assert abs(rows[1].rms - (16000 / 32768) / np.sqrt(2)) < 1e-3
+    assert abs(rows[1].zcr - 880 / rate) < 0.01
+    assert rows[2].rms == 0.0 and rows[2].peak == 0.0
+    assert rows[3].channels == 2
+    # rms is per-channel (both carry the sine), but the zero-crossing
+    # rate runs on the mono mean — the inverse channels cancel to DC
+    assert abs(rows[3].rms - rows[1].rms) < 1e-9
+    assert rows[3].zcr == 0.0
+
+
+def test_compressed_codecs_raise(spark):
+    import pytest as _pytest
+
+    from mandoline_spark.functions.multimodal import decode_image, decode_wav
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03mp3data")
