@@ -72,3 +72,38 @@ def test_import_legacy_rejects_bad_coord(store):
         import_legacy_chunks(
             store, "legacy2", SPEC, {"v": va}
         )
+
+
+def test_legacy_import_property_types(store):
+    """Every reference element type round-trips through the legacy
+    envelope (big-endian + lz4 chain) back to the numpy oracle."""
+    rng = np.random.default_rng(11)
+    cases = {
+        "byte": rng.integers(-128, 127, (5, 4)).astype(np.int8),
+        "short": rng.integers(-500, 500, (5, 4)).astype(np.int16),
+        "int": rng.integers(-5000, 5000, (5, 4)).astype(np.int32),
+        "long": rng.integers(-9000, 9000, (5, 4)).astype(np.int64),
+        "float": rng.normal(size=(5, 4)).astype(np.float32),
+        "double": rng.normal(size=(5, 4)),
+    }
+    spec = {
+        "dimensions": {"x": 5, "y": 4},
+        "chunk-dimensions": {"x": 2, "y": 3},
+        "variables": {
+            f"v_{t}": {"type": t, "shape": ["x", "y"], "fill-value": 0}
+            for t in cases
+        },
+    }
+    dumps = {
+        f"v_{t}": store.spark.createDataFrame(
+            _legacy_dump(arr, 2, 3, 0), "coord array<int>, blob binary"
+        )
+        for t, arr in cases.items()
+    }
+    conn = import_legacy_chunks(store, "legacy_types", spec, dumps)
+    token = reader.on_last_version(conn)
+    for t, arr in cases.items():
+        got = reader.get_slice(
+            conn, token, f"v_{t}", sl.mk_slice((0, 0), (5, 4))
+        )
+        np.testing.assert_array_equal(got.data, arr)
