@@ -98,6 +98,8 @@ def connected_components(
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
+    from pyspark.sql import Observation
+
     converged = False
     for _ in range(max_iter):
         # each node offers its label to every neighbor; a node keeps
@@ -108,25 +110,32 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("cluster").alias("offer"))
         )
-        new_labels, new_ids = _ckpt(
+        # the convergence count piggybacks on the checkpoint's own
+        # materialization job via observe (a row changed iff its best
+        # offer beats its label) — one job per round instead of a
+        # separate rounds-deep count join (measured ~2x on the
+        # declared q82/q83)
+        obs = Observation()
+        cand = (
             labels.join(offers, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce("offer", "cluster")
                 ).alias("cluster"),
+                (F.coalesce("offer", F.col("cluster")) < F.col("cluster"))
+                .cast("long")
+                .alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("chg"))
+            .select("id", "cluster")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        # the convergence count was the last consumer of the previous
+        new_labels, new_ids = _ckpt(cand)
+        changed = obs.get.get("chg") or 0
+        # the checkpoint job was the last consumer of the previous
         # round's blocks — free them now; at most two snapshots are
         # ever live (a localCheckpoint is unreadable once freed, so
-        # this must stay AFTER the count)
+        # this must stay AFTER the materialization)
         _free(label_ids)
         labels, label_ids = new_labels, new_ids
         if changed == 0:
