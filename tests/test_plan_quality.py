@@ -129,6 +129,12 @@ def test_bucket_caps_filter_before_collect(spark):
         ngram_jaccard_pairs,
     )
 
+    # A prior test in the session (e.g. oracle parity on q37) may have
+    # left the pipeline's persisted posting lists in the cache; the
+    # CacheManager then splices an InMemoryRelation — whose printed
+    # child plan inflates the exchange counts below — into this fresh
+    # plan.  The assertions describe the cold-cache plan, so start cold.
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = (
         ngram_jaccard_pairs(docs, threshold=0.5, max_df=20)
