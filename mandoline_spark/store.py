@@ -84,6 +84,18 @@ def connect_uri(spark: SparkSession, uri: str) -> "Connection":
     return Store(spark, root).connect(ds)
 
 
+def resume_writer(
+    spark: SparkSession, token_str: str
+) -> tuple["Connection", dict]:
+    """Rehydrate a writer serialized by :meth:`Connection.writer_token`
+    in a DIFFERENT process/driver (the reference's
+    ``token->dataset-writer``, mandoline.clj:168-176): returns the
+    (connection, in-flight version token) pair, ready for
+    ``writer.write_pieces`` / ``finish_version``."""
+    d = json.loads(token_str)
+    return connect_uri(spark, d["uri"]), md.parse_metadata(d["token"])
+
+
 class VersionConflict(Exception):
     """Another writer committed against the same parent first."""
 
@@ -244,6 +256,22 @@ class Connection:
             token = md.inherit(dict(metadata), self.metadata(last))
         token = md.new_version(token)
         return token
+
+    def writer_token(self, token: Mapping[str, Any]) -> str:
+        """Serialize an in-flight writer to a portable string — the
+        reference's ``dataset-writer->token`` (mandoline.clj:160-176):
+        a coordinator starts a version, hands the token string to any
+        number of OTHER processes (separate Spark drivers entirely),
+        each resumes with :func:`resume_writer`, writes its shard of
+        pieces, and any one of them commits with ``finish_version``.
+        The string carries the dataset URI plus the version token, so
+        it crosses process/host boundaries as plain text."""
+        return json.dumps(
+            {
+                "uri": f"mand://{self.path}",
+                "token": md.generate_metadata(dict(token)),
+            }
+        )
 
     def finish_version(self, token: Mapping[str, Any]) -> int:
         """Commit: succeeds iff the token's parent is still the last
