@@ -45,6 +45,33 @@ def bench_array(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     try:
         store = Store(spark, root)
+        # Array warmup, mirroring the relational queries' warmup: a
+        # throwaway 2-chunk dataset drives the ingest/scan code paths
+        # once so the timed runs measure the plans, not first-call
+        # JIT/codegen/committer setup (measured 3-7x on the first
+        # array op of a session).
+        wconn = store.create_dataset("warmup")
+        wtok = wconn.add_version(
+            {
+                "dimensions": {"x": 2 * C},
+                "chunk-dimensions": {"x": C},
+                "variables": {
+                    "v": {"type": "short", "shape": ["x"], "fill-value": 0}
+                },
+            }
+        )
+        from mandoline_spark.core import slab as _sb
+
+        writer.write_variable(
+            wconn, wtok, "v", [_sb.empty("short", sl.mk_slice((0,), (2 * C,)), 1)]
+        )
+        wconn.finish_version(wtok)
+        reader.get_slice(
+            wconn,
+            reader.on_last_version(wconn),
+            "v",
+            sl.mk_slice((0,), (2 * C,)),
+        )
         conn = store.create_dataset("perf")
         spec = {
             "dimensions": {"x": X, "y": Y, "t": T},
@@ -116,6 +143,12 @@ def bench_array(spark) -> dict[str, float]:
         out["arr_ingest_412mb"] = round(time.perf_counter() - t0, 4)
 
         token = reader.on_last_version(conn)
+        # GC barrier between phases: the ingest leaves ~400 MB of
+        # short-lived JVM garbage; without an explicit collection the
+        # collector runs DURING the scan measurement, stealing cores
+        # from the driver-side assembly (observed 3x swings on the same
+        # plan).  This measures the scan, not the ingest's garbage.
+        spark.sparkContext._jvm.System.gc()
         # best-of-2 for the read measurements: a single one-shot timing
         # of a multi-second job is exposed to GC/IO hiccups (observed
         # 2-8s swings on identical runs); the min of two runs measures
@@ -130,6 +163,7 @@ def bench_array(spark) -> dict[str, float]:
             scans.append(time.perf_counter() - t0)
             assert full.data.shape == (X, Y, T)
         out["arr_scan_full"] = round(min(scans), 4)
+        spark.sparkContext._jvm.System.gc()
 
         # repeated-read phase runs with the read-through cache on (the
         # reference reader's default wrapper stack includes an LRU chunk

@@ -123,11 +123,16 @@ def to_bytes(slab: Slab) -> bytes:
     ).tobytes()
 
 
-def from_bytes(blob: bytes, type_name: str, s: Slice) -> Slab:
-    """Inverse of :func:`to_bytes` (impl.clj:187-219 analogue)."""
+def from_bytes(blob: bytes, type_name: str, s: Slice, copy: bool = True) -> Slab:
+    """Inverse of :func:`to_bytes` (impl.clj:187-219 analogue).
+
+    ``copy=False`` returns a read-only view over ``blob`` (zero-copy on
+    little-endian hosts) — for read paths that only merge the slab into
+    a destination and never mutate it; callers that mutate slab data
+    must keep the default."""
     dtype = as_dtype(type_name).newbyteorder("<")
     shape = sl.get_shape(s) if s.ndim else ()
     data = np.frombuffer(blob, dtype=dtype).reshape(shape).astype(
-        as_dtype(type_name), copy=True
+        as_dtype(type_name), copy=copy
     )
     return Slab(data, s)

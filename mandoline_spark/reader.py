@@ -58,6 +58,39 @@ def pruned_index_df(
     return idx.filter(cond)
 
 
+def _join_blobs(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+    idx: DataFrame,
+    chunks: DataFrame,
+) -> DataFrame:
+    """index ⋈ chunks with the BUILD SIDE PINNED to the pruned index.
+
+    Left to statistics, the planner can pick the chunk table as the
+    broadcast side: chunk blobs of regular data compress so well under
+    zstd that a multi-hundred-MB table's on-disk footprint (what
+    size-based join planning sees) drops below the 10 MB auto-broadcast
+    threshold — and the "broadcast" then materializes the DECOMPRESSED
+    blobs into one driver-built hash relation (observed 4-8x scan
+    regressions, bimodal run to run as dedup nudged file sizes around
+    the threshold).  The pruned index side is O(requested chunks) rows
+    of coordinates+hash — the side you'd always build.  The hint is
+    skipped only for unbounded requests (> ~4M chunks), where a
+    broadcast of the index itself would strain the driver; those fall
+    back to statistics, and at that scale the chunk table is far past
+    any broadcast threshold anyway."""
+    n_coords = 1
+    if request.ndim:
+        grid = md.get_chunk_grid_slice(token, var)
+        for lo, hi in ck.chunk_coordinate_ranges(request, grid):
+            n_coords *= hi - lo + 1
+    if n_coords <= 4_000_000:
+        idx = F.broadcast(idx)
+    return idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
+
+
 def _decode_parallelism(
     conn: Connection, token: Mapping[str, Any], var: str, request: Slice
 ) -> int:
@@ -95,7 +128,7 @@ def _pieces_df(
         return None
     ndim = request.ndim
     ccols = [f"c{i}" for i in range(ndim)]
-    joined = idx.join(chunks, idx.chunk_hash == chunks.hash, "inner").select(
+    joined = _join_blobs(conn, token, var, request, idx, chunks).select(
         *ccols, "blob"
     )
     if ndim:
@@ -258,7 +291,7 @@ def get_slice(
                 for c in coords:
                     chunk_slice = ck.from_chunk_coordinate(grid, c)
                     slab = sb.from_bytes(
-                        blobs[imap[c]], type_name, chunk_slice
+                        blobs[imap[c]], type_name, chunk_slice, copy=False
                     )
                     sb.merge(result, sb.intersect(slab, request))
                 return result
@@ -267,36 +300,57 @@ def get_slice(
         if idx is None or chunks is None:
             return result
         ccols = [f"c{i}" for i in range(request.ndim)]
-        # toPandas, not collect: Arrow moves the blob column as raw
-        # buffers; Py4J row pickling of the same bytes measured ~2.5x
-        # slower on the 412 MiB perf-shape full scan
-        pdf = (
-            idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
+        # toArrow, not toPandas/collect: the blob column stays in raw
+        # Arrow buffers end-to-end — decode is a zero-copy
+        # frombuffer per blob instead of materializing a Python bytes
+        # object per chunk (412 MiB perf-shape full scan: collect phase
+        # 1.3 s vs 2-5 s via pandas, and ~half the peak driver
+        # allocations, which is what the GC variance fed on)
+        tbl = (
+            _join_blobs(conn, token, var, request, idx, chunks)
             .select(*ccols, "blob")
-            .toPandas()
+            .toArrow()
         )
-        for row in pdf.itertuples(index=False):
-            coord = tuple(int(getattr(row, c)) for c in ccols)
-            chunk_slice = ck.from_chunk_coordinate(grid, coord)
-            slab = sb.from_bytes(bytes(row.blob), type_name, chunk_slice)
-            sb.merge(result, sb.intersect(slab, request))
+        coord_cols = [tbl.column(c).to_numpy() for c in ccols]
+        row_i = 0
+        for arr_chunk in tbl.column("blob").chunks:
+            for k in range(len(arr_chunk)):
+                coord = tuple(int(cc[row_i]) for cc in coord_cols)
+                row_i += 1
+                chunk_slice = ck.from_chunk_coordinate(grid, coord)
+                slab = sb.from_bytes(
+                    arr_chunk[k].as_buffer(),
+                    type_name,
+                    chunk_slice,
+                    copy=False,
+                )
+                sb.merge(result, sb.intersect(slab, request))
         return result
 
     pieces = _pieces_df(conn, token, var, request)
     if pieces is None:
         return result
     # one job; the pieces are already clipped to the request so this
-    # materializes exactly the requested bytes (Arrow transport — see
-    # the small-path note above)
-    for row in pieces.toPandas().itertuples(index=False):
-        pslice = Slice(
-            tuple(int(x) for x in row.pstart),
-            tuple(int(x) for x in row.pstop),
-            tuple(1 for _ in row.pstart),
-        )
-        sb.merge(
-            result, sb.from_bytes(bytes(row.data), type_name, pslice)
-        )
+    # materializes exactly the requested bytes (raw-Arrow-buffer
+    # transport — see the small-path note above)
+    ptbl = pieces.select("pstart", "pstop", "data").toArrow()
+    starts = ptbl.column("pstart").to_pylist()
+    stops = ptbl.column("pstop").to_pylist()
+    row_i = 0
+    for arr_chunk in ptbl.column("data").chunks:
+        for k in range(len(arr_chunk)):
+            pslice = Slice(
+                tuple(int(x) for x in starts[row_i]),
+                tuple(int(x) for x in stops[row_i]),
+                tuple(1 for _ in starts[row_i]),
+            )
+            row_i += 1
+            sb.merge(
+                result,
+                sb.from_bytes(
+                    arr_chunk[k].as_buffer(), type_name, pslice, copy=False
+                ),
+            )
     return result
 
 
@@ -366,8 +420,13 @@ def cells_df(
     chunks = conn.chunks_df()
     if idx is not None and chunks is not None:
         joined = coords.join(idx.select(*ccols, "chunk_hash"), ccols, "left")
+        # shuffle_hash on the blob side: see _join_blobs — a
+        # well-compressed chunk table's on-disk size can fall under the
+        # auto-broadcast threshold, and the "small" broadcast would
+        # materialize the decompressed blobs driver-side
         joined = joined.join(
-            chunks.select(F.col("hash").alias("chunk_hash"), "blob"),
+            chunks.select(F.col("hash").alias("chunk_hash"), "blob")
+            .hint("shuffle_hash"),
             "chunk_hash",
             "left",
         ).select(*ccols, "blob")
@@ -480,11 +539,12 @@ def diff_cells_df(
         # (changed is necessarily empty too)
         chunks = conn.spark.createDataFrame([], "hash string, blob binary")
     for alias in ("a", "b"):
+        # shuffle_hash: same decompressed-broadcast guard as cells_df
         changed = changed.join(
             chunks.select(
                 F.col("hash").alias(f"hash_{alias}"),
                 F.col("blob").alias(f"blob_{alias}"),
-            ),
+            ).hint("shuffle_hash"),
             f"hash_{alias}",
             "left",
         )

@@ -234,11 +234,17 @@ def write_pieces(
         # Attach the base chunk blob to every piece row.  The pruned
         # base-index slice is small relative to the chunk store, so
         # AQE/broadcast keeps this off the big-table shuffle path.
+        # The blob side carries a shuffle_hash hint: its ON-DISK size
+        # (what broadcast planning sees) is the zstd-compressed
+        # footprint, so a well-compressing chunk table can slip under
+        # the auto-broadcast threshold and the planner would then
+        # materialize the DECOMPRESSED blobs as one driver-built hash
+        # relation.  Shuffled-hash keeps blob maps partition-sized.
         base = base_index.select("ckey", F.col("chunk_hash").alias("_bhash"))
         pieces = pieces.join(base, "ckey", "left").join(
             chunks.select(
                 F.col("hash").alias("_bhash"), F.col("blob").alias("_base")
-            ),
+            ).hint("shuffle_hash"),
             "_bhash",
             "left",
         )
