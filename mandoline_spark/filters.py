@@ -59,6 +59,8 @@ def lz4_block_decompress(data: bytes, out_len: int, pos: int = 0) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated LZ4 literal length")
                 b = src[pos]
                 pos += 1
                 lit += b
@@ -82,6 +84,8 @@ def lz4_block_decompress(data: bytes, out_len: int, pos: int = 0) -> bytes:
         mlen = (token & 0xF) + _MIN_MATCH
         if (token & 0xF) == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated LZ4 match length")
                 b = src[pos]
                 pos += 1
                 mlen += b
@@ -171,7 +175,11 @@ def _marker_reverse(buf: bytes, decompress) -> bytes:
         raise ValueError("empty filter payload")
     if buf[0] == 0:
         return bytes(buf[1:])
+    if len(buf) < 5:
+        raise ValueError("truncated filter length prefix")
     (out_len,) = struct.unpack_from("<i", buf, 1)
+    if out_len < 0:
+        raise ValueError(f"corrupt filter length prefix {out_len}")
     return decompress(bytes(buf[5:]), out_len)
 
 

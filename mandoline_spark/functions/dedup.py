@@ -150,6 +150,7 @@ def ngram_jaccard_pairs(
     # the exchange across the join's alias renames); this shape computes
     # grams once.  Posting-list length is the quadratic guard — cap it
     # with ``max_df`` at scale.
+    persisted = None
     if max_df is None:
         # each posting row carries the doc's gram count (8 bytes) on the
         # one shuffle we already pay, so set sizes need no second pass;
@@ -178,12 +179,18 @@ def ngram_jaccard_pairs(
         # of the size join); without materialization each consumer
         # re-runs the whole corpus explode + posting shuffle (measured
         # 3x at sf0.1).  MEMORY_AND_DISK: posting lists are bounded by
-        # max_df, and the ContextCleaner evicts the cache once the
-        # returned plan is unreachable (periodic GC is on in the
-        # session factory).
+        # max_df.  The CacheManager holds persisted plans until an
+        # explicit unpersist (the ContextCleaner only GCs unreferenced
+        # RDDs, NOT DataFrame cache entries), so the returned plan
+        # carries a finalizer: when the caller drops the result, the
+        # posting cache is unpersisted instead of leaking one
+        # InMemoryRelation per call in a long-lived session.  A child
+        # plan derived from the result merely loses the cache (it
+        # recomputes); correctness is unaffected.
         from pyspark import StorageLevel
 
         posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = posts
         # dropping stop-shingles changes each doc's effective set size,
         # so recount post-filter; the recounted sizes join onto the
         # (tiny) aggregated pair stream, not back onto the full
@@ -220,7 +227,26 @@ def ngram_jaccard_pairs(
             ).alias("jac"),
         )
     )
-    return out.orderBy("a", "b")
+    ret = out.orderBy("a", "b")
+    if persisted is not None:
+        _unpersist_on_release(ret, persisted)
+    return ret
+
+
+def _unpersist_on_release(owner: DataFrame, persisted: DataFrame) -> None:
+    """Unpersist ``persisted`` when ``owner`` (the plan handed to the
+    caller) is garbage-collected — the cache's lifetime tracks the
+    plan's reachability, so repeated calls in a long-lived session
+    don't accumulate orphaned InMemoryRelations."""
+    import weakref
+
+    def _release(p=persisted):
+        try:
+            p.unpersist()
+        except Exception:
+            pass  # session stopped / interpreter shutting down
+
+    weakref.finalize(owner, _release)
 
 
 def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:

@@ -309,7 +309,15 @@ def audio_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                     }
                 )
             out = pdf.copy()
-            for k in rows[0] if rows else []:
+            # the feature columns must exist even for an empty batch —
+            # mapInPandas validates every yielded frame against
+            # out_schema, and upstream filters can hand a partition an
+            # empty Arrow batch
+            feature_keys = [
+                "sample_rate", "n_samples", "channels", "duration_s",
+                "rms", "peak", "zcr",
+            ]
+            for k in feature_keys:
                 out[k] = [r[k] for r in rows]
             yield out
 

@@ -63,12 +63,21 @@ _ORIGINALS: dict[tuple[int, str], tuple[object, str, object]] = {}
 
 def _timed(name: str, fn):
     timer = _REGISTRY.setdefault(name, _Timer())
+    # reentrancy guard: a wrapped function that recurses through its
+    # module-global name (e.g. strided get_slice reading its bounding
+    # box via the plain path) must count as ONE user-level call, not
+    # two nested timings of the same wall-clock span
+    depth = threading.local()
 
     def wrapper(*args, **kwargs):
+        if getattr(depth, "n", 0):
+            return fn(*args, **kwargs)
+        depth.n = 1
         t0 = time.perf_counter()
         try:
             return fn(*args, **kwargs)
         finally:
+            depth.n = 0
             with _LOCK:
                 timer.update(time.perf_counter() - t0)
 

@@ -33,6 +33,10 @@ TABLES = (
 # value keeps a strong ref to the session so a stopped session's id()
 # can never be reused for a different live session
 _LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+# Bounded FIFO: the strong session refs would otherwise pin every
+# stopped session (and its JVM-side state) for the process's life in a
+# harness that creates many sessions/dirs.
+_LOAD_CACHE_MAX = 256
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,6 +48,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    while len(_LOAD_CACHE) >= _LOAD_CACHE_MAX:
+        _LOAD_CACHE.pop(next(iter(_LOAD_CACHE)))
     _LOAD_CACHE[key] = (spark, df)
     return df
 
@@ -2689,7 +2695,13 @@ def q98(spark, sf):
     )
     b = (
         g.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("gs").alias("gram"))
+        # explode_outer + not-null: on sessions without this engine's
+        # excluded-rule config, a plain explode lets
+        # InferFiltersFromGenerate push size(gs) > 0 below the
+        # repartition and re-inline the gram pipeline into the scan
+        # (the dedup.shingles idiom)
+        .select(F.explode_outer("gs").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .agg(F.collect_set("gram").alias("bench"))
     )
     # no row filter on gram emptiness: a size(gs) > 0 predicate gets
@@ -2771,7 +2783,10 @@ def q99(spark, sf):
         F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_g"),
     )
     f = (
-        base.select("doc_id", F.explode("ws").alias("word"))
+        # explode_outer + not-null: see q98's note (the plain explode
+        # invites size(ws) > 0 inference on foreign sessions)
+        base.select("doc_id", F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("c"))
     )
@@ -2878,10 +2893,11 @@ def q101(spark, sf):
     d = load_documents_wide(spark, sf)
     t = d.select(
         "source",
-        F.explode(
+        # explode_outer + not-null: see q98's note
+        F.explode_outer(
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("w"),
-    )
+    ).where(F.col("w").isNotNull())
     return (
         t.select(
             "source",

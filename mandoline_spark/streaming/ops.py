@@ -197,7 +197,15 @@ def dedup_stream(
       reach 1 around n ≈ 6×10⁹ distinct docs — only for bounded
       (watermarked) scopes where n is the in-horizon count.
     - ``"none"``: dedup on the content itself (state stores the full
-      text — zero collision risk, heaviest state)."""
+      text — zero collision risk, heaviest state).
+
+    Checkpoint compatibility: the state key is derived from
+    ``hash_fn``, so changing it (including upgrading from a build whose
+    default was xxhash64) changes the state schema — an existing
+    query CANNOT resume from its old checkpoint (Spark fails state
+    validation; even forced, old keys would never match new ones).
+    Pick the hash per pipeline and keep it; migrations start a fresh
+    checkpoint and re-seed state from storage."""
     exprs = {
         "md5": lambda c: F.md5(c.cast("binary")),
         "sha256": lambda c: F.sha2(c.cast("binary"), 256),
@@ -330,10 +338,12 @@ def neardup_gate_stream(
       A reference that changes after definition is not seen (the
       gate is a snapshot), matching broadcast semantics.
     - ``mode="join"``: stream-static LEFT SEMI join on the exploded
-      band key; returns the stream of FLAGGED candidate doc ids
-      (one row per doc via an in-batch dropDuplicates).  The static
-      side is re-read per micro-batch, so it scales to any reference
-      size and picks up reference updates between batches.
+      band key; returns the stream of FLAGGED candidate doc ids —
+      STATELESS, so a doc appears once per distinct matching band key
+      (≤ bands rows; dedup downstream, e.g.
+      ``dropDuplicatesWithinWatermark``).  The static side is re-read
+      per micro-batch, so it scales to any reference size and picks up
+      reference updates between batches.
 
     Candidate semantics are banding-recall (same as
     ``minhash_lsh_pairs`` BEFORE its exact-Jaccard verify): a gate
@@ -354,11 +364,22 @@ def neardup_gate_stream(
         .distinct()
     )
     if mode == "join":
+        # distinct band keys per doc BEFORE the join (array_distinct is
+        # per-row, stateless), then left_semi: a doc appears once per
+        # DISTINCT matching band key (≤ bands rows).  Deliberately NOT
+        # dropDuplicates(id): on a stream that is a GLOBAL stateful
+        # dedup — one state-store entry per flagged doc forever, and a
+        # doc legitimately re-flagged in a later batch would be
+        # silently suppressed.  Callers needing unique ids per horizon
+        # apply dropDuplicatesWithinWatermark downstream with their own
+        # watermark.
         flagged = (
-            strm.select(F.col(id_col), F.explode("_band_keys").alias("key"))
+            strm.select(
+                F.col(id_col),
+                F.explode(F.array_distinct("_band_keys")).alias("key"),
+            )
             .join(ref_keys, "key", "left_semi")
             .select(id_col)
-            .dropDuplicates([id_col])
         )
         return flagged
     if mode != "broadcast":

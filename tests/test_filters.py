@@ -103,6 +103,20 @@ def test_chain_rejects_garbage():
     with pytest.raises(ValueError):
         # marker-1 lz4 with truncated stream
         chain_reverse(b"\x00\x01\x01\x01\xff\x00\x00\x00\x10")
+    # every corruption path raises ValueError, never struct.error /
+    # IndexError (the module's error contract for store corruption)
+    with pytest.raises(ValueError):
+        # marker-1 payload truncated inside the 4-byte length prefix
+        chain_reverse(b"\x00\x01\x01\x01\x10\x00")
+    with pytest.raises(ValueError):
+        # negative declared output length
+        chain_reverse(b"\x00\x01\x01\x01\xff\xff\xff\xff\x00")
+    with pytest.raises(ValueError):
+        # literal length extension runs off the end (token F0 then EOF)
+        lz4_block_decompress(b"\xf0", 32)
+    with pytest.raises(ValueError):
+        # match length extension runs off the end
+        lz4_block_decompress(b"\x1f\x61\x01\x00", 64)
 
 
 def test_lz4_roundtrip_property():

@@ -54,6 +54,28 @@ def test_instrument_times_read_write(store):
         metrics.uninstrument()
 
 
+def test_strided_read_counts_once(store):
+    """get_slice with step>1 recurses through the module global for its
+    bounding-box read; the wrapper's reentrancy guard must count that
+    as ONE user-level call, not two nested timings."""
+    metrics.reset_metrics()
+    metrics.instrument()
+    try:
+        conn = _mkds(store)
+        got = reader.get_slice(
+            conn,
+            reader.on_last_version(conn),
+            "v",
+            sl.Slice((0,), (6,), (2,)),
+        )
+        np.testing.assert_array_equal(got.data, np.full(3, 4, np.int16))
+        gs = metrics.all_metrics()["mandoline_spark.reader.get_slice.time"]
+        assert gs["count"] == 1, gs
+    finally:
+        metrics.uninstrument()
+        metrics.reset_metrics()
+
+
 def test_instrument_idempotent_and_removable(store):
     metrics.reset_metrics()
     orig = writer.write_variable
