@@ -72,7 +72,6 @@ def bench_array(spark) -> dict[str, float]:
             "v",
             sl.mk_slice((0,), (2 * C,)),
         )
-        conn = store.create_dataset("perf")
         spec = {
             "dimensions": {"x": X, "y": Y, "t": T},
             "chunk-dimensions": {"x": C, "y": C, "t": C},
@@ -80,7 +79,6 @@ def bench_array(spark) -> dict[str, float]:
                 "v": {"type": "short", "shape": ["x", "y", "t"], "fill-value": -3}
             },
         }
-        tok = conn.add_version(spec)
         coords = [
             (cx, cy, ct)
             for cx in range(-(-X // C))
@@ -136,11 +134,24 @@ def bench_array(spark) -> dict[str, float]:
                 )
 
         pieces = cdf.mapInPandas(gen, writer.piece_schema(3))
-        t0 = time.perf_counter()
-        # chunk-aligned executor-generated pieces → zero-shuffle path
-        writer.ingest_aligned(conn, tok, "v", pieces)
-        conn.finish_version(tok)
-        out["arr_ingest_412mb"] = round(time.perf_counter() - t0, 4)
+        # best-of-2 for the ingest too (two fresh datasets, min): the
+        # one-shot version of this measurement swung 2-6x under host
+        # noise; the min measures the write plan.  The first dataset is
+        # destroyed so the scan phase below reads exactly one copy.
+        ingests = []
+        conn = None
+        for i in range(2):
+            if conn is not None:
+                store.destroy_dataset(conn.name)
+            conn = store.create_dataset(f"perf{i}")
+            tok = conn.add_version(spec)
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            # chunk-aligned executor-generated pieces → zero-shuffle path
+            writer.ingest_aligned(conn, tok, "v", pieces)
+            conn.finish_version(tok)
+            ingests.append(time.perf_counter() - t0)
+        out["arr_ingest_412mb"] = round(min(ingests), 4)
 
         token = reader.on_last_version(conn)
         # GC barrier between phases: the ingest leaves ~400 MB of
