@@ -98,14 +98,29 @@ class LocalFS:
             f.write(text)
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        """Atomically create ``path`` with ``text``; False if it already
-        exists (the commit primitive: second committer fails)."""
+        """Atomically create ``path`` WITH ITS FULL CONTENT; False if it
+        already exists (the commit primitive: second committer fails).
+
+        Write-temp + hard-link, not O_EXCL + write: a committer killed
+        between an exclusive create and the content write would leave a
+        torn ``versions/<vid>.json`` that wedges every later
+        ``versions()`` parse — and the retry would see 'already
+        committed'.  The link publishes complete bytes or nothing."""
+        import uuid
+
+        # unique per attempt, not just per process: racing THREADS of
+        # one process must not clobber each other's staging file
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(text)
+        finally:
+            os.unlink(tmp)
         return True
 
     def replace_text(self, path: str, text: str) -> None:
@@ -176,7 +191,15 @@ class HadoopFS:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def read_text(self, path: str) -> str:
-        stream = self._fs.open(self._p(path))
+        try:
+            stream = self._fs.open(self._p(path))
+        except Exception as e:
+            # translate to the OSError family so callers' missing-file
+            # handling (e.g. chunks_path's pointer-mid-flip fallback)
+            # works identically on both FS implementations
+            if self._java_exc_matches(e, ("FileNotFoundException",)):
+                raise FileNotFoundError(path) from e
+            raise
         try:
             # readAllBytes returns the data (Java 9+); a read(buf) loop
             # would mutate a Py4J COPY of the buffer and return zeros
@@ -192,47 +215,70 @@ class HadoopFS:
             stream.close()
 
     @staticmethod
-    def _is_already_exists(e: Exception) -> bool:
+    def _java_exc_matches(e: Exception, suffixes: tuple[str, ...]) -> bool:
         """Classify by Java exception CLASS, not message text: an
-        unrelated failure whose message merely contains 'exists'
-        ('Parent path does not exist', a connectivity error quoting a
-        path) must re-raise, not masquerade as a lost commit race
-        (ADVICE r03).  Matches FileAlreadyExistsException (Hadoop and
-        java.nio) / PathExistsException on the exception or its cause
-        chain, plus HDFS RemoteException's wrapped class name."""
+        unrelated failure whose message merely contains a keyword must
+        re-raise, not masquerade as the classified condition (ADVICE
+        r03).  Walks the cause chain and unwraps HDFS
+        RemoteException's carried class name."""
         je = getattr(e, "java_exception", None)
         seen = 0
         while je is not None and seen < 8:
             name = je.getClass().getName()
-            if name.endswith(
-                ("FileAlreadyExistsException", "PathExistsException")
-            ):
+            if name.endswith(suffixes):
                 return True
             if name == "org.apache.hadoop.ipc.RemoteException" and str(
                 je.getClassName()
-            ).endswith("FileAlreadyExistsException"):
+            ).endswith(suffixes):
                 return True
             je = je.getCause()
             seen += 1
         return False
 
+    @classmethod
+    def _is_already_exists(cls, e: Exception) -> bool:
+        return cls._java_exc_matches(
+            e, ("FileAlreadyExistsException", "PathExistsException")
+        )
+
     def create_exclusive(self, path: str, text: str) -> bool:
-        """``FileSystem.create(path, overwrite=false)`` — atomic on
-        HDFS/local; on S3A it is HEAD-then-PUT, a window closed by
-        injecting :attr:`conditional_create` (see module docstring)."""
+        """Exclusive create WITH FULL CONTENT: write a temp file, then
+        ``rename`` onto the target — rename refuses an existing
+        destination (atomic in the HDFS namenode), so the loser of a
+        commit race gets False and the winner's file is never torn
+        (a create(overwrite=false)-then-write could crash between the
+        two and leave empty JSON that wedges the version log).  On S3A
+        rename is copy+delete: content is still all-or-nothing, and the
+        existence check keeps the same admitted HEAD-window closed only
+        by injecting :attr:`conditional_create` (module docstring)."""
         if self.conditional_create is not None:
             return bool(self.conditional_create(path, text))
-        try:
-            stream = self._fs.create(self._p(path), False)
-        except Exception as e:  # Py4J wraps the Java exception
-            if self._is_already_exists(e):
-                return False
-            raise
+        import uuid
+
+        tmp = self._p(f"{path}.{uuid.uuid4().hex[:8]}.tmp")
+        stream = self._fs.create(tmp, True)
         try:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        return True
+        # pre-check: HDFS rename refuses an existing destination
+        # (atomic), but RawLocal/S3A rename can replace it — the
+        # explicit check preserves second-committer-fails there with
+        # the same pre-existing window create(overwrite=false) had
+        if self._fs.exists(self._p(path)):
+            self._fs.delete(tmp, False)
+            return False
+        try:
+            ok = bool(self._fs.rename(tmp, self._p(path)))
+        except Exception as e:
+            if self._is_already_exists(e):
+                ok = False
+            else:
+                self._fs.delete(tmp, False)
+                raise
+        if not ok:
+            self._fs.delete(tmp, False)
+        return ok
 
     def replace_text(self, path: str, text: str) -> None:
         """Replace ``path``'s content via write-temp + delete + rename.

@@ -136,8 +136,14 @@ def compact_index(
             stats["skipped"] += 1
             continue
         resolved = conn.index_df(vid, v)
-        next_gen = gens[-1] + 1 if gens else 0
-        resolved.write.mode("overwrite").parquet(conn.index_path(vid, v, next_gen))
+        # claim the generation number exclusively (concurrent-writer
+        # safe) and append into the claimed dir; `_has_parquet` skips
+        # underscore entries, so the generation stays invisible to
+        # readers until its part files commit
+        from .writer import claim_index_gen
+
+        gen_path, _gen = claim_index_gen(conn, vid, v)
+        resolved.write.mode("append").parquet(gen_path)
         conn.invalidate_cache()
         stats["compacted"] += 1
     return stats

@@ -58,6 +58,26 @@ def pruned_index_df(
     return idx.filter(cond)
 
 
+def _touched_chunks(
+    token: Mapping[str, Any], var: str, request: Slice
+) -> tuple[int, int]:
+    """(overlapping chunk count, their total stored bytes) for a
+    request — the single source for the decode-parallelism, small-read
+    routing, and broadcast-bound heuristics (a divergent copy in one of
+    them would silently mis-size the others)."""
+    if request.ndim == 0:
+        return 1, sb.as_dtype(md.get_type(token, var)).itemsize
+    grid = md.get_chunk_grid_slice(token, var)
+    n_coords = 1
+    for lo, hi in ck.chunk_coordinate_ranges(request, grid):
+        n_coords *= hi - lo + 1
+    chunk_elems = 1
+    for i in range(grid.ndim):
+        chunk_elems *= grid.step[i]
+    itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
+    return n_coords, n_coords * chunk_elems * itemsize
+
+
 def _join_blobs(
     conn: Connection,
     token: Mapping[str, Any],
@@ -81,11 +101,7 @@ def _join_blobs(
     broadcast of the index itself would strain the driver; those fall
     back to statistics, and at that scale the chunk table is far past
     any broadcast threshold anyway."""
-    n_coords = 1
-    if request.ndim:
-        grid = md.get_chunk_grid_slice(token, var)
-        for lo, hi in ck.chunk_coordinate_ranges(request, grid):
-            n_coords *= hi - lo + 1
+    n_coords, _ = _touched_chunks(token, var, request)
     if n_coords <= 4_000_000:
         idx = F.broadcast(idx)
     return idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
@@ -102,16 +118,7 @@ def _decode_parallelism(
     serialize the CPU-bound decode onto one worker.  Targets one task
     per ~128 MB of chunk data but never fewer than the cluster's core
     count while there are chunks to go around."""
-    grid = md.get_chunk_grid_slice(token, var)
-    ranges = ck.chunk_coordinate_ranges(request, grid)
-    n_coords = 1
-    for lo, hi in ranges:
-        n_coords *= hi - lo + 1
-    chunk_elems = 1
-    for i in range(grid.ndim):
-        chunk_elems *= grid.step[i]
-    itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
-    total_bytes = n_coords * chunk_elems * itemsize
+    n_coords, total_bytes = _touched_chunks(token, var, request)
     cores = conn.spark.sparkContext.defaultParallelism
     return max(1, min(n_coords, max(cores, total_bytes // (128 << 20))))
 
@@ -196,20 +203,31 @@ def stream(
 ) -> Iterator[Slab]:
     """Iterator of request-clipped slabs, one per stored overlapping
     chunk (mandoline.clj:223-258).  Absent chunks yield nothing — the
-    caller supplies fill (``get_slice`` does)."""
+    caller supplies fill (``get_slice`` does).
+
+    Validation runs EAGERLY at call time (same contract as
+    ``get_slice``) — only the iteration itself is lazy; a generator
+    all the way down would defer a bad-request error to the first
+    ``next()``, possibly far from the call site."""
     if not sl.step_is_one(request):
         raise ValueError("read requests must have step=1")
     if check_bounds:
         _check_bounds(token, var, request)
     pieces = _pieces_df(conn, token, var, request)
-    if pieces is None:
-        return
     type_name = md.get_type(token, var)
-    for row in pieces.toLocalIterator():
-        pslice = Slice(
-            tuple(row["pstart"]), tuple(row["pstop"]), tuple(1 for _ in row["pstart"])
-        )
-        yield sb.from_bytes(bytes(row["data"]), type_name, pslice)
+
+    def _iter() -> Iterator[Slab]:
+        if pieces is None:
+            return
+        for row in pieces.toLocalIterator():
+            pslice = Slice(
+                tuple(row["pstart"]),
+                tuple(row["pstop"]),
+                tuple(1 for _ in row["pstart"]),
+            )
+            yield sb.from_bytes(bytes(row["data"]), type_name, pslice)
+
+    return _iter()
 
 
 def get_slice(
@@ -253,14 +271,8 @@ def get_slice(
     # (the workload the reference's chunk cache exists for).
     grid = md.get_chunk_grid_slice(token, var)
     ranges = ck.chunk_coordinate_ranges(request, grid) if request.ndim else []
-    n_coords = 1
-    for lo, hi in ranges:
-        n_coords *= hi - lo + 1
-    chunk_elems = 1
-    for i in range(grid.ndim):
-        chunk_elems *= grid.step[i]
+    _, touched_bytes = _touched_chunks(token, var, request)
     itemsize = sb.as_dtype(type_name).itemsize
-    touched_bytes = n_coords * chunk_elems * itemsize
     requested_bytes = sl.num_elements(request) * itemsize
     # Driver-side decode also wins whenever clipping would discard
     # little: get_slice materializes the result on the driver either

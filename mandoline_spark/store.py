@@ -43,9 +43,8 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 from dataclasses import dataclass, field
-from typing import Any, Iterable, Mapping
+from typing import Any, Mapping
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -53,7 +52,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import fs as fsmod
 from .core import metadata as md
 from .core import slab as sb
-from .core.slice import Slice
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
 
@@ -214,7 +212,17 @@ class Connection:
         return out
 
     def version_ids(self) -> list[int]:
-        return [vid for vid, _ in self.versions()]
+        """Committed ids, newest first — from the FILENAMES alone (the
+        id IS the name), so the hot paths (every commit conflict check,
+        every version fallback walk) cost one listdir, not O(history)
+        file reads + JSON parses on a remote store."""
+        ids = [
+            int(fn[:-5])
+            for fn in self.fs.listdir(self._versions_dir())
+            if fn.endswith(".json")
+        ]
+        ids.sort(reverse=True)
+        return ids
 
     def last_version(self) -> int | None:
         ids = self.version_ids()
@@ -248,12 +256,17 @@ class Connection:
         """Begin a new version atop the last committed one
         (mandoline.clj:143-158): validate, inherit, stamp version-id.
         Returns the writer token."""
-        md.validate_dataset_definition(metadata)
         last = self.last_version()
         if last is None:
+            md.validate_dataset_definition(metadata)
             token = md.create(metadata)
         else:
+            # inherit FIRST: a child omitting chunk-dimensions inherits
+            # the parent's (dataset.clj:88-110); validating the raw
+            # child before the defaulting would reject that documented
+            # form.  The inherited result is then fully validated.
             token = md.inherit(dict(metadata), self.metadata(last))
+            md.validate_dataset_definition(token)
         token = md.new_version(token)
         return token
 
@@ -357,11 +370,20 @@ class Connection:
             os.path.join(self.index_path(version, var, gen), "_DELTA")
         )
 
-    def _maybe_cached(self, key: tuple, path: str) -> DataFrame:
+    def _maybe_cached(
+        self, key: tuple, path: str, recursive: bool = False
+    ) -> DataFrame:
+        reader = self.spark.read
+        if recursive:
+            # chunk batches land in per-job subdirectories (concurrent
+            # writers cannot share one append's _temporary staging);
+            # recursive lookup reads the whole tree, flat legacy
+            # layouts included
+            reader = reader.option("recursiveFileLookup", "true")
         if not self.cache_reads:
-            return self.spark.read.parquet(path)
+            return reader.parquet(path)
         if key not in self._df_cache:
-            self._df_cache[key] = self.spark.read.parquet(path).cache()
+            self._df_cache[key] = reader.parquet(path).cache()
         return self._df_cache[key]
 
     def invalidate_cache(self) -> None:
@@ -442,7 +464,7 @@ class Connection:
         path = self.chunks_path()
         if not _has_parquet(self.fs, path):
             return None
-        return self._maybe_cached(("chunks", path), path)
+        return self._maybe_cached(("chunks", path), path, recursive=True)
 
     def _gen_df(self, version: int, var: str, gen: int) -> DataFrame:
         return self._maybe_cached(
@@ -528,11 +550,20 @@ class Connection:
 
 
 def _has_parquet(fs, path: str) -> bool:
-    """True when the directory (recursively) holds any parquet file —
-    the cheap emptiness probe before handing a path to the reader."""
+    """True when the directory (recursively) holds any COMMITTED
+    parquet file — the cheap emptiness probe before handing a path to
+    the reader.  Underscore/dot-prefixed entries (``_temporary``
+    staging, ``_SUCCESS``, hidden files) are skipped with the same rule
+    Spark's own readers use: without it, an IN-FLIGHT write's staging
+    files would make the generation visible to `index_gens` while
+    `spark.read.parquet` still (correctly) sees nothing — a reader
+    would resolve an empty or partial index and return fill for data
+    that exists."""
     if not fs.isdir(path):
         return False
     for name in fs.listdir(path):
+        if name.startswith(("_", ".")):
+            continue
         sub = os.path.join(path, name)
         if name.endswith(".parquet"):
             return True

@@ -41,8 +41,6 @@ from .core.slab import Slab
 from .core.slice import Slice
 from .store import Connection
 
-_HASH_BITS = 160 // 4  # sha1 hex length
-
 
 def _ckey(coord: Sequence[int]) -> str:
     return "_".join(str(c) for c in coord)
@@ -371,11 +369,27 @@ def _commit_merged(
     var: str,
     merged: DataFrame,
     index_mode: str,
-) -> None:
+) -> str:
     """Append chunks + write the next index generation from a merged
     (ckey, coords…, chunk_hash, blob, nbytes) DataFrame.  ``merged``
     MUST be persisted by the caller — it is consumed by two actions and
-    the dedup semi-join needs stable row ids."""
+    the dedup semi-join needs stable row ids.  Returns the path of the
+    index generation this call wrote (NOT necessarily the newest one —
+    a concurrent shard writer may have claimed a later number).
+
+    Concurrency: safe for multiple simultaneous driver processes
+    writing the same in-flight version (the writer_token flow) —
+    chunk batches land in per-job subdirectories (a shared append
+    would let one job's FileOutputCommitter cleanup delete the
+    other's ``_temporary`` staging), and index generation numbers are
+    claimed with an exclusive marker before writing (a list-then-write
+    would let two writers overwrite the same ``g=N``).  Concurrent
+    shard writers to the SAME variable must use
+    ``index_mode="delta"``: full mode's copy-forward carries the base
+    snapshot each writer saw, so whichever full generation ends up
+    newer silently drops the other's rows; deltas overlay."""
+    import uuid
+
     vid = token["version-id"]
     ndim = len(md.get_variable_dimensions(token, var))
     ccols = _coord_cols(ndim)
@@ -393,26 +407,65 @@ def _commit_merged(
         new_chunks = new_chunks.join(
             existing.select("hash"), "hash", "left_anti"
         )
-    new_chunks.write.mode("append").parquet(conn.chunks_path())
+    batch_dir = os.path.join(
+        conn.chunks_path(), f"job-{uuid.uuid4().hex[:12]}"
+    )
+    new_chunks.write.mode("overwrite").parquet(batch_dir)
 
     # 2. Write the next index generation: written coords take the
     #    new hash.  Full mode also carries every untouched base
     #    entry; delta mode leaves them to read-time overlay.
     new_index = merged.select("ckey", *ccols, "chunk_hash")
     base_index = _base_index_df(conn, token, var)
-    is_delta = index_mode == "delta" and base_index is not None
+    gen_path, gen = claim_index_gen(conn, vid, var)
+    # A requested delta with no visible base is promoted to full ONLY
+    # when this writer claimed generation 0: it is then provably the
+    # first writer and its rows ARE the complete index (the
+    # single-writer fast path test_delta_without_any_base pins).  A
+    # claim > 0 with no visible base means another writer's generation
+    # is in flight below us — promoting to full there would make
+    # newest-full-wins resolution DROP that writer's rows, so the
+    # delta marker is kept and resolution overlays both.
+    is_delta = index_mode == "delta" and (
+        base_index is not None or gen > 0
+    )
     if base_index is not None and not is_delta:
         carried = base_index.join(
             new_index.select("ckey"), "ckey", "left_anti"
         )
         new_index = new_index.unionByName(carried)
-    gens = conn.index_gens(vid, var)
-    next_gen = (gens[-1] + 1) if gens else 0
-    gen_path = conn.index_path(vid, var, next_gen)
-    new_index.write.mode("overwrite").parquet(gen_path)
     if is_delta:
-        # underscore-prefixed files are invisible to Parquet readers
+        # the marker goes in BEFORE the parquet append: the generation
+        # becomes visible to index_gens the moment part files commit,
+        # and a reader seeing a delta without its _DELTA marker would
+        # treat it as full (underscore-prefixed, so Parquet readers
+        # ignore the marker itself)
         conn.fs.write_text(os.path.join(gen_path, "_DELTA"), "")
+    new_index.write.mode("append").parquet(gen_path)
+    return gen_path
+
+
+def claim_index_gen(conn: Connection, vid: int, var: str) -> tuple[str, int]:
+    """Claim the next free index generation number with an exclusive
+    ``_CLAIM`` marker; returns (directory, generation number).  The
+    marker makes concurrent writers take DISTINCT generation numbers
+    instead of both computing ``max+1`` and overwriting each other; it
+    is underscore-prefixed so Parquet readers and `_has_parquet` ignore
+    it, keeping a claimed-but-unwritten generation invisible to
+    `index_gens` until its part files commit."""
+    gens = conn.index_gens(vid, var)
+    cand = (gens[-1] + 1) if gens else 0
+    for _ in range(1024):
+        gen_path = conn.index_path(vid, var, cand)
+        conn.fs.makedirs(gen_path)
+        if conn.fs.create_exclusive(
+            os.path.join(gen_path, "_CLAIM"), ""
+        ):
+            return gen_path, cand
+        cand += 1  # claimed by a concurrent writer; take the next
+    raise RuntimeError(
+        f"could not claim an index generation for v={vid} var={var}"
+    )
 
 
 def ingest_aligned(
@@ -470,16 +523,17 @@ def ingest_aligned(
         F.length("data").cast("long").alias("nbytes"),
     )
     merged = merged.persist()
+    gen_path = None
     try:
-        _commit_merged(conn, token, var, merged, index_mode)
+        # use the generation THIS call claimed (index_gens[-1] could be
+        # a concurrent shard writer's) for the self-checks below
+        gen_path = _commit_merged(conn, token, var, merged, index_mode)
         bad = obs.get.get("misaligned")
         if bad:
             raise ValueError(
                 f"ingest_aligned: {bad} piece(s) do not cover their "
                 "whole chunk slice; use write_pieces for partial writes"
             )
-        vid = token["version-id"]
-        gen_path = conn.index_path(vid, var, conn.index_gens(vid, var)[-1])
         idx = conn.spark.read.parquet(gen_path)
         dup = (
             idx.groupBy("ckey")
@@ -493,6 +547,18 @@ def ingest_aligned(
                 "ingest_aligned: multiple pieces target the same chunk; "
                 "use write_pieces for overlapping writes"
             )
+    except ValueError:
+        # remove the violating index generation before raising: the
+        # documented recovery is retrying with write_pieces under the
+        # SAME token, and that path would otherwise use this
+        # generation (duplicate ckeys / partial-cover blobs) as its
+        # read-modify-write base — a nondeterministic merge that
+        # commits without error.  The appended blobs stay (orphaned,
+        # vacuumable) — the version is uncommitted so readers never
+        # see them (failed-ingest invisibility).
+        if gen_path is not None:
+            conn.fs.rmtree(gen_path)
+        raise
     finally:
         merged.unpersist()
         conn.invalidate_cache()

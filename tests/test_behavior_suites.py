@@ -498,3 +498,60 @@ def test_two_write_jobs_same_version_merge(store):
     got = reader.get_slice(conn, reader.on_last_version(conn), "foo",
                            sl.mk_slice((0, 0), (8, 8)))
     assert_same(oracle, got)
+
+
+def test_child_version_inherits_chunk_dimensions(store):
+    """A child version may omit chunk-dimensions — inherit fills them
+    from the parent (dataset.clj:88-110); validation runs on the
+    INHERITED result, not the raw child (validating first made the
+    documented defaulting unreachable)."""
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(
+        {
+            "dimensions": {"x": 6},
+            "chunk-dimensions": {"x": 3},
+            "variables": {
+                "foo": {"type": "int", "shape": ["x"], "fill-value": 0}
+            },
+        }
+    )
+    writer.write_variable(
+        conn, t1, "foo", [same_slab("int", sl.mk_slice((0,), (6,)), 2)]
+    )
+    conn.finish_version(t1)
+
+    t2 = conn.add_version(
+        {
+            "dimensions": {"x": 9},  # grow; chunk-dimensions omitted
+            "variables": {
+                "foo": {"type": "int", "shape": ["x"], "fill-value": 0}
+            },
+        }
+    )
+    assert t2["chunk-dimensions"] == {"x": 3}
+    writer.write_variable(
+        conn, t2, "foo", [same_slab("int", sl.mk_slice((6,), (9,)), 5)]
+    )
+    conn.finish_version(t2)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "foo", sl.mk_slice((0,), (9,))
+    )
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        got.data, np.array([2] * 6 + [5] * 3, dtype=np.int32)
+    )
+
+    # a genuinely invalid child still fails loudly post-inherit
+    import pytest
+
+    with pytest.raises(ValueError):
+        conn.add_version(
+            {
+                "dimensions": {"x": 9, "z": 4},  # z has no chunk dim
+                "chunk-dimensions": {"x": 3},
+                "variables": {
+                    "foo": {"type": "int", "shape": ["x"], "fill-value": 0}
+                },
+            }
+        )

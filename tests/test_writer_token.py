@@ -105,6 +105,88 @@ def test_cross_process_writer_handoff(spark, store, tmp_path):
     )
 
 
+CONCURRENT_WORKER = textwrap.dedent(
+    """
+    import json, sys
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from mandoline_spark import writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.store import resume_writer
+
+    lo, hi, val = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"shard_{lo}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    conn, tok = resume_writer(spark, open(sys.argv[1]).read())
+    shard = sb.empty("short", sl.mk_slice((lo,), (hi,)), val)
+    # delta mode: the documented requirement for CONCURRENT shard
+    # writers (full mode's copy-forward would carry each writer's base
+    # snapshot and drop the other's rows)
+    writer.write_variable(conn, tok, "v", [shard], index_mode="delta")
+    print("done")
+    spark.stop()
+    """
+)
+
+
+def test_concurrent_shard_writers(spark, store, tmp_path):
+    """TWO separate driver processes write disjoint shards of one
+    in-flight version AT THE SAME TIME — the race the per-job chunk
+    subdirectories and exclusive index-generation claims exist for: a
+    shared parquet append would let one job's committer delete the
+    other's staging, and unclaimed generation numbering would let both
+    writers overwrite g=N."""
+    conn = store.create_dataset("conc")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": 12},
+            "chunk-dimensions": {"x": 4},
+            "variables": {
+                "v": {"type": "short", "shape": ["x"], "fill-value": -1}
+            },
+        }
+    )
+    tf = tmp_path / "writer.token"
+    tf.write_text(conn.writer_token(tok))
+    script = tmp_path / "worker.py"
+    script.write_text(CONCURRENT_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(tf), str(lo), str(hi), str(v)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for lo, hi, v in [(0, 4, 7), (8, 12, 9)]
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-4000:]
+        assert "done" in out
+
+    conn.finish_version(tok)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v", sl.mk_slice((0,), (12,))
+    )
+    np.testing.assert_array_equal(
+        got.data,
+        np.array([7] * 4 + [-1] * 4 + [9] * 4, dtype=np.int16),
+    )
+    # both writers' generations survived as DISTINCT claims
+    assert len(conn.index_gens(tok["version-id"], "v")) == 2
+
+
 def test_resume_writer_same_process(spark, store):
     """resume_writer also works in-process (token->dataset-writer with
     the token produced moments earlier, mandoline.clj:168-176)."""
