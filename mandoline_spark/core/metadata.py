@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import math
-import re
 import time
 from typing import Any, Mapping
 
@@ -179,12 +178,23 @@ def get_chunk_slice(
 
 
 def generate_metadata(obj: Any) -> str:
-    """JSON-encode a token; NaN appears as bare ``NaN`` (the reference's
-    extension of JSON)."""
-    text = json.dumps(obj, allow_nan=True)
-    return re.sub(r'"NaN"', "NaN", text)
+    """JSON-encode a token; float NaN appears as bare ``NaN`` (the
+    reference's extension of JSON — ``json.dumps(allow_nan=True)``
+    already emits it bare; a post-hoc regex would also strip quotes
+    from LITERAL string values "NaN", corrupting attribute text into a
+    float or a key into unparseable JSON)."""
+    return json.dumps(obj, allow_nan=True)
 
 
 def parse_metadata(text: str) -> Any:
-    """Parse token JSON, accepting bare ``NaN``."""
-    return json.loads(text, parse_constant=lambda s: float("nan"))
+    """Parse token JSON, accepting bare ``NaN``/``Infinity`` — each
+    mapped to its own float, not all collapsed to NaN (an infinite
+    fill-value must not silently round-trip as NaN)."""
+    return json.loads(
+        text,
+        parse_constant=lambda s: {
+            "NaN": float("nan"),
+            "Infinity": float("inf"),
+            "-Infinity": float("-inf"),
+        }[s],
+    )

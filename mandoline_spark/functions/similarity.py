@@ -113,26 +113,26 @@ def cosine_pairs(
         return _cosine_pairs_blas(
             df, threshold, block_col, id_col, vec_col, round_to
         )
+    # (block_col handled above by the BLAS path — this is the
+    # unblocked expression join only)
     a = with_norm(df, vec_col).select(
         F.col(id_col).alias("a"),
         F.col("_emb").alias("_aemb"),
         F.col("_norm").alias("_anorm"),
-        *([F.col(block_col).alias("_ablk")] if block_col else []),
     )
     b = with_norm(df, vec_col).select(
         F.col(id_col).alias("b"),
         F.col("_emb").alias("_bemb"),
         F.col("_norm").alias("_bnorm"),
-        *([F.col(block_col).alias("_bblk")] if block_col else []),
     )
-    cond = F.col("a") < F.col("b")
-    joined = (
-        a.join(b, cond & (F.col("_ablk") == F.col("_bblk")))
-        if block_col
-        else a.join(b, cond)
-    )
-    sim = _dot(F.col("_aemb"), F.col("_bemb")) / (
-        F.col("_anorm") * F.col("_bnorm")
+    joined = a.join(b, F.col("a") < F.col("b"))
+    # zero-norm guard: 0/0 is NaN, and Spark's nan-safe comparison
+    # ranks NaN ABOVE the threshold — without the guard a single
+    # all-zero embedding pairs with the whole corpus (the BLAS path
+    # drops them; numpy NaN compares False)
+    denom = F.col("_anorm") * F.col("_bnorm")
+    sim = F.when(
+        denom > 0, _dot(F.col("_aemb"), F.col("_bemb")) / denom
     )
     out = joined.withColumn("_sim", sim).filter(F.col("_sim") >= threshold)
     return out.select(
@@ -157,7 +157,11 @@ def _cosine_pairs_blas(
     import pandas as pd
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        # NULL embeddings drop out (np.stack would fail on None; the
+        # unblocked path and lsh_bucket tolerate them the same way)
+        pdf = pdf[pdf[vec_col].notna()].sort_values(id_col)
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
         ids = pdf[id_col].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -176,8 +180,11 @@ def _cosine_pairs_blas(
             {"a": ids[iu[keep]], "b": ids[ju[keep]], "sim": vals}
         )
 
+    # the pair schema carries the CALLER's id type (a hardcoded long
+    # would mangle string doc ids through the Arrow conversion)
+    id_type = df.schema[id_col].dataType.simpleString()
     out = df.groupBy(block_col).applyInPandas(
-        per_block, "a long, b long, sim double"
+        per_block, f"a {id_type}, b {id_type}, sim double"
     )
     return out.orderBy("a", "b")
 
@@ -247,10 +254,13 @@ def cosine_topk_lsh(
     c = with_norm(cb, vec_col).select(
         F.col(id_col), F.col("bucket"), F.col("_emb"), F.col("_norm")
     )
+    # zero-norm guard (same as cosine_topk/ivf_topk): NaN sims sort
+    # FIRST under desc ordering, so one zero vector in a bucket would
+    # displace every true top-1 there
+    _denom = F.col("_qnorm") * F.col("_norm")
     pairs = c.join(F.broadcast(q), "bucket").withColumn(
         "_sim",
-        _dot(F.col("_qemb"), F.col("_emb"))
-        / (F.col("_qnorm") * F.col("_norm")),
+        F.when(_denom > 0, _dot(F.col("_qemb"), F.col("_emb")) / _denom),
     )
     # sim ties break to the query itself first, then lower id: an
     # in-corpus query's top-1 is itself even when the corpus contains

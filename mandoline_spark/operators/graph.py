@@ -44,7 +44,15 @@ def connected_components(
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     reliable checkpoints under this directory (executor-loss tolerant —
     the 100 TB deployment path); when None, executor-local
-    checkpoints (single-job local runs).  Results are identical."""
+    checkpoints (single-job local runs).  Results are identical.
+
+    Concurrency contract: the per-round block-freeing identifies each
+    checkpoint's RDD by diffing the session's persistent-RDD set, so
+    do not persist/cache OTHER DataFrames on this SparkSession from
+    another thread while a connected_components call is in flight —
+    an interleaved persist could be captured in the diff and freed
+    with the round (driver-side single-operator-at-a-time is the
+    normal batch shape; concurrent sessions are unaffected)."""
     sc = edges.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
@@ -183,7 +191,15 @@ def dedup_clusters(
         .agg(
             F.min(
                 F.struct(
-                    (-F.col("_sz")).alias("_neg"), F.col("id").alias("id")
+                    # NULL size must LOSE, not win: a NULL first field
+                    # sorts before every value in struct ordering, so a
+                    # doc with unknown length would otherwise always be
+                    # chosen over the genuinely longest member
+                    F.coalesce(
+                        -F.col("_sz").cast("long"),
+                        F.lit((1 << 63) - 1),
+                    ).alias("_neg"),
+                    F.col("id").alias("id"),
                 )
             )["id"].alias("keep_id"),
             F.count("*").alias("n_docs"),

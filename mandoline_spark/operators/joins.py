@@ -56,32 +56,42 @@ def asof_join(
         F.monotonically_increasing_id().alias("_seq"),
     )
     # after the union, right rows sort before left rows at equal _t, so
-    # the carried-forward last(right value) at a left row includes the
+    # the carried-forward last(right row) at a left row includes the
     # right row with exactly the same key
     unioned = l_t.unionByName(r_t.select(*l_t.columns))
     part = Window.partitionBy(by) if by else Window.partitionBy()
     w = part.orderBy("_t", tag, "_seq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Carry the matched right row as ONE struct, not per-column
+    # last(ignorenulls): per-column carry resurrects an OLDER row's
+    # value wherever the matched row's value is NULL — pandas
+    # merge_asof returns the matched row's NULL — and can stitch
+    # different value columns from different right rows, with the
+    # tolerance gate validating only the carried timestamp.  The
+    # struct is non-null for every right row, so the row carries
+    # atomically, NULL values included.
+    rrow = F.when(
+        F.col(tag) == 0,
+        F.struct(
+            F.col("_t").alias("_rt"),
+            *[F.col(f"{c}{suffix}") for c in rvals],
+        ),
+    )
     carried = unioned.select(
         *unioned.columns,
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in rvals
-        ],
-        F.last(F.when(F.col(tag) == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_rt"),
+        F.last(rrow, ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.filter(F.col(tag) == 1)
+    matched = F.col("_m").isNotNull()
     if tolerance is not None:
-        in_tol = F.col("_t") - F.col("_rt") <= F.lit(tolerance)
-        keep = [
-            F.when(in_tol, F.col(f"_c_{c}")).alias(f"{c}{suffix}")
-            for c in rvals
-        ]
-    else:
-        keep = [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in rvals]
+        matched = matched & (
+            F.col("_t") - F.col("_m")["_rt"] <= F.lit(tolerance)
+        )
+    keep = [
+        F.when(matched, F.col("_m")[f"{c}{suffix}"]).alias(f"{c}{suffix}")
+        for c in rvals
+    ]
     return out.select(*[F.col(c) for c in lcols], *keep)
 
 
@@ -154,7 +164,19 @@ def salted_join(
     case — a single key holding a double-digit percentage of the table —
     where even a split partition's sort/build side is dominated by one
     group.  Cost: right side is shuffled n_salt times its size.
+
+    Join types preserving unmatched RIGHT rows are rejected: the right
+    side is replicated per salt, so a right/full outer join would emit
+    each unmatched right row ``n_salt`` times.
     """
+    if how.replace("_", "").lower() in (
+        "right", "rightouter", "full", "outer", "fullouter"
+    ):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched right rows "
+            f"(how={how!r}): the replicated right side would emit "
+            f"them n_salt times; salt the other side instead"
+        )
     salted_l = left.withColumn(
         "_salt", (F.rand(seed=7) * n_salt).cast("int")
     )

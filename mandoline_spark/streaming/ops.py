@@ -475,8 +475,15 @@ def stream_ingest(
     Exactly-once: ``foreachBatch`` is at-least-once under retries, so a
     per-batch marker file (``_ingest_batches/<id>``) makes the
     version-commit idempotent — a replayed batch is skipped before it
-    can double-write.  Returns the ``DataStreamWriter`` (callers pick
-    the trigger and call ``start()``).
+    can double-write.  The marker alone leaves one window — a crash
+    AFTER ``finish_version`` but BEFORE the marker write — so each
+    commit also stamps its ``batch-id`` into the version token: on
+    replay, a newest committed version carrying this batch id means
+    the commit already happened, the marker is repaired, and the batch
+    is skipped (the stream's driver is the dataset's single writer, so
+    only the newest version can be an unmarked batch commit).  Returns
+    the ``DataStreamWriter`` (callers pick the trigger and call
+    ``start()``).
 
     ``compact_every=N`` re-materializes a full index generation after
     every Nth committed version (the stream's single driver is the
@@ -496,7 +503,17 @@ def stream_ingest(
             return
         if batch_df.isEmpty():
             return
+        # commit-without-marker replay window: the commit itself is the
+        # durable record (token carries batch-id); repair the marker
+        # and skip instead of double-committing
+        last = conn.last_version()
+        if last is not None and conn.metadata(last).get(
+            "batch-id"
+        ) == batch_id:
+            conn.fs.write_text(marker, str(last))
+            return
         token = conn.add_version(spec)
+        token["batch-id"] = batch_id
         _writer.write_pieces(conn, token, var, batch_df, index_mode=index_mode)
         conn.finish_version(token)
         conn.fs.write_text(marker, str(token["version-id"]))

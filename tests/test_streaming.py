@@ -371,6 +371,70 @@ def test_stream_ingest_replay_same_checkpoint_is_exactly_once(
     )
 
 
+def test_stream_ingest_commit_without_marker_not_duplicated(
+    spark, tmp_path, store
+):
+    """The NARROWER failure window: the version COMMITTED but the
+    driver died before writing the idempotence marker.  On replay, the
+    newest version's embedded batch-id identifies the already-applied
+    batch — the marker is repaired and no duplicate version appears."""
+    import os
+
+    from mandoline_spark import writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.streaming import read_pieces_stream, stream_ingest
+
+    spec = {
+        "dimensions": {"x": 4},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    conn = store.create_dataset("marker_crash")
+    rows = writer.slabs_to_piece_rows(
+        spec | {"version-id": 0},
+        "v",
+        [sb.empty("int", sl.mk_slice((0,), (4,)), 9)],
+    )
+    src = tmp_path / "pieces"
+    src.mkdir()
+    spark.createDataFrame(rows, schema=writer.piece_schema(1)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+
+    ck = str(tmp_path / "ck")
+    stream = read_pieces_stream(spark, str(src / "*"), ndim=1)
+    q = stream_ingest(conn, spec, "v", stream, ck).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    assert len(conn.version_ids()) == 1
+    v1 = conn.last_version()
+
+    # simulate the crash: commit durable, marker AND checkpoint commit
+    # record both lost
+    marker = os.path.join(conn.path, "_ingest_batches", "0")
+    assert os.path.exists(marker)
+    os.remove(marker)
+    for f in ("0",):
+        p = os.path.join(ck, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+        crc = os.path.join(ck, "commits", f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    q = stream_ingest(conn, spec, "v", stream, ck).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    assert len(conn.version_ids()) == 1, "commit-without-marker duplicated"
+    assert conn.last_version() == v1
+    assert os.path.exists(marker), "marker not repaired"
+
+
 def test_dedup_stream_hash_fn_options(spark, tmp_path):
     """md5 default and the full-content ('none') path both drop the
     cross-batch duplicate; an unknown hash_fn raises."""
