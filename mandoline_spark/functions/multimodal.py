@@ -202,7 +202,10 @@ def resize_images(
     df: DataFrame, out_h: int, out_w: int, blob_col: str = "blob"
 ) -> DataFrame:
     """Nearest-neighbor resize of every image blob; output column
-    replaces the input blob (same schema), still RAW8-encoded."""
+    replaces the input blob (same schema), still RAW8-encoded.  NULL
+    blobs pass through as NULL — one missing blob in a curation run
+    must not fail the stage (with_blob_metadata treats NULL blobs as
+    expected input; the decode operators follow the same policy)."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -212,6 +215,9 @@ def resize_images(
             out = pdf.copy()
             resized = []
             for b in pdf[blob_col]:
+                if b is None:
+                    resized.append(None)
+                    continue
                 img = decode_image(b)
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
@@ -227,13 +233,17 @@ def image_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "id"
 ) -> DataFrame:
     """Per-image feature vector [mean, std, min, max] per channel, as an
-    array<double> column — the hand-off point to embedding models."""
+    array<double> column — the hand-off point to embedding models.
+    NULL blobs yield NULL features (see resize_images)."""
     out_schema = f"{id_col} long, features array<double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf[blob_col]:
+                if b is None:
+                    feats.append(None)
+                    continue
                 img = decode_image(b).astype(np.float64)
                 per_c = np.stack(
                     [
@@ -254,13 +264,16 @@ def frame_sample(
     df: DataFrame, every_n: int = 30, blob_col: str = "blob", id_col: str = "id"
 ) -> DataFrame:
     """Sample every Nth frame of each video blob into
-    (id, frame_idx, frame) rows, frames re-encoded as RAW8 images."""
+    (id, frame_idx, frame) rows, frames re-encoded as RAW8 images.
+    NULL blobs contribute no frames (see resize_images)."""
     out_schema = f"{id_col} long, frame_idx int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for vid_id, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
                 stack = decode_video(b)
                 for i in range(0, stack.shape[0], every_n):
                     ids.append(vid_id)
@@ -289,6 +302,17 @@ def audio_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         for pdf in batches:
             rows = []
             for b in pdf[blob_col]:
+                if b is None:
+                    # NULL blob → NULL features (see resize_images)
+                    rows.append(
+                        dict.fromkeys(
+                            (
+                                "sample_rate", "n_samples", "channels",
+                                "duration_s", "rms", "peak", "zcr",
+                            )
+                        )
+                    )
+                    continue
                 data, rate = decode_wav(bytes(b))
                 x = data.astype(np.float64) / 32768.0
                 mono = x.mean(axis=1)

@@ -23,8 +23,13 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def word_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count.  Empty / whitespace-only text counts 0
+    (``split('', ..)`` yields ``['']`` — without the filter an empty
+    doc would count as one word, defeating ``word_count == 0``
+    screens and giving empty docs a nonzero quality length term)."""
+    return F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -33,19 +38,27 @@ def token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+    """Fraction of non-alphanumeric, non-space characters.  Empty text
+    → 0.0 (nullif guard: under ANSI mode — Spark 4's default — a bare
+    /0 raises DIVIDE_BY_ZERO and kills the job on one empty row)."""
     stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
-    return (F.length(text) - F.length(stripped)) / F.length(text)
+    return F.coalesce(
+        (F.length(text) - F.length(stripped))
+        / F.nullif(F.length(text), F.lit(0)),
+        F.lit(0.0),
+    )
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    words = F.split(F.lower(text), r"\s+")
-    hits = F.size(
-        F.filter(
-            words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS[lang]])
-        )
+    """Stopword share of the whitespace tokens; empty text → 0.0 (same
+    ANSI /0 guard as punct_ratio).  Tokenization and the match rule
+    live in :func:`stopword_hits` / :func:`word_count` — one
+    definition for the engine and its oracle mirror to track."""
+    return F.coalesce(
+        stopword_hits(text, lang)
+        / F.nullif(word_count(F.lower(text)), F.lit(0)),
+        F.lit(0.0),
     )
-    return hits / F.size(words)
 
 
 def quality_score(text: Column) -> Column:

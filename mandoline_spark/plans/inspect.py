@@ -19,20 +19,39 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _bracketed_body(text: str, start: int) -> str | None:
+    """Content of the bracket pair opening at ``text[start] == '['`` —
+    depth-aware, so an ``In(x, [1,2,3])`` filter's inner ']' does not
+    truncate the list the way a ``[^\\]]*`` regex would."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "[":
+            depth += 1
+        elif text[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return None
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters pushed into the Parquet scan (empty when nothing pushed).
     A range predicate that does NOT appear here is being evaluated
     post-scan — row groups that could have been skipped are read."""
     text = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        body = m.group(1).strip()
-        # split on top-level commas only (filter args contain commas)
+    for m in re.finditer(r"PushedFilters: (?=\[)", text):
+        body = _bracketed_body(text, m.end())
+        if body is None:
+            continue
+        # split on top-level commas only — filter args contain commas
+        # and In(...) values contain a nested [..] list, so both paren
+        # and bracket depth count
         depth, cur = 0, ""
         for ch in body:
-            if ch == "(":
+            if ch in "([":
                 depth += 1
-            elif ch == ")":
+            elif ch in ")]":
                 depth -= 1
             if ch == "," and depth == 0:
                 if cur.strip():
@@ -46,13 +65,45 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
-    """Column names in the scan's ReadSchema — column pruning check: a
-    2-column projection reading 10 columns wastes IO proportionally."""
+    """TOP-LEVEL column names in the scan's ReadSchema — column pruning
+    check: a 2-column projection reading 10 columns wastes IO
+    proportionally.  Parsed depth-aware: nested ``struct<...>`` /
+    ``map<...>`` fields and ``decimal(p,s)`` commas must neither leak
+    inner names nor truncate the list (a ``[^>]*`` regex stops at the
+    first inner '>')."""
     text = explain_str(df)
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
-        for field in m.group(1).split(","):
-            name = field.split(":")[0].strip()
+    for m in re.finditer(r"ReadSchema: struct", text):
+        start = m.end()
+        if start >= len(text) or text[start] != "<":
+            continue
+        depth = 0
+        body_start, body = start + 1, None
+        for i in range(start, len(text)):
+            if text[i] == "<":
+                depth += 1
+            elif text[i] == ">":
+                depth -= 1
+                if depth == 0:
+                    body = text[body_start:i]
+                    break
+        if body is None:
+            continue
+        depth, cur = 0, ""
+        fields: list[str] = []
+        for ch in body:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        fields.append(cur)
+        for field in fields:
+            name = field.split(":", 1)[0].strip()
             if name:
                 cols.append(name)
     return cols

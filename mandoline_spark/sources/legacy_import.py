@@ -71,11 +71,7 @@ def import_legacy_chunks(
 
     from .. import writer
 
-    conn = (
-        store.connect(dataset)
-        if store.dataset_exists(dataset)
-        else store.create_dataset(dataset)
-    )
+    conn = store.connect_or_create(dataset)
     token = conn.add_version(spec)
     for var, df in var_chunks.items():
         type_name = md.get_type(token, var)

@@ -55,9 +55,14 @@ def spec_from_arrays(
                     f"dimension {name}: conflicting lengths "
                     f"{dims[name]} vs {length}"
                 )
-        if arr.dtype not in _NP_TO_TYPE:
+        # normalize byte order for the lookup: numpy dtype equality is
+        # byte-order-sensitive, and NetCDF/HDF5 engines preserve
+        # on-disk big-endian dtypes ('>f8') that are the same element
+        # type (legacy_import does the equivalent byteswap)
+        native = arr.dtype.newbyteorder("=")
+        if native not in _NP_TO_TYPE:
             raise ValueError(f"{var}: unsupported dtype {arr.dtype}")
-        type_name = _NP_TO_TYPE[arr.dtype]
+        type_name = _NP_TO_TYPE[native]
         fill = fills.get(var, float("nan") if type_name in ("float", "double") else 0)
         variables[var] = {
             "type": type_name,
@@ -83,12 +88,16 @@ def import_arrays(
     ``arrays`` at full extent.  Returns the connection."""
     from .. import writer
 
+    # native byte order before slab construction: the writer's dtype
+    # check compares against the variable's native dtype
+    arrays = {
+        k: np.ascontiguousarray(v).astype(
+            np.asarray(v).dtype.newbyteorder("="), copy=False
+        )
+        for k, v in arrays.items()
+    }
     spec = spec_from_arrays(arrays, dim_names, chunks, fills)
-    conn = (
-        store.connect(dataset)
-        if store.dataset_exists(dataset)
-        else store.create_dataset(dataset)
-    )
+    conn = store.connect_or_create(dataset)
     token = conn.add_version(spec)
     writes = {
         var: [

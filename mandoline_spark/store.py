@@ -135,6 +135,20 @@ class Store:
             raise ValueError(f"dataset already exists: {name}")
         return self.connect(name)
 
+    def connect_or_create(self, name: str) -> "Connection":
+        """Connect to ``name``, creating it if absent — race-safe: two
+        importers can both see the dataset absent and race into
+        create_dataset; the loser of the exclusive-marker arbitration
+        falls back to connect instead of surfacing 'already exists'."""
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid dataset name: {name!r}")
+        if self.dataset_exists(name):
+            return self.connect(name)
+        try:
+            return self.create_dataset(name)
+        except ValueError:
+            return self.connect(name)  # lost the create race
+
     def destroy_dataset(self, name: str) -> None:
         """Idempotent (protocol.clj:111-116)."""
         self.fs.rmtree(os.path.join(self.root, name))
