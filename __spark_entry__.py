@@ -34,6 +34,19 @@ _CHANGED_R4 = [
     "q38_simhash_neardup",
     "q36_minhash_neardup",
     "q37_ngram_jaccard",
+    # late-r4 fix wave: asof_join row-atomic carry (q45), range join
+    # module (q46), text-metric guards (q31, q41-q44) — driver evidence
+    # must be no older than the code
+    "q45_asof_join",
+    "q46_range_join",
+    "q31_text_stats",
+    "q41_token_count",
+    "q42_quality_score",
+    "q43_lang_id",
+    "q44_fingerprint",
+    # q32: real PPM/WAV codecs landed mid-r4 and the NULL-blob policy
+    # touched multimodal again — keep it inside the checked window
+    "q32_multimodal",
     "q82_neardup_clusters",
     "q83_dedup_cluster_keep",
     "q98_contamination_screen",
