@@ -26,6 +26,8 @@ signature, and touches the shuffle only for banded candidates.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Prime just under 2^31 (the one Spark MLlib's MinHashLSH uses): keeps
@@ -260,6 +262,111 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def _hashed_grams(grams: Column) -> Column:
+    """xxhash64 each gram JVM-side — the only per-token work left on the
+    interpreted-expression path once the signature folds run in numpy."""
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def _minhash_kernel(k: int, seed: int):
+    """Arrow-batched numpy MinHash fold: array<long> gram hashes →
+    array<long> k-minima signature.
+
+    Bit-for-bit identical to :func:`_signature_col`'s expression fold
+    (pinned by tests/test_dedup.py): numpy's floor-mod on the raw
+    xxhash64 equals the JVM's ``((h % P) + P) % P`` normalization, and
+    every product stays under 2^62 (see ``_PRIME``), so int64 wraparound
+    never fires.  The fold itself is k vectorized passes with a
+    ``minimum.reduceat`` per doc segment — replacing an interpreted
+    O(grams × k) ``aggregate``/``zip_with`` tree that CodegenFallback
+    evaluates node-by-node (measured ~5x on the sf0.1 corpus, the same
+    move :func:`mandoline_spark.functions.similarity.lsh_bucket` made).
+
+    NULL hash arrays map to NULL signatures and empty arrays to the
+    all-``_PRIME`` degenerate signature, exactly as the expression form's
+    ``aggregate`` init/skip semantics produce them."""
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(k, seed)
+    a_np = np.array([a for a, _ in params], dtype=np.int64)
+    b_np = np.array([b for _, b in params], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(h: pd.Series) -> pd.Series:
+        vals = h.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        lens = np.empty(len(vals), dtype=np.int64)
+        for i, v in enumerate(vals):
+            if v is None:
+                out[i] = None
+                lens[i] = -1
+            else:
+                lens[i] = len(v)
+                if len(v) == 0:
+                    out[i] = np.full(k, _PRIME, dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.int64) for i in nz])
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            hn = flat % _PRIME
+            sigs = np.empty((len(nz), k), dtype=np.int64)
+            for j in range(k):
+                sigs[:, j] = np.minimum.reduceat(
+                    (hn * a_np[j] + b_np[j]) % _PRIME, starts
+                )
+            for row, i in enumerate(nz):
+                out[i] = sigs[row]
+        return pd.Series(out)
+
+    return sig
+
+
+def _simhash_kernel(bits: int = 64):
+    """Arrow-batched numpy SimHash fold: array<long> gram hashes → long
+    fingerprint.  Bit-for-bit identical to :func:`_simhash_col` (pinned
+    by tests/test_dedup.py and q38's independent pure-Python oracle):
+    arithmetic right-shift + mask reads the same two's-complement bits
+    as ``F.getbit``, votes are exact int32 counts, and the sign-bit pack
+    goes through uint64 so bit 63 lands as the JVM's negative long."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sh(h: pd.Series) -> pd.Series:
+        vals = h.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        lens = np.empty(len(vals), dtype=np.int64)
+        for i, v in enumerate(vals):
+            if v is None:
+                out[i] = None
+                lens[i] = -1
+            else:
+                lens[i] = len(v)
+                if len(v) == 0:
+                    out[i] = 0
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.int64) for i in nz])
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            # (N, bits) ±1 votes; arithmetic >> keeps two's-complement
+            # bit 63 readable through the &1 mask
+            pm = (
+                ((flat[:, None] >> np.arange(bits, dtype=np.int64)) & 1) * 2 - 1
+            ).astype(np.int32)
+            votes = np.add.reduceat(pm, starts, axis=0)
+            packed = (
+                (votes > 0).astype(np.uint64) << shifts[None, :]
+            ).sum(axis=1, dtype=np.uint64).view(np.int64)
+            for row, i in enumerate(nz):
+                out[i] = int(packed[row])
+        return pd.Series(out)
+
+    return sh
+
+
 def _signature_col(grams: Column, k: int, seed: int) -> Column:
     """k-minima MinHash signature (array<long>) from a gram array in one
     aggregate pass: acc[i] = min over grams of (a_i*h(gram)+b_i) % P."""
@@ -296,7 +403,9 @@ def minhash_signatures(
     array is materialized in its own Project (Catalyst keeps non-cheap
     multi-referenced aliases un-collapsed), so the aggregate runs once."""
     dg = doc_grams(df, text_col, id_col, n)
-    with_sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
+    with_sig = dg.select(
+        "id", _minhash_kernel(k, seed)(_hashed_grams(F.col("grams"))).alias("sig")
+    )
     return with_sig.select(
         "id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(k)]
     )
@@ -450,6 +559,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     round_to: int | None = 6,
     max_bucket: int | None = None,
+    verify_broadcast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by MinHash banding + exact-Jaccard verification.
 
@@ -468,9 +578,23 @@ def minhash_lsh_pairs(
     precision).  The default is None — exact banding recall — because a
     silent default-on recall change is worse than an opt-in guard:
     100 TB call sites pass an explicit cap sized to their executor
-    memory (the declared q36 passes 10_000)."""
+    memory (the declared q36 passes 10_000).
+
+    ``verify_broadcast`` broadcasts the (a, b, id) candidate sides into
+    the verification join, so the corpus's gram arrays never hit an
+    exchange — the gram pipeline streams past a hash map of candidate
+    ids (measured ~1.6x end-to-end at sf0.1, where the planner otherwise
+    picks a shuffle join: the candidate side's size is unknown at plan
+    time, and AQE's runtime downgrade still pays the corpus exchange
+    write).  Opt-in because the broadcast must hold EVERY candidate
+    pair on the driver: right for typical dup rates (candidates ≪
+    corpus by construction), wrong for a dup-saturated corpus where
+    near-dup pairs approach corpus scale — there the default shuffle
+    join is the safe shape."""
     dg = doc_grams(df, text_col, id_col, n)
-    sig = dg.select("id", _signature_col(F.col("grams"), k, seed).alias("sig"))
+    sig = dg.select(
+        "id", _minhash_kernel(k, seed)(_hashed_grams(F.col("grams"))).alias("sig")
+    )
     banded = _banded(sig, k, bands)
     cand = _posting_pairs(
         banded, ["band_id", "band_hash"], [], max_bucket
@@ -480,9 +604,11 @@ def minhash_lsh_pairs(
     # folding back — two plain joins of dg would run the whole gram
     # pipeline once per join branch.  The fold-back shuffle carries gram
     # arrays for candidate docs only, O(candidates), never O(corpus).
-    sides = cand.select(
-        "a", "b", F.explode(F.array("a", "b")).alias("id")
-    ).join(dg, "id")
+    sides_small = cand.select("a", "b", F.explode(F.array("a", "b")).alias("id"))
+    if verify_broadcast:
+        sides = dg.join(F.broadcast(sides_small), "id")
+    else:
+        sides = sides_small.join(dg, "id")
     paired = sides.groupBy("a", "b").agg(
         F.first(
             F.when(F.col("id") == F.col("a"), F.col("grams")), ignorenulls=True
@@ -552,7 +678,9 @@ def simhash(
     """64-bit SimHash per document — a single projection per doc, no
     shuffle (same shape note as :func:`minhash_signatures`)."""
     dg = doc_grams(df, text_col, id_col, n)
-    return dg.select("id", _simhash_col(F.col("grams"), bits).alias("simhash"))
+    return dg.select(
+        "id", _simhash_kernel(bits)(_hashed_grams(F.col("grams"))).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -585,7 +713,7 @@ def simhash_pairs(
     dg = doc_grams(df, text_col, id_col, n)
     s = dg.select(
         "id",
-        _simhash_col(F.col("grams")).alias("simhash"),
+        _simhash_kernel(64)(_hashed_grams(F.col("grams"))).alias("simhash"),
         F.size("grams").alias("_ng"),
     )
     width = 64 // bands
@@ -661,7 +789,7 @@ def band_key_array(
     s1 = df.withColumn("_words", F.split(F.col(text_col), r"\s+"))
     s2 = s1.withColumn("_grams", gram_array(F.col("_words"), n))
     s3 = s2.withColumn(
-        "_sig", _signature_col(F.col("_grams"), k, seed)
+        "_sig", _minhash_kernel(k, seed)(_hashed_grams(F.col("_grams")))
     )
     empty = F.get("_sig", 0) == F.lit(_PRIME).cast("long")
     keys = F.transform(

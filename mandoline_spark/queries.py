@@ -727,9 +727,14 @@ def q36(spark, sf):
     # max_bucket caps the quadratic pair fan-out of a pathological band
     # bucket (the 100 TB skew guard, opt-in — the function default is
     # exact recall); at fixture scale no bucket approaches it, so the
-    # declared result remains exactly the oracle's Jaccard pairs
+    # declared result remains exactly the oracle's Jaccard pairs.
+    # verify_broadcast: candidates ≪ corpus here (and at any typical
+    # dup rate), so the verification join streams the gram arrays past
+    # a broadcast of the candidate sides instead of exchanging them;
+    # dup-saturated corpora keep the default shuffle join.
     return minhash_lsh_pairs(
-        d, threshold=0.8, n=3, k=64, bands=16, max_bucket=10_000
+        d, threshold=0.8, n=3, k=64, bands=16, max_bucket=10_000,
+        verify_broadcast=True,
     )
 
 

@@ -106,6 +106,45 @@ def test_py_xxh64_matches_spark(spark):
         assert xxh64_signed(r.s.encode("utf-8")) == r.h, repr(r.s)
 
 
+# -- Arrow kernels vs expression folds ----------------------------------------
+
+
+def test_signature_kernels_match_expression_folds(spark):
+    """The Arrow-batched numpy folds (_minhash_kernel/_simhash_kernel,
+    the hot path) must be bit-for-bit the JVM expression folds
+    (_signature_col/_simhash_col, kept as the executable spec) —
+    including NULL gram arrays (NULL out) and empty arrays (all-PRIME /
+    zero degenerate values)."""
+    from mandoline_spark.functions.dedup import (
+        _hashed_grams,
+        _minhash_kernel,
+        _signature_col,
+        _simhash_col,
+        _simhash_kernel,
+        gram_array,
+    )
+
+    docs = _docs(spark).select(
+        F.col("doc_id").alias("id"),
+        F.split("text", r"\s+").alias("_w"),
+    )
+    edge = spark.createDataFrame(
+        [Row(id=-1, _w=[]), Row(id=-2, _w=None)], docs.schema
+    )
+    dg = docs.union(edge).select("id", gram_array(F.col("_w"), 3).alias("grams"))
+    both = dg.select(
+        "id",
+        _signature_col(F.col("grams"), 16, 42).alias("sig_e"),
+        _minhash_kernel(16, 42)(_hashed_grams(F.col("grams"))).alias("sig_k"),
+        _simhash_col(F.col("grams")).alias("sh_e"),
+        _simhash_kernel(64)(_hashed_grams(F.col("grams"))).alias("sh_k"),
+    ).collect()
+    assert both  # fixture non-empty
+    for r in both:
+        assert r.sig_e == r.sig_k, r.id
+        assert r.sh_e == r.sh_k, r.id
+
+
 # -- simhash -------------------------------------------------------------------
 
 
