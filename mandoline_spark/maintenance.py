@@ -20,20 +20,63 @@ vacuum must not race concurrent writers to the same dataset.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
 from .store import Connection
 
 
-def vacuum(conn: Connection) -> dict:
+def _retire(fs, path: str, retain_seconds: float, now: float) -> bool:
+    """Delete ``path`` now (retention off), or mark it superseded and
+    delete it only once the marker is ``retain_seconds`` old.  Returns
+    True iff the directory was removed.
+
+    The grace period closes vacuum's reader race (Delta-style
+    retention): a reader that resolved the old generation just before
+    the pointer flip keeps reading it for the whole window instead of
+    losing an rmtree race.  The clock is the marker file's recorded
+    wall time — no filesystem mtime dependence, so it works identically
+    on object stores."""
+    marker = os.path.join(path, "_SUPERSEDED")
+    if retain_seconds > 0:
+        if not fs.exists(marker):
+            fs.write_text(marker, f"{now}\n")
+            return False
+        try:
+            ts = float(fs.read_text(marker).strip())
+        except (ValueError, OSError):
+            ts = now  # unreadable marker: restart the clock
+            fs.write_text(marker, f"{now}\n")
+        if now - ts < retain_seconds:
+            return False
+    fs.rmtree(path)
+    return True
+
+
+def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     """Remove (a) chunk blobs unreferenced by every committed version,
-    (b) superseded index generations, and (c) index directories of
-    uncommitted versions.  Returns counts of what was kept/removed."""
+    (b) superseded index generations, (c) index directories of
+    uncommitted versions, and (d) stale claim-only index generations
+    (a writer that crashed between claiming a generation number and
+    appending its parquet leaves a ``_CLAIM``-only directory that
+    would otherwise pin the number forever).  Returns counts of what
+    was kept/removed.
+
+    ``retain_seconds`` keeps superseded chunk/index generations on disk
+    (marked ``_SUPERSEDED``) for a grace period before deletion, so
+    concurrent readers that resolved the old generation finish
+    unharmed; a later vacuum call collects aged-out generations.  The
+    default 0 deletes immediately (single-maintainer semantics,
+    matching the reference's destroy)."""
+    now = time.time()
     stats = {
         "chunks_kept": 0,
         "chunks_removed": 0,
         "index_gens_removed": 0,
+        "index_gens_retained": 0,
+        "chunk_gens_retained": 0,
+        "stale_claims_removed": 0,
         "uncommitted_versions_removed": 0,
     }
     committed = conn.version_ids()
@@ -53,6 +96,8 @@ def vacuum(conn: Connection) -> dict:
     # same version — deltas after the newest full gen are live (readers
     # overlay them), and every generation of a delta-only version is
     # live (it may be the base for descendants' overlays).
+    from .store import _has_parquet
+
     for vid, token in conn.versions():
         for var in token.get("variables", {}):
             gens = conn.index_gens(vid, var)
@@ -62,8 +107,30 @@ def vacuum(conn: Connection) -> dict:
                     last_full = g
             for g in gens:
                 if last_full is not None and g < last_full:
-                    conn.fs.rmtree(conn.index_path(vid, var, g))
-                    stats["index_gens_removed"] += 1
+                    if _retire(
+                        conn.fs,
+                        conn.index_path(vid, var, g),
+                        retain_seconds,
+                        now,
+                    ):
+                        stats["index_gens_removed"] += 1
+                    else:
+                        stats["index_gens_retained"] += 1
+            # -- (d) stale claim-only generations: committed versions
+            # accept no further writes (compact_index is the one
+            # exception and shares vacuum's single-maintainer
+            # assumption), so a parquet-less g=* dir here is a crashed
+            # writer's abandoned claim, not an in-flight commit.
+            base = conn.index_path(vid, var)
+            if conn.fs.isdir(base):
+                for d in conn.fs.listdir(base):
+                    p = os.path.join(base, d)
+                    if (
+                        d.startswith("g=")
+                        and not _has_parquet(conn.fs, p)
+                    ):
+                        conn.fs.rmtree(p)
+                        stats["stale_claims_removed"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
     conn.invalidate_cache()
@@ -89,10 +156,12 @@ def vacuum(conn: Connection) -> dict:
     # is atomically replaced to name the new generation, and only then
     # is the old directory deleted — a concurrent reader resolves
     # either the old or the new generation, never a missing directory
-    # (the r2 swap left a window with no chunks dir at all).  A reader
-    # that resolved the OLD generation just before the delete can still
-    # lose a race with the rmtree; vacuum remains single-maintainer and
-    # readers retry, matching the reference's destroy semantics.
+    # (the r2 swap left a window with no chunks dir at all).  With
+    # ``retain_seconds`` > 0 the old generation is merely marked
+    # superseded and outlives the flip by the grace period, so a reader
+    # that resolved it just before the flip cannot lose the rmtree
+    # race; with the default 0 the delete is immediate (readers retry,
+    # matching the reference's destroy semantics).
     old_path = conn.chunks_path()
     old_name = os.path.basename(old_path.rstrip("/"))
     gen = int(old_name.rsplit(".g", 1)[1]) + 1 if ".g" in old_name else 0
@@ -103,7 +172,15 @@ def vacuum(conn: Connection) -> dict:
     conn.fs.replace_text(
         os.path.join(conn.path, "CHUNKS"), f"chunks.g{gen}\n"
     )
-    conn.fs.rmtree(old_path)
+    current = f"chunks.g{gen}"
+    for d in conn.fs.listdir(conn.path):
+        if (d == "chunks" or d.startswith("chunks.g")) and d != current:
+            if _retire(
+                conn.fs, os.path.join(conn.path, d), retain_seconds, now
+            ):
+                pass
+            else:
+                stats["chunk_gens_retained"] += 1
     conn.invalidate_cache()
 
     stats["chunks_kept"] = kept

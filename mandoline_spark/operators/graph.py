@@ -46,42 +46,38 @@ def connected_components(
     the 100 TB deployment path); when None, executor-local
     checkpoints (single-job local runs).  Results are identical.
 
-    Concurrency contract: the per-round block-freeing identifies each
-    checkpoint's RDD by diffing the session's persistent-RDD set, so
-    do not persist/cache OTHER DataFrames on this SparkSession from
-    another thread while a connected_components call is in flight —
-    an interleaved persist could be captured in the diff and freed
-    with the round (driver-side single-operator-at-a-time is the
-    normal batch shape; concurrent sessions are unaffected)."""
+    Block freeing is per-handle: each round unpersists the PREVIOUS
+    round's checkpoint through that checkpoint's own RDD (the
+    ``LogicalRDD`` the eager checkpoint planted at the root of the
+    returned DataFrame), so a concurrent thread persisting unrelated
+    DataFrames on the same session can never be caught in the round's
+    cleanup (the r4 global persistent-RDD-set diff could capture an
+    interleaved persist)."""
     sc = edges.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
 
-    def _persisted_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _ckpt(df: DataFrame) -> tuple[DataFrame, set]:
-        """Eagerly checkpoint ``df`` and return the persistent-RDD ids
-        the checkpoint registered, so the PREVIOUS round's blocks can
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, object]:
+        """Eagerly checkpoint ``df``; return (checkpointed df, the
+        checkpoint's OWN RDD handle) so the previous round's blocks can
         be freed deterministically once their last consumer (the
-        convergence count) has run.  ``df.rdd.unpersist()`` does NOT
-        free them (``.rdd`` wraps a derived RDD, measured no-op), and
-        waiting for the driver's GC leaves up to max_iter label
-        snapshots in executor block storage (ADVICE r03)."""
-        before = _persisted_ids()
+        convergence count) has run.  The handle is the analyzed plan's
+        root — a ``LogicalRDD`` wrapping exactly the block-backed RDD
+        the checkpoint registered (verified: unpersisting it empties
+        the session's persistent-RDD delta; ``df.rdd.unpersist()`` is
+        a no-op on it, being a derived conversion RDD).  Reliable
+        checkpoints register no persistent blocks — the handle's
+        unpersist is then a harmless no-op and their files stay under
+        ``checkpoint_dir`` for fault tolerance."""
         out = (
             df.checkpoint()
             if checkpoint_dir is not None
             else df.localCheckpoint()
         )
-        return out, _persisted_ids() - before
+        return out, out._jdf.queryExecution().analyzed().rdd()
 
-    def _free(ids: set) -> None:
-        m = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            r = m.get(i)
-            if r is not None:
-                r.unpersist()
+    def _free(handle: object) -> None:
+        handle.unpersist(False)
 
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -93,15 +89,13 @@ def connected_components(
         # pair pipeline (e.g. the whole minhash computation) would
         # re-run once per iteration
     )
-    # materialize und's cache OUTSIDE any _ckpt diff window so its
-    # persisted RDD id can never be mistaken for a label snapshot
-    und.count()
+    und.count()  # materialize the cache before the first round reads it
     # checkpoint (not cache) each round: caching materializes the
     # DATA but the logical plan still nests every earlier round, so by
     # ~25 rounds the planner itself OOMs the driver (observed on a
     # 30-node chain).  Checkpointing truncates the lineage to the
     # materialized blocks — plan size stays O(1) per round.
-    labels, label_ids = _ckpt(
+    labels, label_handle = _ckpt(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
@@ -138,14 +132,14 @@ def connected_components(
             .observe(obs, F.sum("_chg").alias("chg"))
             .select("id", "cluster")
         )
-        new_labels, new_ids = _ckpt(cand)
+        new_labels, new_handle = _ckpt(cand)
         changed = obs.get.get("chg") or 0
         # the checkpoint job was the last consumer of the previous
         # round's blocks — free them now; at most two snapshots are
         # ever live (a localCheckpoint is unreadable once freed, so
         # this must stay AFTER the materialization)
-        _free(label_ids)
-        labels, label_ids = new_labels, new_ids
+        _free(label_handle)
+        labels, label_handle = new_labels, new_handle
         if changed == 0:
             converged = True
             break

@@ -42,6 +42,14 @@ from .core.slice import Slice
 from .store import Connection
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A full-mode index commit detected a concurrent writer's
+    generation landing after its base snapshot — committing would
+    silently drop rows under newest-full-wins resolution.  Retry the
+    write (it will carry the newer base) or use ``index_mode="delta"``
+    for concurrent shard writers."""
+
+
 def _ckey(coord: Sequence[int]) -> str:
     return "_".join(str(c) for c in coord)
 
@@ -387,7 +395,12 @@ def _commit_merged(
     shard writers to the SAME variable must use
     ``index_mode="delta"``: full mode's copy-forward carries the base
     snapshot each writer saw, so whichever full generation ends up
-    newer silently drops the other's rows; deltas overlay."""
+    newer silently drops the other's rows; deltas overlay.  That
+    contract is ENFORCED, not just documented: a full-mode commit
+    whose claimed generation is not exactly its base snapshot + 1
+    raises :class:`ConcurrentWriteError` before any index row lands
+    (the chunk blobs already appended are content-addressed and
+    harmless — a retry or delta re-commit reuses them)."""
     import uuid
 
     vid = token["version-id"]
@@ -416,8 +429,29 @@ def _commit_merged(
     #    new hash.  Full mode also carries every untouched base
     #    entry; delta mode leaves them to read-time overlay.
     new_index = merged.select("ckey", *ccols, "chunk_hash")
+    # Snapshot this version's own generations BEFORE reading the base:
+    # a full-mode commit is only sound if no other generation lands in
+    # between (the carry is built from exactly this snapshot).
+    own_gens = conn.index_gens(vid, var)
+    expected_gen = (own_gens[-1] + 1) if own_gens else 0
     base_index = _base_index_df(conn, token, var)
     gen_path, gen = claim_index_gen(conn, vid, var)
+    if index_mode == "full" and gen != expected_gen:
+        # Another writer claimed/committed a generation after our base
+        # snapshot: committing a full index here would race it under
+        # newest-full-wins resolution, silently dropping whichever
+        # writer's rows sort older.  Release the claim and fail loud.
+        try:
+            conn.fs.rmtree(gen_path)  # claim-only: no parquet yet
+        except Exception:
+            pass  # a stale claim-only gen dir is vacuumable garbage
+        raise ConcurrentWriteError(
+            f"concurrent index write detected for v={vid} var={var}: "
+            f"full-mode commit expected generation {expected_gen} but "
+            f"claimed {gen}.  Concurrent shard writers to one variable "
+            f'must use index_mode="delta" (deltas overlay; full '
+            f"generations race)."
+        )
     # A requested delta with no visible base is promoted to full ONLY
     # when this writer claimed generation 0: it is then provably the
     # first writer and its rows ARE the complete index (the

@@ -122,3 +122,52 @@ def test_distributed_write_two_versions(store):
     oracle = np.ones((50, 50), np.int16)
     oracle[10:20, :] = 2
     np.testing.assert_array_equal(got2.data, oracle)
+
+
+def test_full_mode_concurrent_writer_fails_loud(store, monkeypatch):
+    """Two overlapped full-mode commits to one variable must NOT race
+    silently (the r4-documented footgun): the commit whose base
+    snapshot went stale raises ConcurrentWriteError before any index
+    row lands.  Interleaving is forced deterministically: writer B's
+    whole write is injected between writer A's base-snapshot read and
+    A's generation claim."""
+    import pytest
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    a_slab = sb.empty("short", sl.mk_slice((0, 0), (7, 7)), 1)
+    b_slab = sb.empty("short", sl.mk_slice((7, 7), (14, 14)), 2)
+
+    orig_claim = writer.claim_index_gen
+    fired = {"done": False}
+
+    def interpose(conn_, vid, var):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(writer, "claim_index_gen", orig_claim)
+            writer.write_variable(conn, token, "foo", [b_slab])
+        return orig_claim(conn_, vid, var)
+
+    monkeypatch.setattr(writer, "claim_index_gen", interpose)
+    with pytest.raises(writer.ConcurrentWriteError):
+        writer.write_variable(conn, token, "foo", [a_slab])
+
+    # B's commit survives intact and A's failed claim left no garbage
+    # generation behind
+    vid = token["version-id"]
+    assert conn.index_gens(vid, "foo") == [0]
+    # delta mode in the SAME stale-base interleave overlays instead of
+    # failing: rerun A as a delta commit
+    fired["done"] = False
+    monkeypatch.setattr(writer, "claim_index_gen", interpose)
+    c_slab = sb.empty("short", sl.mk_slice((0, 0), (7, 7)), 3)
+    writer.write_variable(conn, token, "foo", [c_slab], index_mode="delta")
+    vfin = conn.finish_version(token)
+    got = reader.get_slice(
+        conn, reader.on_version(conn, vfin), "foo",
+        sl.mk_slice((0, 0), (14, 14)),
+    )
+    oracle = np.zeros((14, 14), np.int16)
+    oracle[7:14, 7:14] = 2
+    oracle[0:7, 0:7] = 3
+    np.testing.assert_array_equal(got.data, oracle)

@@ -282,3 +282,57 @@ def test_connected_components_frees_prior_round_blocks(spark):
     # ~11 rounds ran; without eager freeing each would leave a snapshot
     assert len(after) <= 2, f"leaked {len(after)} persisted RDDs"
     assert labels.count() == 12  # the survivor is still readable
+
+
+def test_connected_components_concurrent_persist_survives(spark):
+    """A concurrent thread persisting unrelated DataFrames while
+    connected_components iterates must keep its caches: the per-round
+    block freeing unpersists each checkpoint via its OWN RDD handle
+    (r4's global persistent-RDD-set diff could capture and free an
+    interleaved persist)."""
+    import threading
+
+    from pyspark import StorageLevel
+
+    from mandoline_spark.operators.graph import connected_components
+
+    stop = threading.Event()
+    kept: list = []
+    errs: list = []
+
+    def churn():
+        i = 0
+        try:
+            while not stop.is_set():
+                df = spark.range(1000 + i).selectExpr("id", "id * 2 AS y")
+                df.persist(StorageLevel.MEMORY_ONLY)
+                df.count()
+                kept.append(df)
+                i += 1
+        except Exception as e:  # surface thread failures in the assert
+            errs.append(e)
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], "a long, b long"
+        )
+        got = {
+            (r.id, r.cluster) for r in connected_components(edges).collect()
+        }
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errs, errs
+    assert got == {(i, 1) for i in range(1, 13)}
+    # every concurrently-persisted DataFrame still has live storage:
+    # its RDD must still be in the session's persistent-RDD registry
+    # (an RDD-level unpersist — what the old diff-based freeing did —
+    # removes it there while df.storageLevel still reports MEMORY_ONLY)
+    assert kept
+    live = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert live >= len(kept), f"{live} persistent RDDs < {len(kept)} persists"
+    for df in kept:
+        assert df.storageLevel.useMemory, "concurrent persist was freed"
+        df.unpersist()
