@@ -105,7 +105,13 @@ class LocalFS:
         between an exclusive create and the content write would leave a
         torn ``versions/<vid>.json`` that wedges every later
         ``versions()`` parse — and the retry would see 'already
-        committed'.  The link publishes complete bytes or nothing."""
+        committed'.  The link publishes complete bytes or nothing.
+
+        Filesystems without hard links (FAT/exFAT, some SMB/FUSE
+        object-store mounts) fall back to O_EXCL + write (ADVICE r4):
+        exclusivity still holds; only the torn-partial-content window
+        reopens, on filesystems that never offered better."""
+        import errno
         import uuid
 
         # unique per attempt, not just per process: racing THREADS of
@@ -119,6 +125,23 @@ class LocalFS:
             os.link(tmp, path)
         except FileExistsError:
             return False
+        except OSError as e:
+            if e.errno not in (
+                errno.EPERM,
+                errno.ENOTSUP,
+                errno.EOPNOTSUPP,
+                getattr(errno, "ENOSYS", -1),
+            ):
+                raise
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
         finally:
             os.unlink(tmp)
         return True

@@ -235,11 +235,45 @@ def ngram_jaccard_pairs(
     return ret
 
 
+class scoped_cache:
+    """Deterministic cache scope for operators that persist an
+    intermediate (today: :func:`ngram_jaccard_pairs` with ``max_df``).
+
+    The default API ties the posting-list cache's lifetime to the
+    RETURNED plan's reachability (weakref finalizer) — correct, but
+    invisible: a caller deriving a child plan and dropping the parent
+    silently loses the cache and recomputes.  This context manager
+    makes the contract explicit at the call site::
+
+        with scoped_cache(ngram_jaccard_pairs(docs, 0.5, max_df=20)) as p:
+            child = p.filter(...)
+            child.count()      # cache live for every derived plan here
+        # exiting releases the cache; later actions recompute
+
+    ``release()`` is the non-with spelling."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __enter__(self) -> DataFrame:
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+    def release(self) -> None:
+        fin = getattr(self.df, "_mandoline_cache_release", None)
+        if fin is not None:
+            fin()  # weakref.finalize: idempotent, safe to race the GC
+
+
 def _unpersist_on_release(owner: DataFrame, persisted: DataFrame) -> None:
     """Unpersist ``persisted`` when ``owner`` (the plan handed to the
     caller) is garbage-collected — the cache's lifetime tracks the
     plan's reachability, so repeated calls in a long-lived session
-    don't accumulate orphaned InMemoryRelations."""
+    don't accumulate orphaned InMemoryRelations.  The finalizer is also
+    stashed on ``owner`` as ``_mandoline_cache_release`` so
+    :class:`scoped_cache` can release it deterministically."""
     import weakref
 
     def _release(p=persisted):
@@ -248,7 +282,7 @@ def _unpersist_on_release(owner: DataFrame, persisted: DataFrame) -> None:
         except Exception:
             pass  # session stopped / interpreter shutting down
 
-    weakref.finalize(owner, _release)
+    owner._mandoline_cache_release = weakref.finalize(owner, _release)
 
 
 def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:

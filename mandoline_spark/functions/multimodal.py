@@ -9,8 +9,10 @@ libraries operate on whole batches, never row-at-a-time Python.
 Uncompressed standard formats are decoded for REAL with no external
 libraries: binary PPM (P6) images and RIFF/WAVE 16-bit PCM audio
 (stdlib ``wave``).  Compressed codecs (JPEG/PNG/MP3/MP4) are absent in
-this container, so those paths raise NotImplementedError until a codec
-library is swapped into `decode_image`/`decode_wav`; RAW8/VID8 are
+this container, so those blobs raise NotImplementedError until a codec
+library is plugged in via :func:`register_codec` (a call, not a code
+edit — operators snapshot the registry into their closures at plan
+time so driver-side registrations reach executors); RAW8/VID8 are
 deterministic test stand-ins for them.  Either way the Spark plumbing
 — schemas, UDF signatures, Arrow batch shapes, explode of sampled
 frames — is the production shape; only the decode call changes.
@@ -25,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -35,6 +37,58 @@ META_SCHEMA = "mime string, nbytes bigint, fp string"
 
 _IMG_MAGIC = b"RAW8"
 _VID_MAGIC = b"VID8"
+
+# -- codec registry -----------------------------------------------------------
+# (name, sniff, decode) triples per kind.  Swapping in a real library
+# (PIL, soundfile, pyav) is a register_codec call, not an edit here.
+# Operators snapshot the registry into their closures at PLAN time, so
+# driver-side registrations reach executors with the serialized stage
+# (the registered callables ride along via cloudpickle) — a module-
+# global lookup at execute time would only see executor-side imports.
+
+_CODECS: dict[str, list[tuple[str, Callable, Callable]]] = {
+    "image": [],
+    "audio": [],
+    "video": [],
+}
+
+
+def register_codec(
+    kind: str,
+    name: str,
+    sniff: Callable[[bytes], bool],
+    decode: Callable[[bytes], object],
+) -> None:
+    """Register a decoder: ``sniff(blob) -> bool`` claims the blob
+    (magic-byte check), ``decode(blob)`` returns the kind's decoded
+    shape (image: uint8 HxWxC ndarray; audio: (int16 [n, ch] ndarray,
+    sample_rate); video: uint8 NxHxWxC ndarray).  Later registrations
+    take priority over earlier ones of the same kind; re-registering a
+    name replaces it."""
+    if kind not in _CODECS:
+        raise ValueError(f"unknown codec kind {kind!r}: {sorted(_CODECS)}")
+    _CODECS[kind] = [e for e in _CODECS[kind] if e[0] != name]
+    _CODECS[kind].insert(0, (name, sniff, decode))
+
+
+def unregister_codec(kind: str, name: str) -> None:
+    _CODECS[kind] = [e for e in _CODECS[kind] if e[0] != name]
+
+
+def _codec_snapshot(kind: str) -> tuple:
+    return tuple(_CODECS[kind])
+
+
+def _decode_with(kind: str, codecs: tuple, blob: bytes):
+    blob = bytes(blob)
+    for name, sniff, decode in codecs:
+        if sniff(blob):
+            return decode(blob)
+    raise NotImplementedError(
+        f"no registered {kind} codec claims this blob (registered: "
+        f"{[n for n, _, _ in codecs]}); register_codec() a library "
+        f"decoder (e.g. PIL/soundfile) for compressed formats"
+    )
 
 
 # -- fake wire format (deterministic; stands in for JPEG/MP4 codecs) ---------
@@ -82,22 +136,19 @@ def _decode_ppm(blob: bytes) -> np.ndarray:
     )
 
 
-def decode_image(blob: bytes) -> np.ndarray:
-    """Image blob → uint8 HxWxC array.  Real support: binary PPM (P6).
-    RAW8 is the deterministic test stand-in.  Compressed formats
-    (JPEG/PNG/...) raise until a codec library is present — swap in
-    PIL here; the callers only see ndarrays."""
-    blob = bytes(blob)
-    if blob[:4] == _IMG_MAGIC:
-        h, w, c = struct.unpack("<HHB", blob[4:9])
-        return np.frombuffer(blob, np.uint8, h * w * c, offset=9).reshape(
-            h, w, c
-        )
-    if blob[:2] == b"P6":
-        return _decode_ppm(blob)
-    raise NotImplementedError(
-        "compressed image decoding requires an image codec library "
-        "(supported here: PPM P6, RAW8)"
+def _decode_raw8(blob: bytes) -> np.ndarray:
+    h, w, c = struct.unpack("<HHB", blob[4:9])
+    return np.frombuffer(blob, np.uint8, h * w * c, offset=9).reshape(h, w, c)
+
+
+def decode_image(blob: bytes, codecs: tuple | None = None) -> np.ndarray:
+    """Image blob → uint8 HxWxC array via the codec registry.  Built-in
+    support: binary PPM (P6, a REAL format) and RAW8 (the deterministic
+    test stand-in).  Compressed formats (JPEG/PNG/...) raise until a
+    codec library is registered (``register_codec("image", "pil",
+    sniff, decode)``); the callers only see ndarrays."""
+    return _decode_with(
+        "image", codecs if codecs is not None else _codec_snapshot("image"), blob
     )
 
 
@@ -123,25 +174,26 @@ def encode_wav(
     return buf.getvalue()
 
 
-def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM blob → (int16 [n, channels], sample_rate).
-    Compressed audio (mp3/flac/...) raises until a codec library is
-    present."""
+def _decode_wav_pcm(blob: bytes) -> tuple[np.ndarray, int]:
     import io
     import wave
 
-    blob = bytes(blob)
-    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "compressed audio decoding requires a codec library "
-            "(supported here: RIFF/WAVE PCM)"
-        )
     with wave.open(io.BytesIO(blob), "rb") as w:
         if w.getsampwidth() != 2:
             raise NotImplementedError("only 16-bit PCM supported")
         n, ch = w.getnframes(), w.getnchannels()
         data = np.frombuffer(w.readframes(n), dtype="<i2").reshape(n, ch)
         return data, w.getframerate()
+
+
+def decode_wav(blob: bytes, codecs: tuple | None = None) -> tuple[np.ndarray, int]:
+    """Audio blob → (int16 [n, channels], sample_rate) via the codec
+    registry.  Built-in: RIFF/WAVE 16-bit PCM (stdlib ``wave``).
+    Compressed audio (mp3/flac/...) raises until a codec library is
+    registered."""
+    return _decode_with(
+        "audio", codecs if codecs is not None else _codec_snapshot("audio"), blob
+    )
 
 
 def encode_video(frames: np.ndarray) -> bytes:
@@ -154,16 +206,33 @@ def encode_video(frames: np.ndarray) -> bytes:
     )
 
 
-def decode_video(blob: bytes) -> np.ndarray:
-    blob = bytes(blob)
-    if blob[:4] != _VID_MAGIC:
-        raise NotImplementedError(
-            "non-VID8 video decoding requires a codec library"
-        )
+def _decode_vid8(blob: bytes) -> np.ndarray:
     n, h, w, c = struct.unpack("<IHHB", blob[4:13])
     return np.frombuffer(blob, np.uint8, n * h * w * c, offset=13).reshape(
         n, h, w, c
     )
+
+
+def decode_video(blob: bytes, codecs: tuple | None = None) -> np.ndarray:
+    """Video blob → uint8 NxHxWxC frame stack via the codec registry.
+    Built-in: VID8 (deterministic stand-in).  Real containers (mp4/...)
+    raise until a codec library is registered."""
+    return _decode_with(
+        "video", codecs if codecs is not None else _codec_snapshot("video"), blob
+    )
+
+
+# built-ins: registered LAST-priority first, so later library
+# registrations (PIL etc.) win their sniff ties
+register_codec("image", "raw8", lambda b: b[:4] == _IMG_MAGIC, _decode_raw8)
+register_codec("image", "ppm", lambda b: b[:2] == b"P6", _decode_ppm)
+register_codec(
+    "audio",
+    "wav-pcm",
+    lambda b: b[:4] == b"RIFF" and b[8:12] == b"WAVE",
+    _decode_wav_pcm,
+)
+register_codec("video", "vid8", lambda b: b[:4] == _VID_MAGIC, _decode_vid8)
 
 
 # -- Spark operators ----------------------------------------------------------
@@ -209,6 +278,7 @@ def resize_images(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    codecs = _codec_snapshot("image")  # plan-time registry snapshot
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,7 +288,7 @@ def resize_images(
                 if b is None:
                     resized.append(None)
                     continue
-                img = decode_image(b)
+                img = decode_image(b, codecs)
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
@@ -236,6 +306,7 @@ def image_features(
     array<double> column — the hand-off point to embedding models.
     NULL blobs yield NULL features (see resize_images)."""
     out_schema = f"{id_col} long, features array<double>"
+    codecs = _codec_snapshot("image")  # plan-time registry snapshot
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,7 +315,7 @@ def image_features(
                 if b is None:
                     feats.append(None)
                     continue
-                img = decode_image(b).astype(np.float64)
+                img = decode_image(b, codecs).astype(np.float64)
                 per_c = np.stack(
                     [
                         img.mean(axis=(0, 1)),
@@ -267,6 +338,7 @@ def frame_sample(
     (id, frame_idx, frame) rows, frames re-encoded as RAW8 images.
     NULL blobs contribute no frames (see resize_images)."""
     out_schema = f"{id_col} long, frame_idx int, frame binary"
+    codecs = _codec_snapshot("video")  # plan-time registry snapshot
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,7 +346,7 @@ def frame_sample(
             for vid_id, b in zip(pdf[id_col], pdf[blob_col]):
                 if b is None:
                     continue
-                stack = decode_video(b)
+                stack = decode_video(b, codecs)
                 for i in range(0, stack.shape[0], every_n):
                     ids.append(vid_id)
                     idxs.append(i)
@@ -298,6 +370,8 @@ def audio_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         " duration_s double, rms double, peak double, zcr double"
     )
 
+    codecs = _codec_snapshot("audio")  # plan-time registry snapshot
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -313,7 +387,7 @@ def audio_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                         )
                     )
                     continue
-                data, rate = decode_wav(bytes(b))
+                data, rate = decode_wav(bytes(b), codecs)
                 x = data.astype(np.float64) / 32768.0
                 mono = x.mean(axis=1)
                 zc = (

@@ -40,24 +40,33 @@ def token_count(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters.  Empty text
     → 0.0 (nullif guard: under ANSI mode — Spark 4's default — a bare
-    /0 raises DIVIDE_BY_ZERO and kills the job on one empty row)."""
+    /0 raises DIVIDE_BY_ZERO and kills the job on one empty row); NULL
+    text stays NULL (ADVICE r4: an unguarded coalesce scored a missing
+    document as perfectly clean in standalone quality screens)."""
     stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
-    return F.coalesce(
-        (F.length(text) - F.length(stripped))
-        / F.nullif(F.length(text), F.lit(0)),
-        F.lit(0.0),
+    return F.when(
+        text.isNotNull(),
+        F.coalesce(
+            (F.length(text) - F.length(stripped))
+            / F.nullif(F.length(text), F.lit(0)),
+            F.lit(0.0),
+        ),
     )
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Stopword share of the whitespace tokens; empty text → 0.0 (same
-    ANSI /0 guard as punct_ratio).  Tokenization and the match rule
-    live in :func:`stopword_hits` / :func:`word_count` — one
-    definition for the engine and its oracle mirror to track."""
-    return F.coalesce(
-        stopword_hits(text, lang)
-        / F.nullif(word_count(F.lower(text)), F.lit(0)),
-        F.lit(0.0),
+    ANSI /0 guard as punct_ratio), NULL text → NULL (same ADVICE r4
+    guard).  Tokenization and the match rule live in
+    :func:`stopword_hits` / :func:`word_count` — one definition for the
+    engine and its oracle mirror to track."""
+    return F.when(
+        text.isNotNull(),
+        F.coalesce(
+            stopword_hits(text, lang)
+            / F.nullif(word_count(F.lower(text)), F.lit(0)),
+            F.lit(0.0),
+        ),
     )
 
 

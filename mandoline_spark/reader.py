@@ -97,12 +97,20 @@ def _join_blobs(
     regressions, bimodal run to run as dedup nudged file sizes around
     the threshold).  The pruned index side is O(requested chunks) rows
     of coordinates+hash — the side you'd always build.  The hint is
-    skipped only for unbounded requests (> ~4M chunks), where a
-    broadcast of the index itself would strain the driver; those fall
-    back to statistics, and at that scale the chunk table is far past
-    any broadcast threshold anyway."""
+    skipped for requests whose index rows would exceed a ~256 MB
+    estimated hash relation (an explicit hint bypasses
+    autoBroadcastJoinThreshold, so the bound must live here — ADVICE
+    r4: the old flat 4M-row cutoff allowed multi-hundred-MB relations
+    onto small drivers); those fall back to statistics, and at that
+    scale the chunk table is far past any broadcast threshold anyway."""
     n_coords, _ = _touched_chunks(token, var, request)
-    if n_coords <= 4_000_000:
+    # estimated bytes per built hash-relation row: 40-char hash + ckey
+    # string + ndim ints, times ~4x for JVM object/UnsafeRow overhead —
+    # deliberately pessimistic, the failure mode is driver OOM, not a
+    # slower shuffle join
+    ndim = len(md.get_variable_dimensions(token, var))
+    est_row_bytes = 4 * (40 + 12 + 4 * ndim)
+    if n_coords * est_row_bytes <= 256 << 20:
         idx = F.broadcast(idx)
     return idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
 

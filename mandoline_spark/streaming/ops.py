@@ -345,6 +345,16 @@ def neardup_gate_stream(
       per micro-batch, so it scales to any reference size and picks up
       reference updates between batches.
 
+      .. warning:: CONTRACT CHANGE (r4): ``mode="join"`` previously
+         emitted ONE row per flagged doc via ``dropDuplicates`` —
+         which on a stream is a global stateful dedup (one state-store
+         entry per flagged doc FOREVER, and a doc legitimately
+         re-flagged in a later batch is silently suppressed), so it
+         was removed.  Downstream aggregations that COUNT flagged docs
+         must now dedup within their own watermark
+         (``.withWatermark(...).dropDuplicatesWithinWatermark(id)``)
+         or they over-count by up to ``bands``x.
+
     Candidate semantics are banding-recall (same as
     ``minhash_lsh_pairs`` BEFORE its exact-Jaccard verify): a gate
     errs toward flagging, and callers needing exact thresholds verify

@@ -259,3 +259,31 @@ def test_empty_docs_never_pair(spark):
     assert [(r.a, r.b) for r in mh] == [(4, 5)]
     sh = simhash_pairs(docs, max_hamming=3).collect()
     assert [(r.a, r.b) for r in sh] == [(4, 5)]
+
+
+def test_scoped_cache_releases_posting_lists(spark):
+    """scoped_cache makes the posting-list cache's lifetime explicit:
+    inside the scope the persisted intermediate is live (visible in the
+    session's persistent-RDD registry); release() drops it even while
+    derived plans still reference the DataFrame."""
+    from mandoline_spark.functions.dedup import scoped_cache
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs())
+
+    base = n_persistent()
+    docs = _docs(spark).limit(60)
+    with scoped_cache(
+        ngram_jaccard_pairs(docs, threshold=0.2, max_df=5)
+    ) as pairs:
+        n_inside_plan = pairs.count()  # materializes the posting cache
+        assert n_persistent() > base
+        derived = pairs.filter(F.col("jac") >= 0.5)
+        derived.count()  # derived plan runs while the cache is live
+    # scope exited: the posting cache is gone even though `pairs` and
+    # `derived` are still referenced
+    assert n_persistent() == base
+    assert pairs.count() == n_inside_plan  # recompute still correct

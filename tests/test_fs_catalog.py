@@ -234,3 +234,28 @@ def test_chunks_path_survives_missing_pointer(spark, tmp_path):
     tok = reader.on_last_version(conn)
     got = reader.get_slice(conn, tok, "v", sl.mk_slice((0,), (8,)))
     assert got.data.tolist() == list(range(8))
+
+
+def test_create_exclusive_falls_back_without_hardlinks(tmp_path, monkeypatch):
+    """Filesystems without hard-link support (FAT/exFAT, some SMB/FUSE
+    mounts) must still commit via O_CREAT|O_EXCL (ADVICE r4): simulate
+    os.link raising EPERM and check both the success and the
+    already-exists paths."""
+    import errno
+    import os as _os
+
+    from mandoline_spark.fs import LocalFS
+
+    fs = LocalFS()
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    p = str(tmp_path / "MARKER")
+    assert fs.create_exclusive(p, "one") is True
+    assert fs.read_text(p) == "one"
+    assert fs.create_exclusive(p, "two") is False
+    assert fs.read_text(p) == "one"
+    # no staging litter left behind
+    assert [f for f in _os.listdir(tmp_path) if f != "MARKER"] == []

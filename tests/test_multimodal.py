@@ -172,3 +172,42 @@ def test_compressed_codecs_raise(spark):
         decode_image(b"\x89PNG\r\n\x1a\nrest")
     with _pytest.raises(NotImplementedError):
         decode_wav(b"ID3\x03mp3data")
+
+
+def test_register_codec_reaches_executors(spark):
+    """A driver-side register_codec must make image_features decode a
+    new format WITHOUT editing multimodal.py: the operator snapshots
+    the registry into its closure at plan time, so the registered
+    callables ride to executors with the serialized stage."""
+    import numpy as np
+
+    from mandoline_spark.functions import multimodal as mm
+
+    # fake "compressed" format: magic FAKE + h + w, one gray channel of
+    # constant value 7
+    def sniff(b):
+        return b[:4] == b"FAKE"
+
+    def decode(b):
+        import struct as _s
+
+        h, w = _s.unpack("<HH", b[4:8])
+        return np.full((h, w, 1), 7, np.uint8)
+
+    mm.register_codec("image", "fake", sniff, decode)
+    try:
+        import struct as _s
+
+        blob = b"FAKE" + _s.pack("<HH", 4, 6)
+        df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+        rows = mm.image_features(df).collect()
+        assert len(rows) == 1
+        # [mean, std, min, max] for the single channel of constant 7
+        assert rows[0].features == [7.0, 0.0, 7.0, 7.0]
+    finally:
+        mm.unregister_codec("image", "fake")
+    # after unregistering, the same blob raises again
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(blob)

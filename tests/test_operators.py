@@ -336,3 +336,26 @@ def test_connected_components_concurrent_persist_survives(spark):
     for df in kept:
         assert df.storageLevel.useMemory, "concurrent persist was freed"
         df.unpersist()
+
+
+def test_text_metrics_null_vs_empty(spark):
+    """NULL text must yield NULL ratios (a missing doc is not a clean
+    doc — ADVICE r4); empty string still scores 0.0."""
+    from pyspark.sql import functions as F
+
+    from mandoline_spark.functions.text import punct_ratio, stopword_ratio
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the cat!!")], "id long, text string"
+    )
+    rows = {
+        r.id: (r.p, r.s)
+        for r in df.select(
+            "id",
+            punct_ratio(F.col("text")).alias("p"),
+            stopword_ratio(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == (0.0, 0.0)
+    assert rows[3][0] > 0 and rows[3][1] == 0.5
