@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_df: int | None = None,
     round_to: int | None = 6,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
     an inverted-index self-join on shingles.  ``max_df`` (drop shingles
@@ -229,7 +230,11 @@ def ngram_jaccard_pairs(
             ).alias("jac"),
         )
     )
-    ret = out.orderBy("a", "b")
+    # ``ordered=False`` skips the final global sort: consumers that
+    # re-aggregate the pairs (connected components, cluster keep-best)
+    # would pay an exchange+sort only to destroy the order one stage
+    # later.
+    ret = out.orderBy("a", "b") if ordered else out
     if persisted is not None:
         _unpersist_on_release(ret, persisted)
     return ret

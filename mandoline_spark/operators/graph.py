@@ -79,17 +79,55 @@ def connected_components(
     def _free(handle: object) -> None:
         handle.unpersist(False)
 
+    # Undirected edge list via a per-row explode of both directions —
+    # ONE evaluation of the upstream plan (a union of the edge plan
+    # with its reversal evaluates the whole upstream pair pipeline,
+    # e.g. the full minhash/jaccard computation, TWICE inside the
+    # cache materialization; measured ~1.4s per extra evaluation on
+    # the declared q82 at sf0.1).
+    # Undirected edge list WITH SELF-LOOPS via a per-row explode —
+    # ONE evaluation of the upstream plan (a union of the edge plan
+    # with its reversal evaluates the whole upstream pair pipeline,
+    # e.g. the full minhash/jaccard computation, TWICE inside the
+    # cache materialization; measured ~1.4s per extra evaluation on
+    # the declared q82 at sf0.1).  The self-loops make each round a
+    # single join + min-agg: every node offers its label to its
+    # neighbors AND itself, so no second labels join is needed to keep
+    # a node's own label in play (the r4 shape paid join + agg + a
+    # labels re-join per round).  The cache is pre-partitioned and
+    # pre-sorted on the join key, so every round's sort-merge join
+    # streams it with NO exchange and NO re-sort on the edge side —
+    # only the (tiny) label table moves, plus the one unavoidable
+    # groupBy(d) transpose exchange.
+    sp = edges.sparkSession
     und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                    F.struct(F.col(src).alias("s"), F.col(src).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(dst).alias("d")),
+                )
+            ).alias("e")
         )
+        .select("e.s", "e.d")
         .distinct()
+        .repartition(F.col("s"))
+        .sortWithinPartitions("s")
         .cache()  # every round joins und: without this the upstream
-        # pair pipeline (e.g. the whole minhash computation) would
-        # re-run once per iteration
+        # pair pipeline would re-run once per iteration
     )
     und.count()  # materialize the cache before the first round reads it
+    from pyspark.sql import Observation
+
+    # Convergence signal: labels only ever DECREASE, so the exact sum
+    # of all labels is strictly monotone until fixpoint — equal sums
+    # across rounds ⟺ converged.  decimal(38,0): exact (a double sum
+    # could alias two different label states) and unoverflowable
+    # (≤ 1e12 nodes × 9e18 max id < 1e38 precision).
+    _sum = F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     # checkpoint (not cache) each round: caching materializes the
     # DATA but the logical plan still nests every earlier round, so by
     # ~25 rounds the planner itself OOMs the driver (observed on a
@@ -99,50 +137,34 @@ def connected_components(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
+        .observe(obs0, _sum)
     )
-    from pyspark.sql import Observation
+    prev_sum = obs0.get["s"]
 
     converged = False
     for _ in range(max_iter):
-        # each node offers its label to every neighbor; a node keeps
-        # the smallest of (its label, best offer)
-        offers = (
+        # one join + one min-agg: each node's new label is the minimum
+        # label over its neighborhood INCLUDING itself (self-loops)
+        obs = Observation()
+        cand = (
             und.join(labels, und.s == labels.id)
             .select(F.col("d").alias("id"), "cluster")
             .groupBy("id")
-            .agg(F.min("cluster").alias("offer"))
-        )
-        # the convergence count piggybacks on the checkpoint's own
-        # materialization job via observe (a row changed iff its best
-        # offer beats its label) — one job per round instead of a
-        # separate rounds-deep count join (measured ~2x on the
-        # declared q82/q83)
-        obs = Observation()
-        cand = (
-            labels.join(offers, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("offer", "cluster")
-                ).alias("cluster"),
-                (F.coalesce("offer", F.col("cluster")) < F.col("cluster"))
-                .cast("long")
-                .alias("_chg"),
-            )
-            .observe(obs, F.sum("_chg").alias("chg"))
-            .select("id", "cluster")
+            .agg(F.min("cluster").alias("cluster"))
+            .observe(obs, _sum)
         )
         new_labels, new_handle = _ckpt(cand)
-        changed = obs.get.get("chg") or 0
+        cur_sum = obs.get["s"]
         # the checkpoint job was the last consumer of the previous
         # round's blocks — free them now; at most two snapshots are
         # ever live (a localCheckpoint is unreadable once freed, so
         # this must stay AFTER the materialization)
         _free(label_handle)
         labels, label_handle = new_labels, new_handle
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     und.unpersist()
     if not converged:
         # partial labels are silently WRONG (a path longer than

@@ -80,6 +80,22 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def psort(df: DataFrame, *cols) -> DataFrame:
+    """Presentation sort for BOUNDED results (fixed group keys, top-k,
+    single-row checks, thresholded pair/screen sets): one round-robin
+    exchange onto the gather point + a single-partition sort.  Every
+    upstream stage keeps its parallelism — ``repartition`` is a
+    shuffle, unlike ``coalesce(1)``, which would collapse the parent
+    stages to one task.  Used ONLY where the result is small by
+    construction at every scale: there the range-partitioned
+    ``orderBy`` pays a sampling job + range exchange to distribute a
+    sort the driver's collect gathers to one stream anyway (measured
+    0.15-0.25s/query at sf0.1).  Corpus-proportional outputs (per-doc
+    listings) keep ``orderBy``: a single-partition sort of those would
+    be the classic scale bottleneck."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 # str, or a zero-arg callable resolved at oracle_sql() time — used by
 # oracles whose literal-VALUES expectation depends on which sf fixture
@@ -115,7 +131,7 @@ def q01(spark, sf):
     return (
         load(spark, sf, "region")
         .select("r_regionkey", "r_name")
-        .orderBy("r_regionkey")
+        .transform(psort, "r_regionkey")
     )
 
 
@@ -162,7 +178,7 @@ def q04(spark, sf):
         c.join(n, c.c_nationkey == n.n_nationkey, "inner")
         .groupBy("n_name")
         .agg(F.count("*").alias("c"))
-        .orderBy("n_name")
+        .transform(psort, "n_name")
     )
 
 
@@ -179,7 +195,7 @@ def q05(spark, sf):
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
         .groupBy("r_name")
         .agg(F.count("*").alias("c"))
-        .orderBy("r_name")
+        .transform(psort, "r_name")
     )
 
 
@@ -262,7 +278,7 @@ def q10(spark, sf):
             ).alias("rev"),
             F.count("*").alias("c"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(psort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -292,7 +308,7 @@ def q12(spark, sf):
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "c",
         )
-        .orderBy("rf", "ls")
+        .transform(psort, "rf", "ls")
     )
 
 
@@ -312,7 +328,7 @@ def q13(spark, sf):
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
             "c",
         )
-        .orderBy("st", "pr")
+        .transform(psort, "st", "pr")
     )
 
 
@@ -384,7 +400,7 @@ def q17(spark, sf):
     o = load(spark, sf, "orders")
     return (
         o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .transform(psort, F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
 
@@ -400,7 +416,7 @@ def q17(spark, sf):
 def q18(spark, sf):
     c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s).orderBy("k")
+    return c.intersect(s).transform(psort, "k")
 
 
 # -- scalar functions --------------------------------------------------------
@@ -649,7 +665,7 @@ def q31(spark, sf):
     return (
         d.groupBy("lang")
         .agg(F.sum("n_chars").alias("chars"), F.count("*").alias("docs"))
-        .orderBy("lang")
+        .transform(psort, "lang")
     )
 
 
@@ -883,7 +899,7 @@ def q40(spark, sf):
     e = load(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     top = cosine_topk_lsh(q, e, k=1, n_planes=8)
-    return top.select("qid", F.col("vec_id").alias("top_id")).orderBy("qid")
+    return top.select("qid", F.col("vec_id").alias("top_id")).transform(psort, "qid")
 
 
 # -- text analysis (LLM pipeline) --------------------------------------------
@@ -1120,7 +1136,7 @@ def q46(spark, sf):
     )
     joined = range_join(orders, bands, "o_totalprice", "lo", "hi", 20000.0)
     return (
-        joined.groupBy("iid").agg(F.count("*").alias("c")).orderBy("iid")
+        joined.groupBy("iid").agg(F.count("*").alias("c")).transform(psort, "iid")
     )
 
 
@@ -1145,7 +1161,7 @@ def q47(spark, sf):
     )
     return top.select(
         "o_orderpriority", "o_orderkey", "o_totalprice"
-    ).orderBy(
+    ).transform(psort, 
         "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey"
     )
 
@@ -1166,7 +1182,7 @@ def q48(spark, sf):
     )
     # subtract == SQL EXCEPT (set semantics); exceptAll would only
     # cancel per-occurrence
-    return c.unionAll(s).subtract(n).orderBy("k")
+    return c.unionAll(s).subtract(n).transform(psort, "k")
 
 
 @_q(
@@ -1190,7 +1206,7 @@ def q49(spark, sf):
             F.col("O").alias("o"),
             F.col("P").alias("p"),
         )
-        .orderBy("o_orderpriority")
+        .transform(psort, "o_orderpriority")
     )
 
 
@@ -1209,7 +1225,7 @@ def q50(spark, sf):
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
         )
-        .orderBy("l_linestatus")
+        .transform(psort, "l_linestatus")
     )
 
 
@@ -1341,7 +1357,7 @@ def q56(spark, sf):
             "g_rf",
             "c",
         )
-        .orderBy("rf", "ls")
+        .transform(psort, "rf", "ls")
     )
 
 
@@ -1374,7 +1390,7 @@ def q57(spark, sf):
                 "n_big"
             ),
         )
-        .orderBy("o_orderpriority")
+        .transform(psort, "o_orderpriority")
     )
 
 
@@ -1443,24 +1459,49 @@ def q59(spark, sf):
 def q60(spark, sf):
     """Approximate percentile: per-group P50/P99 from the sketch must
     sit within the value range spanned by exact ranks +/- 1% of each
-    group — the correctness contract of a rank-error sketch."""
+    group — the correctness contract of a rank-error sketch.
+
+    The exact side is rank-based (one window sort + an interpolation
+    gather of the two boundary rows per quantile) rather than the
+    ``percentile`` aggregate: that aggregate buffers EVERY value of a
+    group in one unspillable map (the per-group OOM shape at scale,
+    and the dominant cost at sf0.1 — measured ~2x slower than the
+    sort), while a window sort spills and distributes.  The
+    interpolation mirrors Spark's Percentile.getPercentile exactly:
+    pos = (n-1)p, lower row weighted (1-frac), upper row frac."""
     li = load(spark, sf, "lineitem")
-    # array-form percentile/approx_percentile: ONE aggregation buffer
-    # per function instead of one per requested quantile (6 separate
-    # aggregates ran ~3x slower at sf0.1)
-    agg = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
-        ).alias("a"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.45, 0.55, 0.98, 1.0))"
-        ).alias("e"),
+        ).alias("a")
     )
+    ps = [0.45, 0.55, 0.98, 1.0]
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cw = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    aggs = []
+    for i, p in enumerate(ps):
+        idx = (F.col("n") - 1) * F.lit(p)
+        lo = F.floor(idx).cast("long")
+        hi = F.ceil(idx).cast("long")
+        frac = idx - lo
+        contrib = (
+            F.when((F.col("rn") == lo) & (lo == hi), F.col("v"))
+            .when(F.col("rn") == lo, F.col("v") * (F.lit(1.0) - frac))
+            .when(F.col("rn") == hi, F.col("v") * frac)
+        )
+        aggs.append(F.sum(contrib).alias(f"e{i}"))
+    exact = r.groupBy("l_returnflag").agg(*aggs)
     ok = (
-        F.col("a")[0].between(F.col("e")[0], F.col("e")[1])
-        & F.col("a")[1].between(F.col("e")[2], F.col("e")[3])
+        F.col("a")[0].between(F.col("e0"), F.col("e1"))
+        & F.col("a")[1].between(F.col("e2"), F.col("e3"))
     ).cast("int")
-    return agg.agg(F.min(ok).alias("ok"))
+    return approx.join(exact, "l_returnflag").agg(F.min(ok).alias("ok"))
 
 
 @_q(
@@ -1492,7 +1533,7 @@ def q61(spark, sf):
     )
     return wide.unpivot(
         ["o_orderpriority"], ["f", "o", "p"], "status", "n"
-    ).orderBy("o_orderpriority", "status")
+    ).transform(psort, "o_orderpriority", "status")
 
 
 @_q(
@@ -1512,7 +1553,7 @@ def q62(spark, sf):
                 F.array_sort(F.collect_list("n_name")), ","
             ).alias("names")
         )
-        .orderBy("rk")
+        .transform(psort, "rk")
     )
 
 
@@ -1605,7 +1646,7 @@ def q66(spark, sf):
     e = load(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     top = ivf_topk(q, e, k=1, n_cells=8, n_probe=2)
-    return top.select("qid", F.col("vec_id").alias("top_id")).orderBy("qid")
+    return top.select("qid", F.col("vec_id").alias("top_id")).transform(psort, "qid")
 
 
 @_q(
@@ -1642,7 +1683,7 @@ def q68(spark, sf):
         o.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 2)
         .select("o_orderpriority", "o_orderkey")
-        .orderBy("o_orderpriority", "o_orderkey")
+        .transform(psort, "o_orderpriority", "o_orderkey")
     )
 
 
@@ -1681,7 +1722,7 @@ def q69(spark, sf):
             F.expr("max_by(o_orderkey, _k)").alias("best"),
             F.expr("min_by(o_orderkey, _k)").alias("worst"),
         )
-        .orderBy("o_orderpriority")
+        .transform(psort, "o_orderpriority")
     )
 
 
@@ -1708,7 +1749,7 @@ def q70(spark, sf):
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd"),
             F.round(F.var_samp("l_quantity"), 4).alias("vr"),
         )
-        .orderBy("l_returnflag")
+        .transform(psort, "l_returnflag")
     )
 
 
@@ -1729,7 +1770,7 @@ def q71(spark, sf):
             F.expr("bit_or(o_custkey)").alias("bo"),
             F.expr("bit_xor(o_custkey)").alias("bx"),
         )
-        .orderBy("o_orderpriority")
+        .transform(psort, "o_orderpriority")
     )
 
 
@@ -1751,7 +1792,7 @@ def q72(spark, sf):
             ).alias("bucket")
         )
         .agg(F.count("*").alias("c"))
-        .orderBy("bucket")
+        .transform(psort, "bucket")
     )
 
 
@@ -1772,7 +1813,7 @@ def q73(spark, sf):
         )
         .groupBy("n")
         .agg(F.count("*").alias("c"))
-        .orderBy("n")
+        .transform(psort, "n")
     )
 
 
@@ -1805,7 +1846,7 @@ def q74(spark, sf):
             .cast("bigint")
             .alias("n"),
         )
-        .orderBy("l_returnflag")
+        .transform(psort, "l_returnflag")
     )
 
 
@@ -1894,7 +1935,7 @@ def q78(spark, sf):
             F.array_sort(F.array_intersect("a", "b")), ","
         ).alias("i"),
         F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("d"),
-    ).orderBy("rk")
+    ).transform(psort, "rk")
 
 
 @_q(
@@ -1938,7 +1979,7 @@ def q80(spark, sf):
     return (
         d.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("docs"))
-        .orderBy("bucket")
+        .transform(psort, "bucket")
     )
 
 
@@ -2036,7 +2077,9 @@ def q82(spark, sf):
     from .operators.graph import connected_components
 
     d = load(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3)
+    # ordered=False: the CC operator re-aggregates the pairs — a
+    # global pair sort would be paid and immediately destroyed
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, ordered=False)
     return connected_components(pairs.select("a", "b")).orderBy("id")
 
 
@@ -2066,7 +2109,7 @@ def q83(spark, sf):
     from .operators.graph import dedup_clusters
 
     d = load(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, ordered=False)
     return dedup_clusters(d, pairs.select("a", "b"))
 
 
@@ -2119,16 +2162,26 @@ def q84(spark, sf):
             "score", F.col("tf") * F.log(F.col("n") / F.col("df"))
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("word")
-    )
+    # argmax per doc as a MIN over struct(-score, word): lexicographic
+    # struct ordering gives highest score, ties to the smallest word —
+    # an aggregation instead of a rank window, so the per-doc winner is
+    # reduced MAP-SIDE and the doc exchange carries one row per doc
+    # instead of sorting every (doc, word) score row (the window shape
+    # shuffled ~200x more rows at sf0.1)
+    best = F.min(
+        F.struct(
+            (-F.col("score")).alias("ns"),
+            F.col("word"),
+            F.col("score"),
+        )
+    ).alias("b")
     return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        sc.groupBy("doc_id")
+        .agg(best)
         .select(
             "doc_id",
-            F.col("word").alias("top_term"),
-            F.round("score", 6).alias("tfidf"),
+            F.col("b.word").alias("top_term"),
+            F.round("b.score", 6).alias("tfidf"),
         )
         .orderBy("doc_id")
     )
@@ -2159,7 +2212,7 @@ def q85(spark, sf):
     return (
         t.groupBy("word")
         .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), "word")
+        .transform(psort, F.col("df").desc(), "word")
         .limit(20)
     )
 
@@ -2261,7 +2314,7 @@ def q87(spark, sf):
             F.round(F.avg("_cos"), 6).alias("cohesion"),
             F.count("*").alias("n"),
         )
-        .orderBy("label")
+        .transform(psort, "label")
     )
 
 
@@ -2570,7 +2623,7 @@ def q95(spark, sf):
                 4,
             ),
         )
-        .orderBy("source")
+        .transform(psort, "source")
     )
 
 
@@ -2609,7 +2662,7 @@ def q96(spark, sf):
             .cast("bigint")
             .alias("zeros"),
         )
-        .orderBy("label")
+        .transform(psort, "label")
     )
 
 
@@ -2637,7 +2690,7 @@ def q97(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_above"))
-        .orderBy("n_name")
+        .transform(psort, "n_name")
     )
 
 
@@ -3055,7 +3108,7 @@ def q104(spark, sf):
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .transform(psort, F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 
@@ -3103,5 +3156,5 @@ def q105(spark, sf):
             F.count("*").cast("bigint").alias("kept_docs"),
             F.sum("words").cast("bigint").alias("kept_words"),
         )
-        .orderBy("source")
+        .transform(psort, "source")
     )
