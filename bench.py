@@ -194,6 +194,39 @@ def bench_array(spark) -> dict[str, float]:
             slice_runs.append(time.perf_counter() - t0)
         out["arr_read_slices_x10"] = round(min(slice_runs), 4)
         conn.invalidate_cache()
+
+        # Delta-overlay read cost vs chain depth (store.py's
+        # "compact_every" guidance wants a measured number): for depth
+        # d in (1, 5, 10), a child version receives d delta commits
+        # (each touching one distinct chunk), and a fixed 2x2x2-chunk
+        # slice is read at that depth.  Read-time resolution merges the
+        # parent's full index with d delta generations, so the spread
+        # between d=1 and d=10 IS the per-delta overlay overhead.
+        for depth in (1, 5, 10):
+            tok_d = conn.add_version(spec)
+            for k in range(depth):
+                slab_d = _sb.empty(
+                    "short",
+                    sl.mk_slice((k * C, 0, 0), ((k + 1) * C, C, C)),
+                    7,
+                )
+                writer.write_variable(
+                    conn, tok_d, "v", [slab_d], index_mode="delta"
+                )
+            vd = conn.finish_version(tok_d)
+            reads = []
+            for _ in range(2):
+                conn.invalidate_cache()
+                t0 = time.perf_counter()
+                got = reader.get_slice(
+                    conn,
+                    reader.on_version(conn, vd),
+                    "v",
+                    sl.mk_slice((0, 0, 0), (2 * C, 2 * C, 2 * C)),
+                )
+                reads.append(time.perf_counter() - t0)
+                assert got.data.shape == (2 * C, 2 * C, 2 * C)
+            out[f"arr_delta_read_d{depth}"] = round(min(reads), 4)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
