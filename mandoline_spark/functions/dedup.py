@@ -158,8 +158,10 @@ def ngram_jaccard_pairs(
         # each posting row carries the doc's gram count (8 bytes) on the
         # one shuffle we already pay, so set sizes need no second pass;
         # na/nb are functionally dependent on a/b — extra grouping keys,
-        # not extra groups
-        posts = _posting_lists(g, ["gram"], ["ng"])
+        # not extra groups.  min_size=2: sizes ride as row payload (not
+        # recounted from the lists), so singleton grams — the bulk of
+        # the vocabulary — can drop before any array is built
+        posts = _posting_lists(g, ["gram"], ["ng"], min_size=2)
         common = (
             _pairs_from_posts(posts, ["ng"], None)
             .groupBy(
@@ -490,6 +492,7 @@ def _posting_lists(
     keys: list[str],
     payload: list[str],
     max_size: int | None = None,
+    min_size: int | None = None,
 ) -> DataFrame:
     """One row per bucket: (keys..., _ids sorted array<struct(id,
     payload...)>) via ONE groupBy(bucket) posting shuffle.  A self-join
@@ -505,15 +508,23 @@ def _posting_lists(
     filtered out as rows.  Filtering post-collect instead would
     materialize a corpus-scale stop-shingle's whole posting array in
     ONE unspillable aggregation buffer before dropping it — the exact
-    skew OOM the cap exists to guard (ADVICE r03)."""
+    skew OOM the cap exists to guard (ADVICE r03).
+
+    ``min_size`` drops UNDER-sized buckets the same pre-collect way:
+    pair-emitting consumers pass 2 — the overwhelming majority of
+    shingles/band-buckets are singletons (unique content), and each
+    would otherwise build a one-element posting array only for the
+    emitter to produce nothing from it.  Size-payload consumers must
+    NOT pass it when sizes are recounted from the lists."""
     cols = ["id", *payload]
-    if max_size is not None:
+    if max_size is not None or min_size is not None:
         w = Window.partitionBy(*keys)
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_size)
-            .drop("_bsz")
-        )
+        banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if max_size is not None:
+            banded = banded.filter(F.col("_bsz") <= max_size)
+        if min_size is not None:
+            banded = banded.filter(F.col("_bsz") >= min_size)
+        banded = banded.drop("_bsz")
     return banded.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct(*cols))).alias("_ids")
     )
@@ -579,9 +590,13 @@ def _posting_pairs(
     incremental upper-triangle emission (see :func:`_pairs_from_posts`
     for the memory shape).  ``max_bucket`` is enforced PRE-collect
     (window count on the same exchange, see :func:`_posting_lists`) so
-    a hot bucket never materializes its posting array at all."""
+    a hot bucket never materializes its posting array at all;
+    ``min_size=2`` drops singleton buckets the same way (they cannot
+    emit a pair)."""
     return _pairs_from_posts(
-        _posting_lists(banded, keys, payload, max_size=max_bucket),
+        _posting_lists(
+            banded, keys, payload, max_size=max_bucket, min_size=2
+        ),
         payload,
         None,
     )

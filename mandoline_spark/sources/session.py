@@ -43,7 +43,11 @@ def get_spark(app_name: str = "mandoline_spark") -> SparkSession:
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap serves driver AND all 32 executor threads;
+        # 12g (box has 128 GiB) keeps the 412 MiB array-scan driver
+        # assembly out of full-GC territory (observed 2-10s swings on
+        # the identical scan plan at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
