@@ -302,3 +302,36 @@ def test_bad_index_mode_rejected(store):
         writer.write_variable(
             conn, t1, "foo", [_slab(FULL, 1)], index_mode="nope"
         )
+
+
+def test_deep_random_delta_chain_matches_numpy_oracle(store):
+    """Randomized deep-chain equivalence for the r5 stacked overlay
+    resolution (one multi-path scan + max_by winner instead of a
+    per-delta anti-join chain): 12 random delta commits, each painting
+    a random aligned chunk region, must read back exactly like the
+    same assignments applied sequentially to a numpy array."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    conn = store.create_dataset("ds")
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [_slab(FULL, 1)])  # full base
+    oracle = np.ones((8, 8), np.int32)
+    for k in range(12):
+        cx, cy = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+        val = 10 + k
+        s = sl.mk_slice((cx * 4, cy * 4), ((cx + 1) * 4, (cy + 1) * 4))
+        writer.write_variable(
+            conn, t, "foo", [_slab(s, val)], index_mode="delta"
+        )
+        oracle[cx * 4 : (cx + 1) * 4, cy * 4 : (cy + 1) * 4] = val
+    vid = conn.finish_version(t)
+    # the chain really is deep (full + 12 deltas, nothing compacted)
+    gens = conn.index_gens(vid, "foo")
+    assert len(gens) == 13, gens
+    np.testing.assert_array_equal(_read(conn, vid), oracle)
+    # partial reads resolve through the same stacked path
+    got = reader.get_slice(
+        conn, conn.metadata(vid), "foo", sl.mk_slice((2, 2), (6, 6))
+    ).data
+    np.testing.assert_array_equal(got, oracle[2:6, 2:6])
