@@ -298,17 +298,16 @@ def main() -> None:
     # context-cleaner work land on whichever query happens to be running
     # (observed 2-3x swings on identical plans between runs); the min of
     # two passes measures the plan, not the pause.  The multi-job
-    # iterative entries get a GC barrier first (the arr phase's
-    # rationale: a collection landing mid-iteration steals cores from
-    # every round; observed 1.9-3.2s spreads on the identical q82 plan)
-    # and one extra pass, since a single pause can taint a whole
-    # multi-job measurement.
+    # iterative entries get one extra pass: a single pause can taint a
+    # whole multi-round measurement (observed 1.9-3.8s spreads on the
+    # identical q82 plan).  No System.gc() barrier here — unlike the
+    # arr phase's bulk-bytes case it measured WORSE: G1's concurrent
+    # phases keep stealing cores after the call returns, landing inside
+    # the very window the barrier was meant to protect.
     for extra in (False, False, True):
         for name in sorted(QUERIES):
             if extra and name not in rebuild_per_pass:
                 continue
-            if name in rebuild_per_pass:
-                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             run(
                 QUERIES[name](spark, sf_dir)
