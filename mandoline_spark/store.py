@@ -574,6 +574,11 @@ class Connection:
                         ]
                     )
                 )
+                # the g=N dir names must order NUMERICALLY: partition
+                # type inference normally yields int, but with
+                # partitionColumnTypeInference disabled the column
+                # arrives as string and "10" would lose to "9"
+                stack = stack.withColumn("g", F.col("g").cast("int"))
                 if self.cache_reads:
                     stack = stack.cache()
                     self._df_cache[key] = stack
