@@ -197,13 +197,19 @@ def bench_array(spark) -> dict[str, float]:
 
         # Delta-overlay read cost vs chain depth (store.py's
         # "compact_every" guidance wants a measured number): for depth
-        # d in (1, 5, 10), a child version receives d delta commits
-        # (each touching one distinct chunk), and a fixed 2x2x2-chunk
-        # slice is read at that depth.  Read-time resolution merges the
-        # parent's full index with d delta generations, so the spread
-        # between d=1 and d=10 IS the per-delta overlay overhead.
+        # d in (1, 5, 10), a version gets its OWN full base commit and
+        # then d delta commits (each touching one distinct chunk), and
+        # a fixed 2x2x2-chunk slice is read at that depth.  The own
+        # full base keeps resolution to "newest full + d deltas" — a
+        # delta-only version would fall back through the PREVIOUS
+        # depth's (delta-only) version, silently adding its chain to
+        # the measurement.
+        base_chunk = _sb.empty(
+            "short", sl.mk_slice((0, 0, 0), (C, C, C)), 5
+        )
         for depth in (1, 5, 10):
             tok_d = conn.add_version(spec)
+            writer.write_variable(conn, tok_d, "v", [base_chunk])
             for k in range(depth):
                 slab_d = _sb.empty(
                     "short",
@@ -270,6 +276,10 @@ def main() -> None:
     # quantizer's training scan, and the array store's catalog/version
     # resolution reads.  Timing a pre-built DataFrame would hide that
     # work, so these are timed end-to-end, construction included.
+    # q37 rebuilds for a different reason: its plan persists the
+    # posting lists internally (max_df path), so re-running one built
+    # DataFrame would time a warm cache hit on the second pass instead
+    # of the query.
     rebuild_per_pass = {
         "q82_neardup_clusters",
         "q83_dedup_cluster_keep",
@@ -277,6 +287,7 @@ def main() -> None:
         "q34_array_slice",
         "q35_array_timetravel",
         "q81_array_version_diff",
+        "q37_ngram_jaccard",
     }
 
     # Everything else is pure-declarative: build the DataFrame ONCE,

@@ -79,12 +79,6 @@ def connected_components(
     def _free(handle: object) -> None:
         handle.unpersist(False)
 
-    # Undirected edge list via a per-row explode of both directions —
-    # ONE evaluation of the upstream plan (a union of the edge plan
-    # with its reversal evaluates the whole upstream pair pipeline,
-    # e.g. the full minhash/jaccard computation, TWICE inside the
-    # cache materialization; measured ~1.4s per extra evaluation on
-    # the declared q82 at sf0.1).
     # Undirected edge list WITH SELF-LOOPS via a per-row explode —
     # ONE evaluation of the upstream plan (a union of the edge plan
     # with its reversal evaluates the whole upstream pair pipeline,
@@ -99,7 +93,6 @@ def connected_components(
     # streams it with NO exchange and NO re-sort on the edge side —
     # only the (tiny) label table moves, plus the one unavoidable
     # groupBy(d) transpose exchange.
-    sp = edges.sparkSession
     und = (
         edges.select(
             F.explode(

@@ -398,9 +398,13 @@ def q16(spark, sf):
 )
 def q17(spark, sf):
     o = load(spark, sf, "orders")
+    # orderBy + limit, NOT psort: Spark plans this as
+    # TakeOrderedAndProject (per-partition top-k, tiny merge) — a
+    # gather-point sort before the limit would funnel the whole table
+    # through one task and lose that rewrite
     return (
         o.select("o_orderkey", "o_totalprice")
-        .transform(psort, F.col("o_totalprice").desc(), "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
 
@@ -2212,7 +2216,9 @@ def q85(spark, sf):
     return (
         t.groupBy("word")
         .agg(F.count("*").alias("df"))
-        .transform(psort, F.col("df").desc(), "word")
+        # orderBy + limit → TakeOrderedAndProject (see q17): the
+        # vocabulary is corpus-proportional, so no gather-point sort
+        .orderBy(F.col("df").desc(), "word")
         .limit(20)
     )
 
@@ -3108,7 +3114,9 @@ def q104(spark, sf):
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .transform(psort, F.desc("revenue"), "l_orderkey")
+        # orderBy + limit → TakeOrderedAndProject (see q17); the
+        # grouped orders are corpus-proportional
+        .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 

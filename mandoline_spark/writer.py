@@ -43,11 +43,18 @@ from .store import Connection
 
 
 class ConcurrentWriteError(RuntimeError):
-    """A full-mode index commit detected a concurrent writer's
-    generation landing after its base snapshot — committing would
-    silently drop rows under newest-full-wins resolution.  Retry the
-    write (it will carry the newer base) or use ``index_mode="delta"``
-    for concurrent shard writers."""
+    """A full-mode index commit detected another writer's generation
+    claim/commit landing after its base snapshot — committing would
+    silently drop rows under newest-full-wins resolution.
+
+    Remedies, in order: (1) retry with ``index_mode="delta"`` — deltas
+    overlay, so they are safe no matter what the other claim turns out
+    to be (a live writer mid-commit or a crashed one's husk); (2) if
+    the other generation has committed parquet, a plain retry carries
+    the newer base; (3) if it is a CLAIM-ONLY directory from a writer
+    known to be dead, :func:`release_claim` removes it — full-mode
+    commits stay blocked until then, deliberately, because a claim
+    cannot be distinguished from a live writer about to append."""
 
 
 def _ckey(coord: Sequence[int]) -> str:
@@ -450,7 +457,10 @@ def _commit_merged(
             f"full-mode commit expected generation {expected_gen} but "
             f"claimed {gen}.  Concurrent shard writers to one variable "
             f'must use index_mode="delta" (deltas overlay; full '
-            f"generations race)."
+            f"generations race).  If the intervening generation is a "
+            f"claim-only husk from a crashed writer, "
+            f"writer.release_claim(conn, {vid}, {var!r}, <gen>) "
+            f"unblocks full mode."
         )
     # A requested delta with no visible base is promoted to full ONLY
     # when this writer claimed generation 0: it is then provably the
@@ -477,6 +487,30 @@ def _commit_merged(
         conn.fs.write_text(os.path.join(gen_path, "_DELTA"), "")
     new_index.write.mode("append").parquet(gen_path)
     return gen_path
+
+
+def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
+    """Remove a claim-only index generation left by a writer the
+    OPERATOR affirms is dead (crashed between :func:`claim_index_gen`
+    and its parquet append) — the manual unwedge for full-mode commits
+    blocked by :class:`ConcurrentWriteError`.  Refuses to touch a
+    generation that has committed parquet: that is real data, not a
+    husk.  Releasing a claim whose writer is in fact still alive
+    re-opens the lost-update race this machinery exists to prevent —
+    hence an explicit operator action, never automatic.  (Vacuum
+    collects these automatically for COMMITTED versions, where no
+    writer can still be in flight.)"""
+    from .store import _has_parquet
+
+    gen_path = conn.index_path(vid, var, gen)
+    if not conn.fs.isdir(gen_path):
+        return
+    if _has_parquet(conn.fs, gen_path):
+        raise ValueError(
+            f"index generation v={vid} var={var} g={gen} has committed "
+            f"parquet — it is a real generation, not a stale claim"
+        )
+    conn.fs.rmtree(gen_path)
 
 
 def claim_index_gen(conn: Connection, vid: int, var: str) -> tuple[str, int]:

@@ -171,3 +171,45 @@ def test_full_mode_concurrent_writer_fails_loud(store, monkeypatch):
     oracle[7:14, 7:14] = 2
     oracle[0:7, 0:7] = 3
     np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_stale_claim_blocks_full_mode_until_released(store):
+    """A crashed writer's claim-only generation must keep BLOCKING
+    full-mode commits (it is indistinguishable from a live writer
+    mid-commit), and writer.release_claim is the documented operator
+    unwedge; a parquet-bearing generation is refused."""
+    import pytest
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    writer.write_variable(
+        conn, token, "foo", [sb.empty("short", sl.mk_slice((0, 0), (7, 7)), 1)]
+    )
+    vid = token["version-id"]
+    # crashed writer: claims g=1, never appends
+    gen_path, gen = writer.claim_index_gen(conn, vid, "foo")
+    assert gen == 1
+
+    with pytest.raises(writer.ConcurrentWriteError, match="release_claim"):
+        writer.write_variable(
+            conn, token, "foo",
+            [sb.empty("short", sl.mk_slice((7, 7), (14, 14)), 2)],
+        )
+    # a committed generation is NOT releasable
+    with pytest.raises(ValueError, match="real generation"):
+        writer.release_claim(conn, vid, "foo", 0)
+    # the stale claim is; full mode then proceeds
+    writer.release_claim(conn, vid, "foo", gen)
+    writer.write_variable(
+        conn, token, "foo",
+        [sb.empty("short", sl.mk_slice((7, 7), (14, 14)), 2)],
+    )
+    vfin = conn.finish_version(token)
+    got = reader.get_slice(
+        conn, reader.on_version(conn, vfin), "foo",
+        sl.mk_slice((0, 0), (14, 14)),
+    )
+    oracle = np.zeros((14, 14), np.int16)
+    oracle[0:7, 0:7] = 1
+    oracle[7:14, 7:14] = 2
+    np.testing.assert_array_equal(got.data, oracle)
