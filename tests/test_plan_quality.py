@@ -447,3 +447,96 @@ def test_length_outliers_broadcast_stats(spark):
     q = QUERIES["q102_length_outliers"](spark, SF)
     plan = explain_str(q)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+# -- r5 shape pins -------------------------------------------------------------
+
+
+def test_q84_argmax_is_aggregate_not_rank_window(spark):
+    """q84's per-doc argmax must stay a partial-aggregable min-over-
+    struct: a rank window would sort and shuffle every (doc, word)
+    score row instead of reducing to one row per doc map-side.
+    Exactly ONE window remains (the df count, which shares the tf
+    exchange)."""
+    text = explain_str(QUERIES["q84_tfidf_top_term"](spark, SF))
+    assert "row_number" not in text, text
+    assert text.count("Window") - text.count("WindowGroupLimit") >= 1
+    assert "partial_min" in text, text
+
+
+def test_q60_exact_side_has_no_percentile_aggregate(spark):
+    """q60's exact quantiles come from the window-rank interpolation
+    gather — the `percentile` aggregate buffers every value of a group
+    in one unspillable map and must not reappear.  approx_percentile
+    (the sketch under test) is the one allowed percentile node."""
+    text = explain_str(QUERIES["q60_approx_percentile"](spark, SF))
+    import re
+
+    bare = re.sub(r"approx_percentile", "", text)
+    assert "percentile" not in bare, text
+
+
+def test_psort_is_single_partition_not_range_sort(spark):
+    """Bounded-result queries sort on the gather point: the plan must
+    carry a SinglePartition exchange + local sort, NOT a range
+    exchange (whose sampling pass costs an extra job)."""
+    for name in ("q10_agg_hash", "q70_stats_agg", "q104_shipping_priority"):
+        text = explain_str(QUERIES[name](spark, SF))
+        assert "rangepartitioning" not in text.lower(), (name, text)
+
+
+def test_topk_keeps_take_ordered(spark):
+    """orderBy+limit top-k queries must plan as TakeOrderedAndProject
+    (per-partition top-k, tiny merge) — a gather-point sort before the
+    limit funnels the whole input through one task (caught in the r5
+    review on q17/q85/q104)."""
+    for name in ("q17_topk", "q85_vocab_df_topk", "q104_shipping_priority"):
+        text = explain_str(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in text, (name, text)
+
+
+def test_delta_stack_resolution_is_single_scan(spark, tmp_path):
+    """A multi-delta overlay chain must resolve through ONE multi-path
+    parquet relation + one aggregation — not one scan and one
+    anti-join per generation (the r4 shape, super-linear per read)."""
+    import numpy as np
+
+    from mandoline_spark import writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "ds_root"))
+    conn = store.create_dataset("ds")
+    t = conn.add_version(
+        {
+            "dimensions": {"x": 8},
+            "chunk-dimensions": {"x": 4},
+            "variables": {
+                "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+            },
+        }
+    )
+    writer.write_variable(
+        conn, t, "v", [sb.empty("int", sl.mk_slice((0,), (8,)), 1)]
+    )
+    for k in range(4):
+        writer.write_variable(
+            conn,
+            t,
+            "v",
+            [sb.empty("int", sl.mk_slice((0,), (4,)), 10 + k)],
+            index_mode="delta",
+        )
+    vid = conn.finish_version(t)
+    idx = conn.index_df(vid, "v")
+    text = explain_str(idx)
+    # scan NODES: one for the full base + two references to the ONE
+    # 4-delta stack relation (the winner feeds both union branches of
+    # the final anti-join overlay).  The r4 per-delta chain grew a
+    # scan pair per generation (~9 nodes here).
+    import re
+
+    nodes = set(re.findall(r"\((\d+)\) Scan parquet", text))
+    assert len(nodes) <= 3, (sorted(nodes), text)
+    assert "max_by" in text, text
