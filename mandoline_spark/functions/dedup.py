@@ -160,7 +160,9 @@ def ngram_jaccard_pairs(
         # na/nb are functionally dependent on a/b — extra grouping keys,
         # not extra groups.  min_size=2: sizes ride as row payload (not
         # recounted from the lists), so singleton grams — the bulk of
-        # the vocabulary — can drop before any array is built
+        # the vocabulary — drop right after collection (a post-collect
+        # length filter; their 16-byte arrays are built but never reach
+        # the pair emitter's projection)
         posts = _posting_lists(g, ["gram"], ["ng"], min_size=2)
         common = (
             _pairs_from_posts(posts, ["ng"], None)
@@ -599,8 +601,10 @@ def _posting_pairs(
     for the memory shape).  ``max_bucket`` is enforced PRE-collect
     (window count on the same exchange, see :func:`_posting_lists`) so
     a hot bucket never materializes its posting array at all;
-    ``min_size=2`` drops singleton buckets the same way (they cannot
-    emit a pair)."""
+    ``min_size=2`` drops singleton buckets post-collect (a length
+    filter on the built — 16-byte — arrays; see :func:`_posting_lists`
+    for why the two bounds sit on opposite sides of the collect), so
+    they never reach the pair emitter's projection."""
     return _pairs_from_posts(
         _posting_lists(
             banded, keys, payload, max_size=max_bucket, min_size=2

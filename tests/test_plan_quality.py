@@ -454,13 +454,17 @@ def test_length_outliers_broadcast_stats(spark):
 
 def test_q84_argmax_is_aggregate_not_rank_window(spark):
     """q84's per-doc argmax must stay a partial-aggregable min-over-
-    struct: a rank window would sort and shuffle every (doc, word)
-    score row instead of reducing to one row per doc map-side.
-    Exactly ONE window remains (the df count, which shares the tf
-    exchange)."""
+    struct: ANY ranking window (row_number/rank/dense_rank) would sort
+    and shuffle every (doc, word) score row instead of reducing to one
+    row per doc map-side.  Exactly ONE Window node may remain — the df
+    count, which shares the tf exchange."""
+    import re
+
     text = explain_str(QUERIES["q84_tfidf_top_term"](spark, SF))
-    assert "row_number" not in text, text
-    assert text.count("Window") - text.count("WindowGroupLimit") >= 1
+    for fn in ("row_number", "dense_rank", "rank("):
+        assert fn not in text, (fn, text)
+    windows = set(re.findall(r"\((\d+)\) Window", text))
+    assert len(windows) == 1, (sorted(windows), text)
     assert "partial_min" in text, text
 
 
@@ -478,11 +482,18 @@ def test_q60_exact_side_has_no_percentile_aggregate(spark):
 
 def test_psort_is_single_partition_not_range_sort(spark):
     """Bounded-result queries sort on the gather point: the plan must
-    carry a SinglePartition exchange + local sort, NOT a range
-    exchange (whose sampling pass costs an extra job)."""
-    for name in ("q10_agg_hash", "q70_stats_agg", "q104_shipping_priority"):
+    carry a SinglePartition exchange feeding a (non-global) local
+    sort, and NO range exchange (whose sampling pass costs an extra
+    job).  Both directions asserted: absence of rangepartitioning
+    alone would also pass if the sort vanished entirely."""
+    for name in ("q10_agg_hash", "q70_stats_agg", "q105_token_budget_sample"):
         text = explain_str(QUERIES[name](spark, SF))
-        assert "rangepartitioning" not in text.lower(), (name, text)
+        low = text.lower()
+        assert "rangepartitioning" not in low, (name, text)
+        assert "singlepartition" in low, (name, text)
+        # psort's sortWithinPartitions: a Sort node whose arguments end
+        # in global=false ("..., false, 0" in the formatted details)
+        assert "false, 0" in low, (name, text)
 
 
 def test_topk_keeps_take_ordered(spark):
