@@ -120,19 +120,6 @@ def connected_components(
     # could alias two different label states) and unoverflowable
     # (≤ 1e12 nodes × 9e18 max id < 1e38 precision).
     _sum = F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-    obs0 = Observation()
-    # checkpoint (not cache) each round: caching materializes the
-    # DATA but the logical plan still nests every earlier round, so by
-    # ~25 rounds the planner itself OOMs the driver (observed on a
-    # 30-node chain).  Checkpointing truncates the lineage to the
-    # materialized blocks — plan size stays O(1) per round.
-    labels, label_handle = _ckpt(
-        und.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .observe(obs0, _sum)
-    )
-    prev_sum = obs0.get["s"]
 
     def _step(lbl: DataFrame) -> DataFrame:
         # one join + one min-agg: each node's new label is the minimum
@@ -144,6 +131,23 @@ def connected_components(
             .agg(F.min("cluster").alias("cluster"))
         )
 
+    # No separate identity-labels materialization: with label(x) = x,
+    # hop 1 is simply min(s) grouped by d over the self-looped edge
+    # list, and the identity sum the convergence test needs is the sum
+    # of the group KEYS of that same aggregate — both observations ride
+    # the first materialization, saving one checkpoint job per call.
+    first_hop = (
+        und.groupBy(F.col("d").alias("id"))
+        .agg(F.min("s").alias("cluster"))
+    )
+    obs0 = Observation()
+    first_hop = first_hop.observe(
+        obs0, F.sum(F.col("id").cast("decimal(38,0)")).alias("ids")
+    )
+
+    labels = None
+    label_handle = None
+    prev_sum = None
     converged = False
     # TWO propagation steps per materialization: the per-round cost at
     # small/medium graph sizes is dominated by the checkpoint job
@@ -152,16 +156,26 @@ def connected_components(
     # convergence check sees the composed state, costing at most one
     # redundant hop after fixpoint).  max_iter still counts SINGLE
     # hops, so the diameter contract is unchanged.
-    for _ in range(0, max_iter, 2):
+    # checkpoint (not cache) each round: caching materializes the
+    # DATA but the logical plan still nests every earlier round, so by
+    # ~25 rounds the planner itself OOMs the driver (observed on a
+    # 30-node chain).  Checkpointing truncates the lineage to the
+    # materialized blocks — plan size stays O(1) per round.
+    for it in range(0, max_iter, 2):
         obs = Observation()
-        cand = _step(_step(labels)).observe(obs, _sum)
+        cand = _step(first_hop if it == 0 else _step(labels)).observe(
+            obs, _sum
+        )
         new_labels, new_handle = _ckpt(cand)
         cur_sum = obs.get["s"]
-        # the checkpoint job was the last consumer of the previous
-        # round's blocks — free them now; at most two snapshots are
-        # ever live (a localCheckpoint is unreadable once freed, so
-        # this must stay AFTER the materialization)
-        _free(label_handle)
+        if it == 0:
+            prev_sum = obs0.get["ids"]  # identity-label sum
+        if label_handle is not None:
+            # the checkpoint job was the last consumer of the previous
+            # round's blocks — free them now; at most two snapshots are
+            # ever live (a localCheckpoint is unreadable once freed, so
+            # this must stay AFTER the materialization)
+            _free(label_handle)
         labels, label_handle = new_labels, new_handle
         if cur_sum == prev_sum:
             converged = True
