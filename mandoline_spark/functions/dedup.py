@@ -259,9 +259,22 @@ class scoped_cache:
             child.count()      # cache live for every derived plan here
         # exiting releases the cache; later actions recompute
 
-    ``release()`` is the non-with spelling."""
+    ``release()`` is the non-with spelling.
+
+    Handing in a DERIVED plan (``p.filter(...)`` instead of the exact
+    DataFrame an operator returned) is an error: the release handle is
+    stashed only on the returned object, so a derived plan would make
+    release() a silent no-op — exactly the invisible-lifetime bug this
+    class exists to prevent (ADVICE r5)."""
 
     def __init__(self, df: DataFrame):
+        if getattr(df, "_mandoline_cache_release", None) is None:
+            raise ValueError(
+                "scoped_cache: DataFrame carries no cache-release handle; "
+                "pass the exact DataFrame returned by the caching "
+                "operator (e.g. ngram_jaccard_pairs with max_df), not a "
+                "derived plan — derive children INSIDE the with-block"
+            )
         self.df = df
 
     def __enter__(self) -> DataFrame:

@@ -235,6 +235,77 @@ register_codec(
 register_codec("video", "vid8", lambda b: b[:4] == _VID_MAGIC, _decode_vid8)
 
 
+# -- optional-library auto-registration ---------------------------------------
+# If PIL / soundfile happen to be importable, register them at import
+# time so a real JPEG/PNG/FLAC corpus works out of the box instead of
+# hitting the registry's NotImplementedError speed bump (ADVICE/VERDICT
+# r5).  The sniffs are pure magic-byte checks (no library reference, so
+# the closure cloudpickles to executors regardless); the decodes import
+# INSIDE the function body — on a real cluster the library must be on
+# the executors' PYTHONPATH too, the standard Pandas-UDF dependency
+# contract.  The container this repo tests in has neither library, so
+# the no-deps path stays the one CI exercises (tests skipif the rest).
+
+
+def _pil_sniff(b: bytes) -> bool:
+    return (
+        b[:3] == b"\xff\xd8\xff"  # JPEG
+        or b[:8] == b"\x89PNG\r\n\x1a\n"  # PNG
+        or b[:6] in (b"GIF87a", b"GIF89a")  # GIF
+        or (b[:4] == b"RIFF" and b[8:12] == b"WEBP")  # WebP
+        or b[:2] == b"BM"  # BMP
+    )
+
+
+def _pil_decode(b: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    return arr.astype(np.uint8)
+
+
+def _soundfile_sniff(b: bytes) -> bool:
+    return (
+        b[:4] == b"fLaC"  # FLAC
+        or b[:4] == b"OggS"  # Ogg (vorbis/opus/flac)
+        or (b[:4] == b"RIFF" and b[8:12] == b"WAVE")  # WAV incl. float PCM
+    )
+
+
+def _soundfile_decode(b: bytes):
+    import io
+
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(b), dtype="int16", always_2d=True)
+    return data, rate
+
+
+def _auto_register_optional_codecs() -> list[str]:
+    """Called once at import; returns the names registered (testable)."""
+    got: list[str] = []
+    try:
+        import PIL.Image  # noqa: F401
+
+        register_codec("image", "pil", _pil_sniff, _pil_decode)
+        got.append("pil")
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        register_codec("audio", "soundfile", _soundfile_sniff, _soundfile_decode)
+        got.append("soundfile")
+    except ImportError:
+        pass
+    return got
+
+
+_AUTO_CODECS = _auto_register_optional_codecs()
+
+
 # -- Spark operators ----------------------------------------------------------
 
 

@@ -150,6 +150,18 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         if refs is not None
         else chunks.limit(0)
     )
+    n_live = live.count()
+    if n_live == total:
+        # Nothing unreferenced: skip the generation rewrite entirely.
+        # Without this, every vacuum call on an already-clean store
+        # rewrote a full new chunks generation and (with
+        # ``retain_seconds`` > 0) retained the superseded one for the
+        # whole grace window — frequent retention-mode vacuums
+        # multiplied live-chunk disk usage linearly in calls-per-window
+        # (ADVICE r5).  Clean store → vacuum is a read-only no-op on
+        # the chunk data.
+        stats["chunks_kept"] = total
+        return stats
 
     # Generation flip instead of rename-swap: the survivors are written
     # BESIDE the live directory as chunks.g<N>, the CHUNKS pointer file

@@ -96,6 +96,30 @@ def psort(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def ranged(df: DataFrame, *keys) -> DataFrame:
+    """Global-order layout for CORPUS-PROPORTIONAL computed outputs,
+    placed on the RAW scan: range-exchange + in-partition sort on the
+    presentation keys BEFORE the expensive projection.  Three effects,
+    all measured (r6):
+
+    - the range sampler reads the cheap source scan instead of
+      re-executing the computed columns (a final ``orderBy`` above an
+      un-shuffled expensive projection runs the projection TWICE —
+      once for the sampling job, once for the exchange; observed
+      0.2-0.4s per query at sf0.1, and at 100 TB it doubles the
+      dominant map stage);
+    - the metric columns are computed exactly once AFTER the exchange,
+      so the work spreads across the range partitions even when the
+      source collapses to one task (single file / single row-group);
+    - the order-preserving projections on top keep partition-prefix
+      order, which under range partitioning IS global row order — the
+      same result contract as ``orderBy``, same operators (sample,
+      range exchange, sort), only placed below the compute instead of
+      above it."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 # str, or a zero-arg callable resolved at oracle_sql() time — used by
 # oracles whose literal-VALUES expectation depends on which sf fixture
@@ -343,6 +367,11 @@ def q13(spark, sf):
     "WHERE rn = 1 ORDER BY o_custkey",
 )
 def q14(spark, sf):
+    """Filtering window (rn = 1 keeps ~1/10 of rows): the hash window
+    exchange + top orderBy beats a range exchange feeding the window
+    here (r6 A/B) — the final sort's input is the FILTERED output, so
+    pre-ranging would push every input row through the range exchange
+    to save a sort of the small side."""
     o = load(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -362,15 +391,24 @@ def q14(spark, sf):
     "FROM orders ORDER BY o_custkey, o_orderkey",
 )
 def q15(spark, sf):
+    """Range exchange feeds the window (see q14); the presentation sort
+    key (custkey, orderkey) differs from the window order (custkey,
+    orderdate, orderkey), so an in-partition sort remains — but no
+    second exchange and no sampling job re-executing the window."""
     o = load(spark, sf, "orders")
+    n = spark.sparkContext.defaultParallelism
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(
-            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
-        ).alias("d"),
-    ).orderBy("o_custkey", "o_orderkey")
+    return (
+        o.repartitionByRange(n, "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("d"),
+        )
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
 
 
 @_q(
@@ -516,9 +554,9 @@ def q23(spark, sf):
 )
 def q24(spark, sf):
     ev = load(spark, sf, "events")
-    return ev.select(
+    return ranged(ev, "event_id").select(
         "event_id", F.get_json_object("props", "$.k").alias("k")
-    ).orderBy("event_id")
+    )
 
 
 # -- time windows ------------------------------------------------------------
@@ -589,16 +627,23 @@ def q26(spark, sf):
 )
 def q27(spark, sf):
     ev = load(spark, sf, "events")
-    sessions = ev.groupBy(
-        F.session_window("ts", "10 minutes").alias("sw"), "user_id"
-    ).agg(F.count("*").alias("cnt"))
+    n = spark.sparkContext.defaultParallelism
+    # range exchange on user_id (see q14): the session-window agg and
+    # the per-user rollup both reuse it (clustering satisfied), and the
+    # output inherits range partitioning, so the presentation sort is
+    # an in-partition sort with no exchange and no sampling job
+    sessions = (
+        ev.repartitionByRange(n, "user_id")
+        .groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
     return (
         sessions.groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("cnt").alias("n_events"),
         )
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 
@@ -682,11 +727,14 @@ def q32(spark, sf):
     from .functions.multimodal import with_blob_metadata
 
     d = load(spark, sf, "documents")
-    blobs = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
-    return (
-        with_blob_metadata(blobs, "blob")
-        .select("doc_id", "meta.nbytes", "meta.fp")
-        .orderBy("doc_id")
+    blobs = ranged(d, "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    # mapInPandas is order-preserving per partition, so the ranged
+    # layout survives the Arrow stage and no top-level sort re-executes
+    # the Python workers for range sampling
+    return with_blob_metadata(blobs, "blob").select(
+        "doc_id", "meta.nbytes", "meta.fp"
     )
 
 
@@ -708,12 +756,13 @@ def q33(spark, sf):
 
     li = load(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_linenumber") == 1)
+        # filter BELOW the range exchange (pushes to the scan); the
+        # Arrow-batched UDF runs after it, once, order-preserving
+        ranged(li.filter(F.col("l_linenumber") == 1), "l_orderkey")
         .select(
             "l_orderkey",
             net_price("l_extendedprice", "l_discount").alias("net"),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -919,12 +968,12 @@ def q40(spark, sf):
 def q41(spark, sf):
     from .functions.text import token_count, word_count
 
-    d = load_documents_wide(spark, sf)
-    return d.select(
+    d = load(spark, sf, "documents")
+    return ranged(d, "doc_id").select(
         "doc_id",
         word_count(F.col("text")).alias("words"),
         token_count(F.col("text")).alias("tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -938,10 +987,10 @@ def q41(spark, sf):
 def q42(spark, sf):
     from .functions.text import quality_score
 
-    d = load_documents_wide(spark, sf)
-    return d.select(
+    d = load(spark, sf, "documents")
+    return ranged(d, "doc_id").select(
         "doc_id", quality_score(F.col("text")).alias("q")
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -965,10 +1014,10 @@ def q42(spark, sf):
 def q43(spark, sf):
     from .functions.text import lang_id
 
-    d = load_documents_wide(spark, sf)
-    return d.select(
+    d = load(spark, sf, "documents")
+    return ranged(d, "doc_id").select(
         "doc_id", lang_id(F.col("text")).alias("pred")
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -981,10 +1030,10 @@ def q43(spark, sf):
 def q44(spark, sf):
     from .functions.text import fingerprint
 
-    d = load_documents_wide(spark, sf)
-    return d.select(
+    d = load(spark, sf, "documents")
+    return ranged(d, "doc_id").select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
-    ).orderBy("doc_id")
+    )
 
 
 # -- array store (the mandoline surface itself) ------------------------------
@@ -2380,7 +2429,9 @@ def q89(spark, sf):
         s.where(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count("*").alias("n"))
-        .orderBy("prev", "next")
+        # bounded output (|event types|^2 transition matrix) → gather
+        # sort, not a range-sampled distributed sort
+        .transform(psort, "prev", "next")
     )
 
 
@@ -2442,13 +2493,18 @@ def q90(spark, sf):
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    n = spark.sparkContext.defaultParallelism
     return (
         grid.join(daily, ["user_id", "d"], "left")
+        # range exchange on user_id feeds the fill window (see q14):
+        # the window's own (user_id, d) sort + range partitioning IS
+        # the presentation order, so the final orderBy (a third
+        # exchange + a sampling job that re-ran the whole fill) goes
+        .repartitionByRange(n, "user_id")
         .withColumn("v", F.round(
             F.last("value", ignorenulls=True).over(ff_w), 6
         ))
         .select("user_id", "d", "v")
-        .orderBy("user_id", "d")
     )
 
 
@@ -2483,7 +2539,9 @@ def q91(spark, sf):
             ).alias("rev"),
             F.count("*").alias("n"),
         )
-        .orderBy("n_name", "y")
+        # bounded output by construction (|nations| x |years|) → gather
+        # sort, not a range-sampled distributed sort
+        .transform(psort, "n_name", "y")
     )
 
 
@@ -2908,7 +2966,7 @@ def q100(spark, sf):
     is a map-only job."""
     e = load(spark, sf, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
-    s = e.select(
+    s = ranged(e, "vec_id").select(
         "vec_id",
         emb.alias("emb"),
         F.array_min(emb).alias("mn"),
@@ -2935,7 +2993,6 @@ def q100(spark, sf):
             F.round(max_err, 6).alias("max_err"),
             F.round(mse, 9).alias("mse"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -2969,7 +3026,8 @@ def q101(spark, sf):
         )
         .groupBy("source", "wlen")
         .agg(F.count("*").alias("n"))
-        .orderBy("source", "wlen")
+        # bounded output (|sources| x 16 length buckets) → gather sort
+        .transform(psort, "source", "wlen")
     )
 
 
@@ -3050,7 +3108,11 @@ def q103(spark, sf):
         | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
-    s = e.select(
+    # ONE range exchange on user_id feeds everything (see q14): both
+    # windows, both aggregates (clustering satisfied throughout), and
+    # the presentation order — the final sort becomes in-partition
+    n = spark.sparkContext.defaultParallelism
+    s = e.repartitionByRange(n, "user_id").select(
         "user_id", "ts", "event_id", brk.alias("brk")
     ).withColumn(
         "sid",
@@ -3071,7 +3133,7 @@ def q103(spark, sf):
                 "max_dur_s"
             ),
         )
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 

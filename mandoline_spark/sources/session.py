@@ -12,6 +12,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default derived from the HOST, not hard-coded for the
+    bench box (ADVICE r5: a flat 12g over-commits small hosts).  Target
+    a quarter of MemAvailable, clamped to [4g, 12g] — 12g is what the
+    412 MiB array-scan driver assembly wants on the 128 GiB box
+    (observed 2-10s GC swings at 8g), 4g is plenty for every relational
+    query at test scale.  ``SPARK_GRAFT_DRIVER_MEM`` overrides (also
+    documented in README.md)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1 << 20)
+                    break
+            else:
+                avail_gb = 16
+    except OSError:
+        avail_gb = 16
+    return f"{max(4, min(12, avail_gb // 4))}g"
+
+
 def get_spark(app_name: str = "mandoline_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -43,11 +64,13 @@ def get_spark(app_name: str = "mandoline_spark") -> SparkSession:
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
-        # local-mode heap serves driver AND all 32 executor threads;
-        # 12g (box has 128 GiB) keeps the 412 MiB array-scan driver
-        # assembly out of full-GC territory (observed 2-10s swings on
-        # the identical scan plan at 8g)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # local-mode heap serves driver AND all executor threads; sized
+        # from the host (see _default_driver_mem), overridable via
+        # SPARK_GRAFT_DRIVER_MEM
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -261,6 +261,23 @@ def test_empty_docs_never_pair(spark):
     assert [(r.a, r.b) for r in sh] == [(4, 5)]
 
 
+def test_scoped_cache_rejects_derived_plans(spark):
+    """Wrapping anything but the exact DataFrame the caching operator
+    returned (a derived plan, a non-caching call) must fail loudly —
+    release() on such a plan would be a silent no-op (ADVICE r5)."""
+    import pytest
+
+    from mandoline_spark.functions.dedup import scoped_cache
+
+    docs = _docs(spark).limit(20)
+    cached = ngram_jaccard_pairs(docs, threshold=0.2, max_df=5)
+    with pytest.raises(ValueError, match="release handle"):
+        scoped_cache(cached.filter(F.col("jac") >= 0.5))  # derived
+    with pytest.raises(ValueError, match="release handle"):
+        scoped_cache(ngram_jaccard_pairs(docs, threshold=0.2))  # no cache
+    scoped_cache(cached).release()
+
+
 def test_scoped_cache_releases_posting_lists(spark):
     """scoped_cache makes the posting-list cache's lifetime explicit:
     inside the scope the persisted intermediate is live (visible in the

@@ -166,12 +166,51 @@ def test_wav_roundtrip_and_audio_features(spark):
 def test_compressed_codecs_raise(spark):
     import pytest as _pytest
 
+    from mandoline_spark.functions import multimodal as mm
     from mandoline_spark.functions.multimodal import decode_image, decode_wav
 
+    if "pil" not in mm._AUTO_CODECS:  # PNG decodes when PIL auto-registered
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\nrest")
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")
-    with _pytest.raises(NotImplementedError):
-        decode_wav(b"ID3\x03mp3data")
+        decode_wav(b"ID3\x03mp3data")  # mp3: no built-in or auto codec
+
+
+def test_optional_codec_auto_registration():
+    """PIL/soundfile, when importable, are registered at import time so
+    compressed corpora work without a manual register_codec call; the
+    sniffs are magic-byte-only so the no-deps container still
+    cloudpickles every registered closure."""
+    from mandoline_spark.functions import multimodal as mm
+
+    # sniffs claim the right formats regardless of library presence
+    assert mm._pil_sniff(b"\xff\xd8\xff\xe0rest")  # JPEG
+    assert mm._pil_sniff(b"\x89PNG\r\n\x1a\nrest")
+    assert mm._pil_sniff(b"RIFF\x00\x00\x00\x00WEBP")
+    assert not mm._pil_sniff(b"P6\n1 1\n255\n\x00\x00\x00")  # PPM is built-in
+    assert mm._soundfile_sniff(b"fLaC\x00\x00\x00\x00")
+    assert not mm._soundfile_sniff(b"ID3\x03mp3")
+    # registry state matches library availability
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    assert ("pil" in mm._AUTO_CODECS) == has_pil
+    image_names = [n for n, _, _ in mm._CODECS["image"]]
+    assert ("pil" in image_names) == has_pil
+    if has_pil:  # auto path end-to-end (skipped in the no-deps container)
+        import io
+
+        from PIL import Image
+
+        arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        from mandoline_spark.functions.multimodal import decode_image
+
+        assert np.array_equal(decode_image(buf.getvalue()), arr)
 
 
 def test_register_codec_reaches_executors(spark):

@@ -427,11 +427,13 @@ def test_contamination_screen_corpus_is_map_only(spark):
 
 
 def test_sessionize_reuses_user_partitioning(spark):
-    """q103: both windows and both aggregates ride ONE user_id
-    exchange (same partitioning -> Catalyst plans a single shuffle)."""
+    """q103: both windows, both aggregates AND the presentation order
+    ride ONE user_id RANGE exchange (range partitioning satisfies the
+    clustering requirement and is globally ordered — r6)."""
     q = QUERIES["q103_sessionize_events"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_shipping_priority_broadcasts_customer(spark):

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Same-box DuckDB baseline: run every oracle SQL at a given sf dir,
+best-of-2 per query, 32 threads.  Prints one JSON line mirroring
+bench.py's headline so the 2x comparison is same-box, same-files,
+same-session-window (the r4 verdict's acceptance protocol)."""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mandoline_spark.queries import TABLES  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("MANDOLINE_TEST_SF", sf_dir)
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entry.oracle_sql()
+    # warmup: touch every table once
+    con.execute("SELECT count(*) FROM lineitem").fetchall()
+    times = {}
+    for _pass in range(2):
+        for name, sql in oracles.items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            times[name] = min(times.get(name, dt), dt)
+    total = round(sum(times.values()), 4)
+    detail = {"queries": {k: round(v, 4) for k, v in times.items()},
+              "total": total, "n": len(times), "sf_dir": sf_dir}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "DUCKDB_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"metric": "duckdb_oracle_total", "value": total,
+                      "unit": "sec", "n_queries": len(times)}))
+
+
+if __name__ == "__main__":
+    main()
