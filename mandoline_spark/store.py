@@ -426,18 +426,26 @@ class Connection:
         if idx is None:
             self._index_map_cache[key] = None
             return None
-        if idx.limit(self.index_map_max_entries + 1).count() > (
-            self.index_map_max_entries
-        ):
-            self._index_map_cache[key] = None
-            return None
         ccols = sorted(
             (c for c in idx.columns if re.match(r"^c\d+$", c)),
             key=lambda c: int(c[1:]),
         )
+        # ONE job for both the size probe and the data: collect
+        # max+1 rows under a limit — if the limit is hit the index is
+        # too big for a driver map (cache the refusal, distributed
+        # path takes over).  The former separate limit+count probe
+        # doubled the job count of every small-read resolution
+        # (~80ms/job of local-mode floor, and a real scheduling
+        # round-trip per read on a cluster).  Collected bytes stay
+        # bounded: ≤ (max+1) rows of ints + one 40-char hash.
+        cap = self.index_map_max_entries
+        rows = idx.select(*ccols, "chunk_hash").limit(cap + 1).collect()
+        if len(rows) > cap:
+            self._index_map_cache[key] = None
+            return None
         m = {
             tuple(int(row[c]) for c in ccols): row["chunk_hash"]
-            for row in idx.select(*ccols, "chunk_hash").collect()
+            for row in rows
         }
         self._index_map_cache[key] = m
         return m
