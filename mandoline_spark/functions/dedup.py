@@ -119,6 +119,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     round_to: int | None = 6,
     ordered: bool = True,
+    sizes_broadcast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
     an inverted-index self-join on shingles.  ``max_df`` (drop shingles
@@ -207,6 +208,17 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("_x.id").alias("id"))
             .agg(F.count("*").alias("ng"))
         )
+        # ``sizes_broadcast``: the recounted-size table has one row per
+        # surviving DOCUMENT — corpus-proportional, so the default
+        # leaves the two size joins to the planner (sort-merge when the
+        # post-aggregation statistics are unknown; AQE downgrades them
+        # at runtime where enabled).  Callers that KNOW the per-doc
+        # size table fits an executor (q37's declared fixture; any
+        # bounded-corpus screen) opt in and skip both exchanges+sorts —
+        # the same opt-in contract as minhash_lsh_pairs'
+        # verify_broadcast.  100 TB call sites keep the default.
+        if sizes_broadcast:
+            sizes = F.broadcast(sizes)
         common = (
             _pairs_from_posts(posts, [], None)
             .groupBy("a", "b")

@@ -111,7 +111,15 @@ def connected_components(
         .cache()  # every round joins und: without this the upstream
         # pair pipeline would re-run once per iteration
     )
-    und.count()  # materialize the cache before the first round reads it
+    # No eager materialization job: the first round's checkpoint job
+    # fills the cache as it scans.  That job reads und through two
+    # branches (the first-hop aggregate and the step join), but the
+    # block manager's per-partition write lock serializes a partition's
+    # first computation — the second consumer blocks and reads the
+    # cached block, so the upstream pair pipeline still executes once.
+    # A separate count() here spent a whole extra job traversal
+    # (~0.1-0.3s at sf0.1, one more scheduling round-trip per CC call
+    # on a cluster) purely to pre-fill the cache.
     from pyspark.sql import Observation
 
     # Convergence signal: labels only ever DECREASE, so the exact sum
