@@ -161,6 +161,23 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         # (ADVICE r5).  Clean store → vacuum is a read-only no-op on
         # the chunk data.
         stats["chunks_kept"] = total
+        # The skip must not wedge retention cleanup: superseded chunk
+        # generations from EARLIER vacuums still age out and get
+        # collected here, otherwise a store that went clean would keep
+        # its grace-window directories forever.
+        current = os.path.basename(conn.chunks_path().rstrip("/"))
+        for d in conn.fs.listdir(conn.path):
+            if (
+                (d == "chunks" or d.startswith("chunks.g"))
+                and d != current
+            ):
+                if not _retire(
+                    conn.fs,
+                    os.path.join(conn.path, d),
+                    retain_seconds,
+                    now,
+                ):
+                    stats["chunk_gens_retained"] += 1
         return stats
 
     # Generation flip instead of rename-swap: the survivors are written

@@ -1528,19 +1528,24 @@ def q60(spark, sf):
     interpolation mirrors Spark's Percentile.getPercentile exactly:
     pos = (n-1)p, lower row weighted (1-frac), upper row frac."""
     li = load(spark, sf, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
-        ).alias("a")
-    )
     ps = [0.45, 0.55, 0.98, 1.0]
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     cw = Window.partitionBy("l_returnflag")
+    # The sketch rides the SAME per-group exchange as the exact rank
+    # side, as a whole-partition window aggregate: one lineitem scan,
+    # one shuffle, and no approx⋈exact join at the end (the former
+    # two-branch shape scanned lineitem twice and paid a broadcast
+    # build for the 3-row approx side).  Same plan shape at any scale —
+    # the sketch is mergeable either way; here it simply reuses the
+    # sort the exact side already needs.
     r = li.select(
         "l_returnflag",
         F.col("l_extendedprice").cast("double").alias("v"),
         (F.row_number().over(w) - 1).alias("rn"),
         F.count("*").over(cw).alias("n"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
+        ).over(cw).alias("a"),
     )
     aggs = []
     for i, p in enumerate(ps):
@@ -1554,12 +1559,14 @@ def q60(spark, sf):
             .when(F.col("rn") == hi, F.col("v") * frac)
         )
         aggs.append(F.sum(contrib).alias(f"e{i}"))
-    exact = r.groupBy("l_returnflag").agg(*aggs)
+    exact = r.groupBy("l_returnflag").agg(
+        *aggs, F.first("a").alias("a")
+    )
     ok = (
         F.col("a")[0].between(F.col("e0"), F.col("e1"))
         & F.col("a")[1].between(F.col("e2"), F.col("e3"))
     ).cast("int")
-    return approx.join(exact, "l_returnflag").agg(F.min(ok).alias("ok"))
+    return exact.agg(F.min(ok).alias("ok"))
 
 
 @_q(

@@ -192,9 +192,6 @@ def test_vacuum_flips_chunk_generations(spark, tmp_path, root_kind):
     t1 = conn.add_version(_spec())
     _write(conn, t1, np.arange(8))
     conn.finish_version(t1)
-    # both committed versions stay live, so each vacuum only rewrites
-    # the chunk table (removing nothing) — the swap mechanics are what
-    # this test exercises
     t2 = conn.add_version(_spec())
     _write(conn, t2, np.arange(8) + 50)
     conn.finish_version(t2)
@@ -206,15 +203,36 @@ def test_vacuum_flips_chunk_generations(spark, tmp_path, root_kind):
         ).data.tolist()
 
     before = read_all()
+    # Clean store: vacuum must NOT rewrite the chunk table (the r5
+    # idempotence contract — a no-op vacuum used to burn a full
+    # generation per call), so the default directory stays.
+    s0 = vacuum(conn)
+    assert s0["chunks_removed"] == 0
+    assert not conn.chunks_path().endswith("chunks.g0")
+    assert read_all() == before
+
+    def orphan(data):
+        # an uncommitted version's chunks become unreferenced once
+        # vacuum drops its index tree — the rewrite path's trigger
+        t = conn.add_version(_spec())
+        _write(conn, t, np.asarray(data))
+        conn.invalidate_cache()
+
+    # Something unreferenced: survivors are written BESIDE the live
+    # dir and the CHUNKS pointer flips — the swap mechanics under test.
+    orphan(np.arange(8) + 99)
     s1 = vacuum(conn)
+    assert s1["chunks_removed"] >= 1
+    assert s1["uncommitted_versions_removed"] == 1
     assert conn.chunks_path().endswith("chunks.g0")
     assert conn.fs.exists(os.path.join(conn.path, "CHUNKS"))
     assert not conn.fs.exists(os.path.join(conn.path, "chunks"))
     assert read_all() == before
+    orphan(np.arange(8) + 123)
     s2 = vacuum(conn)
     assert conn.chunks_path().endswith("chunks.g1")
     assert read_all() == before
-    assert s1["chunks_removed"] == 0 and s2["chunks_removed"] == 0
+    assert s2["chunks_removed"] >= 1
 
 
 def test_chunks_path_survives_missing_pointer(spark, tmp_path):
@@ -227,6 +245,12 @@ def test_chunks_path_survives_missing_pointer(spark, tmp_path):
     t1 = conn.add_version(_spec())
     _write(conn, t1, np.arange(8))
     conn.finish_version(t1)
+    # an abandoned uncommitted write makes the store dirty, so this
+    # vacuum actually rewrites and flips (a clean store skips — see
+    # test_vacuum_flips_chunk_generations)
+    t2 = conn.add_version(_spec())
+    _write(conn, t2, np.arange(8) + 99)
+    conn.invalidate_cache()
     vacuum(conn)
     assert conn.chunks_path().endswith("chunks.g0")
     os.remove(os.path.join(conn.path, "CHUNKS"))  # the flip window

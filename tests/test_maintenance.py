@@ -169,7 +169,11 @@ def test_vacuum_retention_window_protects_readers(store, monkeypatch):
     stats2 = vacuum(conn, retain_seconds=3600)
     assert not conn.fs.isdir(old_chunks)
     assert stats2["index_gens_removed"] >= 1
-    assert stats2["chunk_gens_retained"] == 1  # this run's own flip
+    # the store is clean by now, so this vacuum performs NO rewrite of
+    # its own (the idempotence contract) — it only collects the aged
+    # generation above; nothing new is retained
+    assert stats2["chunk_gens_retained"] == 0
+    assert stats2["chunks_removed"] == 0
 
 
 def test_vacuum_removes_stale_claims(store):
