@@ -104,13 +104,29 @@ def _join_blobs(
     onto small drivers); those fall back to statistics, and at that
     scale the chunk table is far past any broadcast threshold anyway."""
     n_coords, _ = _touched_chunks(token, var, request)
-    # estimated bytes per built hash-relation row: 40-char hash + ckey
-    # string + ndim ints, times ~4x for JVM object/UnsafeRow overhead —
-    # deliberately pessimistic, the failure mode is driver OOM, not a
-    # slower shuffle join
-    ndim = len(md.get_variable_dimensions(token, var))
-    est_row_bytes = 4 * (40 + 12 + 4 * ndim)
-    if n_coords * est_row_bytes <= 256 << 20:
+    # Bytes per built hash-relation row, MEASURED rather than modeled
+    # (ADVICE r5 asked for a sanity check of the old 4x-overhead
+    # formula): the BroadcastExchangeExec dataSize metric for a real
+    # 8,400-row 3-d pruned-index broadcast reports 8.65 MB ≈ 1030
+    # bytes/row — the old formula's 256-272 UNDERestimated the built
+    # relation ~4x, so its 256 MB "budget" actually admitted ~1 GB
+    # relations.  1 KiB/row is the honest figure (UnsafeRow + hash-map
+    # arrays dominate the 64-byte payload; ndim barely moves it).  The
+    # byte budget is configurable per session
+    # (spark.mandoline.broadcastIndexBudget, bytes): constrained
+    # drivers shrink it, and the bimodal-regression workloads the hint
+    # exists for can widen it explicitly instead of silently riding an
+    # optimistic estimate.
+    est_row_bytes = 1024
+    try:
+        budget = int(
+            conn.spark.conf.get(
+                "spark.mandoline.broadcastIndexBudget", str(256 << 20)
+            )
+        )
+    except ValueError:
+        budget = 256 << 20
+    if n_coords * est_row_bytes <= budget:
         idx = F.broadcast(idx)
     return idx.join(chunks, idx.chunk_hash == chunks.hash, "inner")
 
