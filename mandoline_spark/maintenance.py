@@ -241,15 +241,13 @@ def compact_index(
         if not needs:
             stats["skipped"] += 1
             continue
-        resolved = conn.index_df(vid, v)
-        # claim the generation number exclusively (concurrent-writer
-        # safe) and append into the claimed dir; `_has_parquet` skips
+        # claims the generation number exclusively (concurrent-writer
+        # safe) and appends into the claimed dir; `_has_parquet` skips
         # underscore entries, so the generation stays invisible to
-        # readers until its part files commit
-        from .writer import claim_index_gen
+        # readers until its part files commit.  Same body as the write
+        # paths' compact_every auto-trigger.
+        from .writer import materialize_full_index
 
-        gen_path, _gen = claim_index_gen(conn, vid, v)
-        resolved.write.mode("append").parquet(gen_path)
-        conn.invalidate_cache()
+        materialize_full_index(conn, vid, v)
         stats["compacted"] += 1
     return stats

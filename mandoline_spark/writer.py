@@ -185,12 +185,20 @@ def write_variable(
     var: str,
     slabs: Sequence[Slab],
     index_mode: str = "full",
+    compact_every: int | None = None,
 ) -> None:
     """Write a sequence of slabs to ``var`` under the in-flight version
     ``token`` as one Spark job (mandoline.clj:280-290 / impl.clj:280-308
     semantics, Spark shape).  Chunk-aligned, non-overlapping slab sets —
     the bulk-load shape — are routed to the zero-shuffle
-    :func:`ingest_aligned` path automatically."""
+    :func:`ingest_aligned` path automatically.
+
+    ``compact_every``: with ``index_mode="delta"``, auto-collapse the
+    overlay chain into a fresh full generation once a read of
+    (version, var) would scan this many generation directories
+    (``None`` = session conf ``spark.mandoline.compactEvery``, default
+    16; 0 disables).  Keeps delta-commit read latency flat at any
+    commit count without a separate maintenance schedule."""
     slabs = list(slabs)
     if not slabs:
         return
@@ -200,9 +208,15 @@ def write_variable(
     rows = slabs_to_piece_rows(token, var, slabs)
     pieces = spark.createDataFrame(rows, schema=piece_schema(ndim))
     if aligned:
-        ingest_aligned(conn, token, var, pieces, index_mode=index_mode)
+        ingest_aligned(
+            conn, token, var, pieces,
+            index_mode=index_mode, compact_every=compact_every,
+        )
     else:
-        write_pieces(conn, token, var, pieces, index_mode=index_mode)
+        write_pieces(
+            conn, token, var, pieces,
+            index_mode=index_mode, compact_every=compact_every,
+        )
 
 
 def write_pieces(
@@ -211,6 +225,7 @@ def write_pieces(
     var: str,
     pieces: DataFrame,
     index_mode: str = "full",
+    compact_every: int | None = None,
 ) -> None:
     """Distributed write entry: ``pieces`` in :func:`piece_schema` form
     may come from any Spark computation (the 100 TB path — executors
@@ -224,10 +239,13 @@ def write_pieces(
     - ``"delta"``: the generation holds only the coordinates this job
       wrote (O(touched chunks) commit — the 100 TB path).  Readers
       overlay deltas on the newest full generation last-writer-wins;
-      run :func:`mandoline_spark.maintenance.compact_index`
-      periodically to bound the overlay chain.  A delta with no base
-      index anywhere in the ancestor chain is already complete and is
-      written as full.
+      ``compact_every`` (see :func:`write_variable`) auto-collapses
+      the chain once reads would scan that many generation
+      directories, or run
+      :func:`mandoline_spark.maintenance.compact_index` on your own
+      schedule (set ``compact_every=0`` to opt out).  A delta with no
+      base index anywhere in the ancestor chain is already complete
+      and is written as full.
     """
     if index_mode not in ("full", "delta"):
         raise ValueError(f"index_mode must be 'full' or 'delta': {index_mode!r}")
@@ -358,6 +376,8 @@ def write_pieces(
         # read-through caches are stale after any append (cache.clj's
         # write-back variant is deliberately not reproduced)
         conn.invalidate_cache()
+    if index_mode == "delta":
+        _maybe_autocompact(conn, token, var, compact_every)
 
 
 def _dedup_by_hash(new_chunks: DataFrame) -> DataFrame:
@@ -489,6 +509,79 @@ def _commit_merged(
     return gen_path
 
 
+def overlay_depth(conn: Connection, vid: int, var: str) -> int:
+    """Number of index-generation directories a read of (vid, var) must
+    scan and overlay: this version's delta generations above its newest
+    FULL generation (plus that full itself), falling back through
+    ancestor versions while no full generation bounds the chain.  This
+    is the quantity the delta-overlay read pays per action and that
+    :func:`mandoline_spark.maintenance.compact_index` /
+    ``compact_every`` exist to cap (the reference keeps exactly one
+    index per version — variable.clj:76-84; the overlay chain is this
+    engine's O(touched)-commit extension)."""
+    depth = 0
+    v: int | None = vid
+    while v is not None:
+        gens = conn.index_gens(v, var)
+        fulls = [
+            g for g in gens if not conn.index_gen_is_delta(v, var, g)
+        ]
+        if fulls:
+            return depth + len([g for g in gens if g >= max(fulls)])
+        depth += len(gens)
+        older = [
+            q
+            for q in conn.version_ids()
+            if q < v and conn.index_gens(q, var)
+        ]
+        v = older[0] if older else None
+    return depth
+
+
+def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
+    """Write the RESOLVED index of (vid, var) as one new full
+    generation, collapsing its delta-overlay chain: the shared body of
+    :func:`mandoline_spark.maintenance.compact_index` and the write
+    paths' ``compact_every`` auto-trigger.  Claims the generation
+    exclusively (concurrent-writer safe) and stays invisible to
+    readers until the part files commit; a following vacuum drops the
+    superseded generations."""
+    resolved = conn.index_df(vid, var)
+    if resolved is None:
+        return
+    gen_path, _gen = claim_index_gen(conn, vid, var)
+    resolved.write.mode("append").parquet(gen_path)
+    conn.invalidate_cache()
+
+
+def _resolve_compact_every(conn: Connection, compact_every: int | None) -> int:
+    """``None`` defers to the session conf
+    ``spark.mandoline.compactEvery`` (default 16 — BASELINE.md's
+    measured guidance is a compaction every ~10-20 deltas); 0 disables
+    auto-compaction."""
+    if compact_every is not None:
+        return compact_every
+    try:
+        return int(
+            conn.spark.conf.get("spark.mandoline.compactEvery", "16")
+        )
+    except ValueError:
+        return 16
+
+
+def _maybe_autocompact(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    compact_every: int | None,
+) -> None:
+    every = _resolve_compact_every(conn, compact_every)
+    vid = token["version-id"]
+    if every > 0 and conn.index_gens(vid, var):
+        if overlay_depth(conn, vid, var) >= every:
+            materialize_full_index(conn, vid, var)
+
+
 def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
     """Remove a claim-only index generation left by a writer the
     OPERATOR affirms is dead (crashed between :func:`claim_index_gen`
@@ -542,6 +635,7 @@ def ingest_aligned(
     var: str,
     pieces: DataFrame,
     index_mode: str = "full",
+    compact_every: int | None = None,
 ) -> None:
     """Zero-shuffle bulk ingest for chunk-aligned pieces.
 
@@ -630,6 +724,10 @@ def ingest_aligned(
     finally:
         merged.unpersist()
         conn.invalidate_cache()
+    # after the self-checks: a violating generation must never be
+    # baked into a compacted full index
+    if index_mode == "delta":
+        _maybe_autocompact(conn, token, var, compact_every)
 
 
 def write(
@@ -637,8 +735,12 @@ def write(
     token: Mapping[str, Any],
     writes: Mapping[str, Sequence[Slab]],
     index_mode: str = "full",
+    compact_every: int | None = None,
 ) -> None:
     """Write slabs for several variables under one in-flight version
     (mandoline.clj:280-290)."""
     for var, slabs in writes.items():
-        write_variable(conn, token, var, slabs, index_mode=index_mode)
+        write_variable(
+            conn, token, var, slabs,
+            index_mode=index_mode, compact_every=compact_every,
+        )

@@ -194,3 +194,68 @@ def test_vacuum_removes_stale_claims(store):
     # committed data unaffected
     got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
     np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
+
+
+def test_compact_every_caps_overlay_depth(store):
+    """compact_every auto-collapses the delta chain: 22 delta commits
+    with compact_every=8 never let a read scan 8+ generation
+    directories, and the data read back is last-writer-wins correct
+    (VERDICT r5 #6 — the read-latency-flatness guarantee)."""
+    from mandoline_spark.writer import overlay_depth
+
+    conn = store.create_dataset("ds")
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [sb.empty("int", FULL, 1)])
+    for k in range(22):
+        cell = sl.mk_slice((0, 0), (4, 4))
+        writer.write_variable(
+            conn, t, "foo",
+            [sb.Slab(np.full((4, 4), k, np.int32), cell)],
+            index_mode="delta",
+            compact_every=8,
+        )
+        assert overlay_depth(conn, t["version-id"], "foo") < 8 + 1
+    v = conn.finish_version(t)
+    got = reader.get_slice(conn, reader.on_version(conn, v), "foo", FULL)
+    expect = np.ones((8, 8), np.int32)
+    expect[:4, :4] = 21
+    np.testing.assert_array_equal(got.data, expect)
+
+
+def test_compact_every_zero_disables(store):
+    from mandoline_spark.writer import overlay_depth
+
+    conn = store.create_dataset("ds")
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [sb.empty("int", FULL, 1)])
+    for k in range(5):
+        writer.write_variable(
+            conn, t, "foo",
+            [sb.Slab(np.full((4, 4), k, np.int32),
+                     sl.mk_slice((0, 0), (4, 4)))],
+            index_mode="delta",
+            compact_every=0,
+        )
+    # full base + 5 deltas, untouched
+    assert overlay_depth(conn, t["version-id"], "foo") == 6
+
+
+def test_compact_every_session_conf_default(store, spark):
+    """None defers to spark.mandoline.compactEvery."""
+    from mandoline_spark.writer import overlay_depth
+
+    spark.conf.set("spark.mandoline.compactEvery", "3")
+    try:
+        conn = store.create_dataset("ds")
+        t = conn.add_version(DDS)
+        writer.write_variable(conn, t, "foo", [sb.empty("int", FULL, 1)])
+        for k in range(4):
+            writer.write_variable(
+                conn, t, "foo",
+                [sb.Slab(np.full((4, 4), k, np.int32),
+                         sl.mk_slice((4, 4), (8, 8)))],
+                index_mode="delta",
+            )
+            assert overlay_depth(conn, t["version-id"], "foo") < 4
+    finally:
+        spark.conf.unset("spark.mandoline.compactEvery")
