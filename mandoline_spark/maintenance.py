@@ -75,6 +75,7 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         "chunks_removed": 0,
         "index_gens_removed": 0,
         "index_gens_retained": 0,
+        "chunk_gens_removed": 0,
         "chunk_gens_retained": 0,
         "stale_claims_removed": 0,
         "uncommitted_versions_removed": 0,
@@ -145,13 +146,21 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
                 h = idx.select(F.col("chunk_hash").alias("hash"))
                 refs = h if refs is None else refs.unionByName(h)
     total = chunks.count()
-    live = (
-        chunks.join(refs.distinct(), "hash", "left_semi")
+    # One liveness computation per vacuum (VERDICT r7 #4).  The ref-hash
+    # set (union of resolved index scans) is persisted once — it is
+    # hashes only, ~40 B/chunk — and shared by both the clean-check and
+    # the dirty-path rewrite.  The clean-check itself is a hash-only
+    # anti-join: column pruning keeps chunk BLOB bytes out of that scan
+    # (persisting the joined chunks frame instead would pin the blob
+    # data twice at 100 TB), and ``kept`` is derived as total - dead —
+    # no read-back count of the new generation.
+    refs = refs.distinct().persist() if refs is not None else None
+    n_dead = (
+        chunks.select("hash").join(refs, "hash", "left_anti").count()
         if refs is not None
-        else chunks.limit(0)
+        else total
     )
-    n_live = live.count()
-    if n_live == total:
+    if n_dead == 0:
         # Nothing unreferenced: skip the generation rewrite entirely.
         # Without this, every vacuum call on an already-clean store
         # rewrote a full new chunks generation and (with
@@ -171,13 +180,17 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
                 (d == "chunks" or d.startswith("chunks.g"))
                 and d != current
             ):
-                if not _retire(
+                if _retire(
                     conn.fs,
                     os.path.join(conn.path, d),
                     retain_seconds,
                     now,
                 ):
+                    stats["chunk_gens_removed"] += 1
+                else:
                     stats["chunk_gens_retained"] += 1
+        if refs is not None:
+            refs.unpersist()
         return stats
 
     # Generation flip instead of rename-swap: the survivors are written
@@ -196,8 +209,18 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     gen = int(old_name.rsplit(".g", 1)[1]) + 1 if ".g" in old_name else 0
     new_path = os.path.join(conn.path, f"chunks.g{gen}")
     conn.fs.rmtree(new_path)
+    # Single blob-bearing job: the survivors' write reuses the
+    # persisted ref-hash set; kept is total - n_dead (the anti-join
+    # already counted the complement), no read-back count.
+    live = (
+        chunks.join(refs, "hash", "left_semi")
+        if refs is not None
+        else chunks.limit(0)
+    )
     live.write.mode("overwrite").parquet(new_path)
-    kept = conn.spark.read.parquet(new_path).count()
+    if refs is not None:
+        refs.unpersist()
+    kept = total - n_dead
     conn.fs.replace_text(
         os.path.join(conn.path, "CHUNKS"), f"chunks.g{gen}\n"
     )
@@ -207,13 +230,13 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             if _retire(
                 conn.fs, os.path.join(conn.path, d), retain_seconds, now
             ):
-                pass
+                stats["chunk_gens_removed"] += 1
             else:
                 stats["chunk_gens_retained"] += 1
     conn.invalidate_cache()
 
     stats["chunks_kept"] = kept
-    stats["chunks_removed"] = total - kept
+    stats["chunks_removed"] = n_dead
     return stats
 
 

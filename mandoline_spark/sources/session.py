@@ -12,16 +12,51 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_driver_mem() -> str:
+_CGROUP_LIMIT_FILES = (
+    "/sys/fs/cgroup/memory.max",  # cgroup v2
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+)
+
+
+def _cgroup_limit_gb(paths=_CGROUP_LIMIT_FILES) -> int | None:
+    """Container memory limit in whole GiB, or None when unlimited /
+    not in a cgroup.  v2 writes the literal ``max`` when uncapped; v1
+    writes a page-rounded huge sentinel — treat anything >=1 PiB as
+    uncapped too."""
+    for p in paths:
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            limit = int(raw)
+        except ValueError:
+            continue
+        if limit >= 1 << 50:
+            return None
+        return limit >> 30
+    return None
+
+
+def _default_driver_mem(
+    meminfo: str = "/proc/meminfo", cgroup_paths=_CGROUP_LIMIT_FILES
+) -> str:
     """Driver-heap default derived from the HOST, not hard-coded for the
     bench box (ADVICE r5: a flat 12g over-commits small hosts).  Target
-    a quarter of MemAvailable, clamped to [4g, 12g] — 12g is what the
-    412 MiB array-scan driver assembly wants on the 128 GiB box
-    (observed 2-10s GC swings at 8g), 4g is plenty for every relational
-    query at test scale.  ``SPARK_GRAFT_DRIVER_MEM`` overrides (also
-    documented in README.md)."""
+    a quarter of the effective memory budget, clamped to [4g, 12g] —
+    12g is what the 412 MiB array-scan driver assembly wants on the
+    128 GiB box (observed 2-10s GC swings at 8g), 4g is plenty for
+    every relational query at test scale.  The budget is the MIN of
+    host MemAvailable and the cgroup limit (v2 ``memory.max`` / v1
+    ``memory.limit_in_bytes``): a container capped at 8 GiB on a
+    128 GiB host sees the host's meminfo, and sizing -Xmx off that
+    OOM-kills the container (VERDICT r7 #3).  ``SPARK_GRAFT_DRIVER_MEM``
+    overrides (also documented in README.md)."""
     try:
-        with open("/proc/meminfo") as f:
+        with open(meminfo) as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
                     avail_gb = int(line.split()[1]) // (1 << 20)
@@ -30,6 +65,9 @@ def _default_driver_mem() -> str:
                 avail_gb = 16
     except OSError:
         avail_gb = 16
+    cg = _cgroup_limit_gb(cgroup_paths)
+    if cg is not None:
+        avail_gb = min(avail_gb, cg)
     return f"{max(4, min(12, avail_gb // 4))}g"
 
 

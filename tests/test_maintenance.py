@@ -174,6 +174,9 @@ def test_vacuum_retention_window_protects_readers(store, monkeypatch):
     # generation above; nothing new is retained
     assert stats2["chunk_gens_retained"] == 0
     assert stats2["chunks_removed"] == 0
+    # the aged-out superseded generation is counted (VERDICT r7 #4:
+    # clean-path deletions were previously invisible in stats)
+    assert stats2["chunk_gens_removed"] == 1
 
 
 def test_vacuum_removes_stale_claims(store):

@@ -250,3 +250,78 @@ def test_register_codec_reaches_executors(spark):
 
     with _pytest.raises(NotImplementedError):
         mm.decode_image(blob)
+
+
+def test_soundfile_sniff_excludes_pcm16_wav():
+    """VERDICT r7 #2: 16-bit integer PCM WAV must stay on the built-in
+    lossless decoder even when a soundfile codec is registered (later
+    registrations win sniff ties, so the sniff itself must decline);
+    float/24-bit WAVs are NOT silently downconverted — without
+    soundfile they raise, with it they are an explicit opt-in."""
+    import struct
+
+    from mandoline_spark.functions import multimodal as mm
+    from mandoline_spark.functions.multimodal import decode_wav, encode_wav
+
+    def _wav(fmt_tag, bits, fmt_size=16, extensible_tag=None):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000 * bits // 8,
+                          bits // 8, bits)
+        if fmt_size > 16:
+            # cbSize + validBitsPerSample + channelMask + SubFormat GUID
+            # (the GUID's leading u16 IS the real format tag)
+            ext = struct.pack("<HHI", fmt_size - 18, bits, 0)
+            if extensible_tag is not None:
+                ext += struct.pack("<H", extensible_tag) + b"\x00" * 14
+            fmt += ext
+        data = b"\x00" * 16
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pcm16 = _wav(1, 16)
+    f32 = _wav(3, 32)
+    pcm24 = _wav(1, 24)
+    ext_pcm16 = _wav(0xFFFE, 16, fmt_size=40, extensible_tag=1)
+
+    assert mm._wav_is_pcm16(pcm16)
+    assert mm._wav_is_pcm16(ext_pcm16)
+    assert not mm._wav_is_pcm16(f32)
+    assert not mm._wav_is_pcm16(pcm24)
+    assert not mm._wav_is_pcm16(b"RIFFxxxx")  # malformed: False, not raise
+
+    # the sniff declines exactly the built-in's formats
+    assert not mm._soundfile_sniff(pcm16)
+    assert not mm._soundfile_sniff(ext_pcm16)
+    assert mm._soundfile_sniff(f32)
+    assert mm._soundfile_sniff(pcm24)
+    assert mm._soundfile_sniff(b"fLaC\x00\x00\x00\x00")
+
+    # built-in path wins for PCM16 even with a later-registered codec
+    # whose decode would corrupt the samples if reached
+    def _poison(b):
+        raise AssertionError("soundfile-shaped codec must not claim PCM16")
+
+    mm.register_codec("audio", "poison-sf", mm._soundfile_sniff, _poison)
+    try:
+        sine = (np.sin(np.linspace(0, 6.28, 64)) * 3000).astype(np.int16)
+        got, rate = decode_wav(encode_wav(sine, 8000))
+        np.testing.assert_array_equal(got[:, 0], sine)
+        assert rate == 8000
+        # a REAL encode_wav blob is also classified PCM16 by the parser
+        assert mm._wav_is_pcm16(encode_wav(sine, 8000))
+        # float WAV: the poison codec claims it (the opt-in path)
+        with pytest.raises(AssertionError, match="must not claim"):
+            decode_wav(f32)
+    finally:
+        mm.unregister_codec("audio", "poison-sf")
+
+    # without any library codec, float WAV raises (built-in declines
+    # non-16-bit inside its decode)
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_wav(f32)

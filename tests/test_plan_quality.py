@@ -553,3 +553,26 @@ def test_delta_stack_resolution_is_single_scan(spark, tmp_path):
     nodes = set(re.findall(r"\((\d+)\) Scan parquet", text))
     assert len(nodes) <= 3, (sorted(nodes), text)
     assert "max_by" in text, text
+
+
+def test_ranged_is_range_exchange_plus_inpartition_sort(spark):
+    """ranged()'s physical contract (VERDICT r7 #6): a range exchange on
+    the presentation keys + an in-partition (non-global) sort BELOW the
+    computed projection, and NO top-level global Sort — partition-index
+    traversal at collect() is what delivers total order.  q92 is a
+    representative corpus-proportional caller."""
+    from mandoline_spark.queries import ranged
+
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    text = explain_str(ranged(df, "k", "id"))
+    assert "rangepartitioning(k" in text.lower(), text
+    # exactly one Sort node, and every Sort Arguments line is the
+    # in-partition form "...], false, 0" (a global orderBy prints true)
+    n_sorts = sum(1 for ln in text.splitlines() if ln.strip().endswith("Sort"))
+    assert n_sorts == 1, text
+    assert "], false, 0" in text and "], true," not in text, text
+
+    q = QUERIES["q41_token_count"](spark, SF)
+    qtext = explain_str(q)
+    assert "rangepartitioning" in qtext.lower(), qtext
+    assert "], false, 0" in qtext and "], true," not in qtext, qtext
