@@ -300,6 +300,23 @@ def with_unit(df: DataFrame, vec_col: str, out_col: str = "_unit") -> DataFrame:
     ).drop("_nrm")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer once and reuse it: pass the
+    returned centroids to :func:`ivf_topk(..., centroids=...)` for
+    every search over the same corpus.  One bounded-sample corpus scan
+    (see :func:`_train_centroids`); the result is a plain list literal
+    — driver-held index state, broadcast into each search's column
+    expressions."""
+    return _train_centroids(corpus, n_cells, seed, id_col, vec_col, train_rows)
+
+
 def _train_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -371,11 +388,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k: a k-means coarse
     quantizer partitions the corpus into ``n_cells`` cells; each query
     probes its ``n_probe`` nearest cells and exactly re-ranks only those
     candidates.
+
+    ``centroids`` (from :func:`train_ivf_centroids`) skips the training
+    scan: an IVF quantizer is INDEX state, trained once per corpus and
+    reused across every search — retraining per query would be like
+    rebuilding a B-tree per lookup.  When omitted, training runs inline
+    (one bounded-sample corpus pass), the right default for one-shot
+    calls.
 
     The 100 TB shape: the quantizer trains on a bounded driver-side
     sample (see :func:`_train_centroids`); the corpus is scanned once to
@@ -392,7 +417,11 @@ def ivf_topk(
     assigned cell first — approximate top-1 of an in-corpus query is
     exact by construction.
     """
-    centers = _train_centroids(corpus, n_cells, seed, id_col, vec_col)
+    centers = (
+        centroids
+        if centroids is not None
+        else _train_centroids(corpus, n_cells, seed, id_col, vec_col)
+    )
 
     # Cell ranking as ONE Arrow-batched numpy kernel (Csq - 2·X·Cᵀ,
     # stable argsort) shared by corpus assignment (element 0) and query

@@ -165,11 +165,13 @@ class Store:
     def dataset_exists(self, name: str) -> bool:
         return name in self.list_datasets()
 
-    def connect(self, name: str) -> "Connection":
+    def connect(self, name: str, cache_reads: bool = False) -> "Connection":
         path = os.path.join(self.root, name)
         if not self.fs.isdir(os.path.join(path, "versions")):
             raise ValueError(f"no such dataset: {name}")
-        return Connection(self.spark, path, name, fs=self.fs)
+        return Connection(
+            self.spark, path, name, cache_reads=cache_reads, fs=self.fs
+        )
 
 
 @dataclass
