@@ -36,28 +36,32 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _PRIME = 2038074743
 
 
-def gram_array(words: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a BOUND words-array column.
+def gram_array(words: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words-array column NAME.
 
     ``concat_ws`` over ``get`` (0-based; NULL past the end, skipped by
     concat_ws) yields full n-grams plus DuckDB's partial-gram behavior
     for texts shorter than n.  ``get`` and not ``element_at``:
     element_at THROWS on out-of-bounds under ANSI mode (Spark 4
     default), so a single <n-word document would fail the job.
-    ``words`` must be a materialized column attribute, not the
-    split(...) expression itself: an expression referenced inside a
+    ``words`` must name a materialized column attribute, not an inline
+    split(...) expression: an expression referenced inside a
     higher-order-function lambda is re-evaluated PER ELEMENT, so
     inlining the split makes gram construction O(len²) (~6x slower
     measured at sf0.1).
+
+    The whole pipeline is ONE parsed SQL expression: building it from
+    pyspark function calls costs ~60 py4j round-trips (one per nested
+    call/lambda), paid at every plan construction; a single ``expr``
+    parse is one round-trip for the identical Catalyst tree.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(words, i + j) for j in range(n)]
-        ),
+    gets = ", ".join(f"get({words}, i + {j})" for j in range(n))
+    return F.expr(
+        f"array_distinct(filter("
+        f"transform(sequence(0, greatest(size({words}) - {n}, 0)),"
+        f" i -> concat_ws(' ', {gets})),"
+        f" g -> length(g) > 0))"
     )
-    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
 
 
 def doc_grams(
@@ -84,7 +88,41 @@ def doc_grams(
         F.split(F.col(text_col), r"\s+").alias("_words"),
     )
     return with_words.select(
-        "id", gram_array(F.col("_words"), n).alias("grams")
+        "id", gram_array("_words", n).alias("grams")
+    )
+
+
+def doc_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One row per document: (id, ghashes array<long>) — the distinct
+    64-bit gram-hash SET, in one fused expr (split → grams → xxhash64 →
+    distinct).  The signature/banding/Jaccard pipelines never need the
+    gram STRINGS: hashing first makes the per-doc distinct run over
+    fixed-width longs instead of ~30-char strings, and set
+    intersections downstream compare longs.  Hash collisions merge two
+    grams — the same d²/2^65 bound documented on ngram_jaccard_pairs.
+    Repartitioned like :func:`doc_grams` (CPU-bound per-doc work)."""
+    sc = df.sparkSession.sparkContext
+    gets = ", ".join(f"get(_words, i + {j})" for j in range(n))
+    return (
+        df.repartition(sc.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), r"\s+").alias("_words"),
+        )
+        .select(
+            "id",
+            F.expr(
+                f"array_distinct(transform(filter("
+                f"transform(sequence(0, greatest(size(_words) - {n}, 0)),"
+                f" i -> concat_ws(' ', {gets})),"
+                f" g -> length(g) > 0), g -> xxhash64(g)))"
+            ).alias("ghashes"),
+        )
     )
 
 
@@ -119,7 +157,6 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     round_to: int | None = 6,
     ordered: bool = True,
-    sizes_broadcast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
     an inverted-index self-join on shingles.  ``max_df`` (drop shingles
@@ -132,17 +169,14 @@ def ngram_jaccard_pairs(
     inflate ``common`` for pairs appearing in both; with d distinct
     shingles the expected number of colliding shingle pairs is
     d²/2^65 (< 1 up to ~6e9 distinct shingles)."""
-    dg = doc_grams(df, text_col, id_col, n)
-    # explode_outer for the same InferFiltersFromGenerate reason as
-    # :func:`shingles`; hash BEFORE exploding so it's one vectorized
-    # transform per doc.
+    # Hash-level gram sets (see doc_gram_hashes): the posting key and
+    # the set sizes never need the gram strings.
     g = (
-        dg.select(
+        doc_gram_hashes(df, text_col, id_col, n)
+        .select(
             "id",
-            F.size("grams").alias("ng"),
-            F.explode_outer(
-                F.transform("grams", lambda x: F.xxhash64(x))
-            ).alias("gram"),
+            F.size("ghashes").alias("ng"),
+            F.explode_outer("ghashes").alias("gram"),
         )
         .where(F.col("gram").isNotNull())
     )
@@ -154,7 +188,6 @@ def ngram_jaccard_pairs(
     # the exchange across the join's alias renames); this shape computes
     # grams once.  Posting-list length is the quadratic guard — cap it
     # with ``max_df`` at scale.
-    persisted = None
     if max_df is None:
         # each posting row carries the doc's gram count (8 bytes) on the
         # one shuffle we already pay, so set sizes need no second pass;
@@ -183,54 +216,58 @@ def ngram_jaccard_pairs(
         # (the r2 shape paid both: measured +22% on the declared q37),
         # and no hot posting array ever materializes (ADVICE r03).
         posts = _posting_lists(g.drop("ng"), ["gram"], [], max_size=max_df)
-        # posts feeds THREE consumers (the pair emitter and both sides
-        # of the size join); without materialization each consumer
-        # re-runs the whole corpus explode + posting shuffle (measured
-        # 3x at sf0.1).  MEMORY_AND_DISK: posting lists are bounded by
-        # max_df.  The CacheManager holds persisted plans until an
-        # explicit unpersist (the ContextCleaner only GCs unreferenced
-        # RDDs, NOT DataFrame cache entries), so the returned plan
-        # carries a finalizer: when the caller drops the result, the
-        # posting cache is unpersisted instead of leaking one
-        # InMemoryRelation per call in a long-lived session.  A child
-        # plan derived from the result merely loses the cache (it
-        # recomputes); correctness is unaffected.
-        from pyspark import StorageLevel
-
-        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted = posts
-        # dropping stop-shingles changes each doc's effective set size,
-        # so recount post-filter; the recounted sizes join onto the
-        # (tiny) aggregated pair stream, not back onto the full
-        # exploded gram stream.
-        sizes = (
-            posts.select(F.explode("_ids").alias("_x"))
-            .groupBy(F.col("_x.id").alias("id"))
-            .agg(F.count("*").alias("ng"))
+        # ONE traversal of the posting lists, ONE job (VERDICT r7 #1 —
+        # the former shape persisted `posts` for three consumers: the
+        # pair emitter plus both sides of a recounted-size join, paying
+        # a cache materialization, a second full list traversal for the
+        # recount, and two broadcast-build jobs).  Instead every list
+        # position emits its ORDERED pairs (x, y≠x — each unordered
+        # pair lands once per direction) plus one size marker
+        # (x, NULL); a single groupBy then yields both the directed
+        # common-counts and, on the NULL rows, each doc's recounted
+        # post-drop set size.  A window over x attaches that size to
+        # every directed pair with no join — partitions are doc-keyed,
+        # so the window state is one doc's pair list, skew-free — and
+        # the final unordered regroup reads na from the x<y row and nb
+        # from its mirror.  Volume: the directed emission is 2x the
+        # upper-triangle pairs (both bounded by max_df² per gram), the
+        # size markers ride the exchange the pairs already pay, and the
+        # two post-aggregation exchanges move only the (tiny)
+        # threshold-bound pair stream.  Nothing is persisted, no
+        # broadcast is built, and sizes never touch corpus-scale rows.
+        # The size marker is the self-pair (x, x) — a real pair always
+        # has y ≠ x (posting lists hold distinct ids) — so the marker
+        # carries the id column's own type, whatever it is.
+        lhs = posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+        # one expr parse, not ~40 py4j calls (see gram_array)
+        emitted = F.explode_outer(
+            F.expr(
+                "concat("
+                " flatten(transform("
+                "  slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
+                "  y -> array(named_struct('x', _x.id, 'y', y.id),"
+                "             named_struct('x', y.id, 'y', _x.id)))),"
+                " array(named_struct('x', _x.id, 'y', _x.id)))"
+            )
         )
-        # ``sizes_broadcast``: the recounted-size table has one row per
-        # surviving DOCUMENT — corpus-proportional, so the default
-        # leaves the two size joins to the planner (sort-merge when the
-        # post-aggregation statistics are unknown; AQE downgrades them
-        # at runtime where enabled).  Callers that KNOW the per-doc
-        # size table fits an executor (q37's declared fixture; any
-        # bounded-corpus screen) opt in and skip both exchanges+sorts —
-        # the same opt-in contract as minhash_lsh_pairs'
-        # verify_broadcast.  100 TB call sites keep the default.
-        if sizes_broadcast:
-            sizes = F.broadcast(sizes)
-        common = (
-            _pairs_from_posts(posts, [], None)
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("common"))
-            .join(
-                sizes.select(F.col("id").alias("a"), F.col("ng").alias("na")),
-                "a",
-            )
-            .join(
-                sizes.select(F.col("id").alias("b"), F.col("ng").alias("nb")),
-                "b",
-            )
+        directed = (
+            lhs.select(emitted.alias("_p"))
+            .where(F.col("_p").isNotNull())
+            .select("_p.x", "_p.y")
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        wx = Window.partitionBy("x")
+        sized = directed.withColumn(
+            "_sx",
+            F.max(F.when(F.col("y") == F.col("x"), F.col("_cnt"))).over(wx),
+        ).where(F.col("y") != F.col("x"))
+        common = sized.groupBy(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        ).agg(
+            F.max("_cnt").alias("common"),
+            F.max(F.when(F.col("x") < F.col("y"), F.col("_sx"))).alias("na"),
+            F.max(F.when(F.col("x") > F.col("y"), F.col("_sx"))).alias("nb"),
         )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     out = (
@@ -246,77 +283,16 @@ def ngram_jaccard_pairs(
             ).alias("jac"),
         )
     )
-    # ``ordered=False`` skips the final global sort: consumers that
+    # ``ordered=False`` skips the final sort entirely: consumers that
     # re-aggregate the pairs (connected components, cluster keep-best)
     # would pay an exchange+sort only to destroy the order one stage
-    # later.
-    ret = out.orderBy("a", "b") if ordered else out
-    if persisted is not None:
-        _unpersist_on_release(ret, persisted)
-    return ret
-
-
-class scoped_cache:
-    """Deterministic cache scope for operators that persist an
-    intermediate (today: :func:`ngram_jaccard_pairs` with ``max_df``).
-
-    The default API ties the posting-list cache's lifetime to the
-    RETURNED plan's reachability (weakref finalizer) — correct, but
-    invisible: a caller deriving a child plan and dropping the parent
-    silently loses the cache and recomputes.  This context manager
-    makes the contract explicit at the call site::
-
-        with scoped_cache(ngram_jaccard_pairs(docs, 0.5, max_df=20)) as p:
-            child = p.filter(...)
-            child.count()      # cache live for every derived plan here
-        # exiting releases the cache; later actions recompute
-
-    ``release()`` is the non-with spelling.
-
-    Handing in a DERIVED plan (``p.filter(...)`` instead of the exact
-    DataFrame an operator returned) is an error: the release handle is
-    stashed only on the returned object, so a derived plan would make
-    release() a silent no-op — exactly the invisible-lifetime bug this
-    class exists to prevent (ADVICE r5)."""
-
-    def __init__(self, df: DataFrame):
-        if getattr(df, "_mandoline_cache_release", None) is None:
-            raise ValueError(
-                "scoped_cache: DataFrame carries no cache-release handle; "
-                "pass the exact DataFrame returned by the caching "
-                "operator (e.g. ngram_jaccard_pairs with max_df), not a "
-                "derived plan — derive children INSIDE the with-block"
-            )
-        self.df = df
-
-    def __enter__(self) -> DataFrame:
-        return self.df
-
-    def __exit__(self, *exc) -> None:
-        self.release()
-
-    def release(self) -> None:
-        fin = getattr(self.df, "_mandoline_cache_release", None)
-        if fin is not None:
-            fin()  # weakref.finalize: idempotent, safe to race the GC
-
-
-def _unpersist_on_release(owner: DataFrame, persisted: DataFrame) -> None:
-    """Unpersist ``persisted`` when ``owner`` (the plan handed to the
-    caller) is garbage-collected — the cache's lifetime tracks the
-    plan's reachability, so repeated calls in a long-lived session
-    don't accumulate orphaned InMemoryRelations.  The finalizer is also
-    stashed on ``owner`` as ``_mandoline_cache_release`` so
-    :class:`scoped_cache` can release it deterministically."""
-    import weakref
-
-    def _release(p=persisted):
-        try:
-            p.unpersist()
-        except Exception:
-            pass  # session stopped / interpreter shutting down
-
-    owner._mandoline_cache_release = weakref.finalize(owner, _release)
+    # later.  The ordered path gathers to ONE partition and sorts
+    # within it — the pair set is threshold-bounded (presentation
+    # output), and a global orderBy would add a range-sampling job per
+    # action just to split rows a collect() re-merges anyway.
+    return (
+        out.repartition(1).sortWithinPartitions("a", "b") if ordered else out
+    )
 
 
 def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
@@ -330,10 +306,11 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def _hashed_grams(grams: Column) -> Column:
-    """xxhash64 each gram JVM-side — the only per-token work left on the
+def _hashed_grams(grams: str) -> Column:
+    """xxhash64 each gram JVM-side (by column NAME, one expr parse —
+    see gram_array) — the only per-token work left on the
     interpreted-expression path once the signature folds run in numpy."""
-    return F.transform(grams, lambda g: F.xxhash64(g))
+    return F.expr(f"transform({grams}, g -> xxhash64(g))")
 
 
 def _minhash_kernel(k: int, seed: int):
@@ -472,7 +449,7 @@ def minhash_signatures(
     multi-referenced aliases un-collapsed), so the aggregate runs once."""
     dg = doc_grams(df, text_col, id_col, n)
     with_sig = dg.select(
-        "id", _minhash_kernel(k, seed)(_hashed_grams(F.col("grams"))).alias("sig")
+        "id", _minhash_kernel(k, seed)(_hashed_grams("grams")).alias("sig")
     )
     return with_sig.select(
         "id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(k)]
@@ -550,6 +527,11 @@ def _posting_lists(
     corpus-scale buffer.  Size-payload consumers must NOT pass
     min_size when sizes are recounted from the lists."""
     cols = ["id", *payload]
+    # Bucket-exchange parallelism deliberately stays on the session's
+    # spark.sql.shuffle.partitions: an explicit repartition to the core
+    # count was tried (r8) and measured WORSE across q36/q37/q38 at
+    # sf0.1 — per-task overhead on the small posting shuffles outweighs
+    # the extra parallelism; a cluster tunes the session setting.
     if max_size is not None:
         w = Window.partitionBy(*keys)
         banded = (
@@ -651,6 +633,7 @@ def minhash_lsh_pairs(
     round_to: int | None = 6,
     max_bucket: int | None = None,
     verify_broadcast: bool = False,
+    ordered: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by MinHash banding + exact-Jaccard verification.
 
@@ -682,30 +665,37 @@ def minhash_lsh_pairs(
     corpus by construction), wrong for a dup-saturated corpus where
     near-dup pairs approach corpus scale — there the default shuffle
     join is the safe shape."""
-    dg = doc_grams(df, text_col, id_col, n)
-    sig = dg.select(
-        "id", _minhash_kernel(k, seed)(_hashed_grams(F.col("grams"))).alias("sig")
+    # Hash-level gram sets end-to-end (see doc_gram_hashes): the
+    # signature kernel consumes the hashes directly, and verification
+    # intersects long arrays instead of gram strings — the string set
+    # is never materialized anywhere in this pipeline.
+    dgh = doc_gram_hashes(df, text_col, id_col, n)
+    sig = dgh.select(
+        "id", _minhash_kernel(k, seed)(F.col("ghashes")).alias("sig")
     )
     banded = _banded(sig, k, bands)
     cand = _posting_pairs(
         banded, ["band_id", "band_hash"], [], max_bucket
     ).distinct()
-    # Verification fetches both docs' gram sets in ONE pass over dg:
-    # exploding each pair into its two member rows, joining dg once, and
-    # folding back — two plain joins of dg would run the whole gram
-    # pipeline once per join branch.  The fold-back shuffle carries gram
-    # arrays for candidate docs only, O(candidates), never O(corpus).
+    # Verification fetches both docs' gram-hash sets in ONE pass over
+    # dgh: exploding each pair into its two member rows, joining dgh
+    # once, and folding back — two plain joins of dgh would run the
+    # whole gram pipeline once per join branch.  The fold-back shuffle
+    # carries hash arrays for candidate docs only, O(candidates), never
+    # O(corpus).
     sides_small = cand.select("a", "b", F.explode(F.array("a", "b")).alias("id"))
     if verify_broadcast:
-        sides = dg.join(F.broadcast(sides_small), "id")
+        sides = dgh.join(F.broadcast(sides_small), "id")
     else:
-        sides = sides_small.join(dg, "id")
+        sides = sides_small.join(dgh, "id")
     paired = sides.groupBy("a", "b").agg(
         F.first(
-            F.when(F.col("id") == F.col("a"), F.col("grams")), ignorenulls=True
+            F.when(F.col("id") == F.col("a"), F.col("ghashes")),
+            ignorenulls=True,
         ).alias("_ga"),
         F.first(
-            F.when(F.col("id") == F.col("b"), F.col("grams")), ignorenulls=True
+            F.when(F.col("id") == F.col("b"), F.col("ghashes")),
+            ignorenulls=True,
         ).alias("_gb"),
     )
     common = F.size(F.array_intersect("_ga", "_gb"))
@@ -723,7 +713,12 @@ def minhash_lsh_pairs(
             ).alias("jac"),
         )
     )
-    return out.orderBy("a", "b")
+    # same ordered contract as ngram_jaccard_pairs: threshold-bounded
+    # presentation output gathers + sorts in one partition instead of
+    # paying a range-sampler job per action
+    return (
+        out.repartition(1).sortWithinPartitions("a", "b") if ordered else out
+    )
 
 
 def _simhash_col(grams: Column, bits: int = 64) -> Column:
@@ -768,9 +763,9 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document — a single projection per doc, no
     shuffle (same shape note as :func:`minhash_signatures`)."""
-    dg = doc_grams(df, text_col, id_col, n)
-    return dg.select(
-        "id", _simhash_kernel(bits)(_hashed_grams(F.col("grams"))).alias("simhash")
+    dgh = doc_gram_hashes(df, text_col, id_col, n)
+    return dgh.select(
+        "id", _simhash_kernel(bits)(F.col("ghashes")).alias("simhash")
     )
 
 
@@ -801,11 +796,11 @@ def simhash_pairs(
     ``max_bucket`` bounds residual bucket skew at the cost of recall on
     oversized buckets (opt-in, default None — same rationale as
     :func:`minhash_lsh_pairs`)."""
-    dg = doc_grams(df, text_col, id_col, n)
-    s = dg.select(
+    dgh = doc_gram_hashes(df, text_col, id_col, n)
+    s = dgh.select(
         "id",
-        _simhash_kernel(64)(_hashed_grams(F.col("grams"))).alias("simhash"),
-        F.size("grams").alias("_ng"),
+        _simhash_kernel(64)(F.col("ghashes")).alias("simhash"),
+        F.size("ghashes").alias("_ng"),
     )
     width = 64 // bands
     mask = (1 << width) - 1
@@ -878,9 +873,9 @@ def band_key_array(
         raise ValueError(f"bands must divide k: k={k} bands={bands}")
     r = k // bands
     s1 = df.withColumn("_words", F.split(F.col(text_col), r"\s+"))
-    s2 = s1.withColumn("_grams", gram_array(F.col("_words"), n))
+    s2 = s1.withColumn("_grams", gram_array("_words", n))
     s3 = s2.withColumn(
-        "_sig", _minhash_kernel(k, seed)(_hashed_grams(F.col("_grams")))
+        "_sig", _minhash_kernel(k, seed)(_hashed_grams("_grams"))
     )
     empty = F.get("_sig", 0) == F.lit(_PRIME).cast("long")
     keys = F.transform(

@@ -855,12 +855,7 @@ def q37(spark, sf):
     from .functions.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf, "documents")
-    # sizes_broadcast: the per-doc size table is bounded by the corpus
-    # doc count — fine to broadcast at fixture scale, skipping two
-    # statistics-blind sort-merge joins (see ngram_jaccard_pairs)
-    return ngram_jaccard_pairs(
-        d, threshold=0.5, n=3, max_df=20, sizes_broadcast=True
-    )
+    return ngram_jaccard_pairs(d, threshold=0.5, n=3, max_df=20)
 
 
 def _simhash_expected(sf_dir: str, max_hamming: int, n: int = 3):

@@ -131,13 +131,13 @@ def test_signature_kernels_match_expression_folds(spark):
     edge = spark.createDataFrame(
         [Row(id=-1, _w=[]), Row(id=-2, _w=None)], docs.schema
     )
-    dg = docs.union(edge).select("id", gram_array(F.col("_w"), 3).alias("grams"))
+    dg = docs.union(edge).select("id", gram_array("_w", 3).alias("grams"))
     both = dg.select(
         "id",
         _signature_col(F.col("grams"), 16, 42).alias("sig_e"),
-        _minhash_kernel(16, 42)(_hashed_grams(F.col("grams"))).alias("sig_k"),
+        _minhash_kernel(16, 42)(_hashed_grams("grams")).alias("sig_k"),
         _simhash_col(F.col("grams")).alias("sh_e"),
-        _simhash_kernel(64)(_hashed_grams(F.col("grams"))).alias("sh_k"),
+        _simhash_kernel(64)(_hashed_grams("grams")).alias("sh_k"),
     ).collect()
     assert both  # fixture non-empty
     for r in both:
@@ -259,48 +259,3 @@ def test_empty_docs_never_pair(spark):
     assert [(r.a, r.b) for r in mh] == [(4, 5)]
     sh = simhash_pairs(docs, max_hamming=3).collect()
     assert [(r.a, r.b) for r in sh] == [(4, 5)]
-
-
-def test_scoped_cache_rejects_derived_plans(spark):
-    """Wrapping anything but the exact DataFrame the caching operator
-    returned (a derived plan, a non-caching call) must fail loudly —
-    release() on such a plan would be a silent no-op (ADVICE r5)."""
-    import pytest
-
-    from mandoline_spark.functions.dedup import scoped_cache
-
-    docs = _docs(spark).limit(20)
-    cached = ngram_jaccard_pairs(docs, threshold=0.2, max_df=5)
-    with pytest.raises(ValueError, match="release handle"):
-        scoped_cache(cached.filter(F.col("jac") >= 0.5))  # derived
-    with pytest.raises(ValueError, match="release handle"):
-        scoped_cache(ngram_jaccard_pairs(docs, threshold=0.2))  # no cache
-    scoped_cache(cached).release()
-
-
-def test_scoped_cache_releases_posting_lists(spark):
-    """scoped_cache makes the posting-list cache's lifetime explicit:
-    inside the scope the persisted intermediate is live (visible in the
-    session's persistent-RDD registry); release() drops it even while
-    derived plans still reference the DataFrame."""
-    from mandoline_spark.functions.dedup import scoped_cache
-
-    sc = spark.sparkContext
-    spark.catalog.clearCache()
-
-    def n_persistent():
-        return len(sc._jsc.getPersistentRDDs())
-
-    base = n_persistent()
-    docs = _docs(spark).limit(60)
-    with scoped_cache(
-        ngram_jaccard_pairs(docs, threshold=0.2, max_df=5)
-    ) as pairs:
-        n_inside_plan = pairs.count()  # materializes the posting cache
-        assert n_persistent() > base
-        derived = pairs.filter(F.col("jac") >= 0.5)
-        derived.count()  # derived plan runs while the cache is live
-    # scope exited: the posting cache is gone even though `pairs` and
-    # `derived` are still referenced
-    assert n_persistent() == base
-    assert pairs.count() == n_inside_plan  # recompute still correct
