@@ -19,88 +19,94 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r6) —
+# Queries whose TRANSITIVE implementation changed this round (r8) —
 # the standing head-selection rule: driver evidence must be no older
 # than the code it vouches for, where "code" includes shared modules.
-# r6 changes: the single-collect index_map under the array read path
-# (store.py — q34/q35/q81), the connected-components cache-prefill
-# removal (graph.py — q82/q83), ngram_jaccard_pairs' sizes_broadcast
-# (dedup.py — q37, and q36/q38 share the module), and q60's
-# sketch-rides-the-window single-scan restructure.
-_CHANGED_R6 = [
+# r8 changes: dedup.py's fused single-job jaccard + hash-level gram
+# sets (q36/q37/q38, and q82/q83 consume its pair stream), the
+# similarity.py quantizer-reuse surface (q66, q30/q39/q40 share the
+# module), the memoized array-store connection + psort presentation
+# (q34/q35/q81), and the multimodal codec-priority fix (q32).
+_CHANGED_R8 = [
+    "q36_minhash_neardup",
     "q37_ngram_jaccard",
-    "q60_approx_percentile",
+    "q38_simhash_neardup",
     "q82_neardup_clusters",
     "q83_dedup_cluster_keep",
+    "q30_similarity_topk",
+    "q39_embedding_neardup",
+    "q40_ann_lsh_top1",
+    "q66_ann_ivf_top1",
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
-    "q36_minhash_neardup",
-    "q38_simhash_neardup",
+    "q32_multimodal",
 ]
 
-# Oldest hard evidence: newest driver row is CORRECTNESS_r03 (the r5
-# verdict's "rotate these next" set) — several also took r5's psort
-# change, all covered by the local all-entry parity suite since.
-_STALE_R3 = [
-    "q51_scalar_subquery",
-    "q52_exists_correlated",
-    "q53_lateral_explode",
-    "q54_window_navigation",
-    "q55_string_distance",
-    "q58_date_arith",
-    "q59_array_hof",
-    "q63_map_funcs",
-    "q64_regexp_extract",
-    "q65_pipeline_compose",
-    "q67_hash_sample",
-    "q75_cross_join",
-    "q76_month_arith",
-    "q77_string_shaping",
-    "q79_dedup_keep_best",
-    "q85_vocab_df_topk",
-    "q86_event_funnel",
-    "q87_label_cohesion",
-    "q88_bow_dup_groups",
-    "q89_event_transitions",
-    "q90_resample_ffill",
-    "q91_star_join",
-    "q92_word_entropy",
-    "q93_boilerplate_prefix_groups",
-    "q94_rare_token_docs",
-    "q95_source_token_share",
-    "q96_embedding_hygiene",
-    "q97_above_nation_avg",
-]
-
-# Fill to 50 with the oldest r4-era evidence (newest driver row r4).
+# Oldest standing evidence (newest driver row r4 — the 14 simple
+# queries the r6 window filled with, untouched since).
 _STALE_R4 = [
-    "q30_similarity_topk",
-    "q39_embedding_neardup",
-    "q45_asof_join",
-    "q98_contamination_screen",
-    "q99_repetition_screen",
-    "q100_embedding_quantize",
-    "q101_token_length_hist",
-    "q102_length_outliers",
-    "q103_sessionize_events",
-    "q104_shipping_priority",
-    "q105_token_budget_sample",
-    "q02_filter",
-    "q03_range_count",
+    "q06_join_left",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q11_agg_distinct",
+    "q14_window_rank",
+    "q15_window_lag",
+    "q16_window_frame",
+    "q19_string_funcs",
+    "q20_date_funcs",
+    "q21_math_funcs",
+    "q22_case_when",
+    "q23_array_funcs",
+    "q24_json_extract",
+]
+
+# r5-evidence rows that predate r6's range-exchange restructure of
+# exactly these queries (the r7 verdict's rule-violation list; q32 is
+# already in _CHANGED_R8, and q15/q24 are in _STALE_R4 above).
+_STALE_PRE_R6 = [
+    "q27_session_window",
+    "q33_udf_surface",
+    "q41_token_count",
+    "q42_quality_score",
+    "q43_lang_id",
+    "q44_fingerprint",
+]
+
+# Fill to 50 with the oldest remaining r5-era evidence, lowest query
+# number first (deterministic).
+_STALE_R5_FILL = [
+    "q01_scan_project",
+    "q04_join_inner",
+    "q05_join_broadcast",
+    "q10_agg_hash",
+    "q12_rollup",
+    "q13_cube",
+    "q17_topk",
+    "q18_set_intersect",
+    "q25_window_tumbling",
+    "q26_window_sliding",
+    "q28_approx_distinct",
+    "q29_dedup_exact",
+    "q31_text_stats",
+    "q46_range_join",
+    "q47_topk_per_group",
+    "q48_union_except",
+    "q49_pivot",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r05 stop at
-    50).  Head = r6 semantically-changed queries, then the r3-era
-    stale-evidence set (the r5 verdict's rotation list), then the
-    oldest r4-era rows — 50 exactly.  After this round every query's
-    newest driver evidence is r4 or newer, restoring the standing
-    rule (driver evidence no older than the code it vouches for).
-    The full local parity suite (tests/test_oracle_parity.py) still
-    runs every entry."""
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r07 stop at
+    50).  Head = every query r8's changes transitively touch, then the
+    two stale-evidence sets the r7 verdict ordered rotated (newest row
+    r4; r5 rows predating the r6 restructure of those queries), then
+    the oldest remaining r5 rows — 50 exactly.  After this round no
+    query's newest driver evidence is older than r5 and none is older
+    than the code it vouches for.  The full local parity suite
+    (tests/test_oracle_parity.py) still runs every entry."""
     import re
 
     def num(name: str) -> int:
@@ -108,9 +114,10 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R6 + _STALE_R3 + _STALE_R4
+        for n in _CHANGED_R8 + _STALE_R4 + _STALE_PRE_R6 + _STALE_R5_FILL
         if n in QUERIES
     ]
+    assert len(head) == 50, len(head)
     return head + sorted(
         (n for n in QUERIES if n not in set(head)), key=num
     )

@@ -160,20 +160,81 @@ def bench_array(spark) -> dict[str, float]:
         # from the driver-side assembly (observed 3x swings on the same
         # plan).  This measures the scan, not the ingest's garbage.
         spark.sparkContext._jvm.System.gc()
-        # best-of-2 for the read measurements: a single one-shot timing
-        # of a multi-second job is exposed to GC/IO hiccups (observed
-        # 2-8s swings on identical runs); the min of two runs measures
-        # the plan, and the chunk tables are re-read each time (table
-        # caching is off here, so the second run is not a cache hit)
+        # MEDIAN-of-5 with a GC barrier per run (VERDICT r7 "what's
+        # missing" #2: this one workload's 412 MiB driver-side assembly
+        # carried a 4x measurement band across rounds — 2.5s best,
+        # 10.5s worst, on identical code).  The driver funnel is the
+        # REFERENCE'S OWN contract for get-slice (mandoline.clj:260-270
+        # returns one in-memory array), so the workload stays; the
+        # median of five runs is robust to the GC landing inside any
+        # one of them, and the full run list + spread is recorded so a
+        # future drift is visible as measurement, not regression.
+        import gc as _gc
+
         scans = []
-        for _ in range(2):
+        for _ in range(5):
+            _gc.collect()  # drop the previous 412 MiB python-side array
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             full = reader.get_slice(
                 conn, token, "v", sl.mk_slice((0, 0, 0), (X, Y, T))
             )
             scans.append(time.perf_counter() - t0)
             assert full.data.shape == (X, Y, T)
-        out["arr_scan_full"] = round(min(scans), 4)
+            del full
+        ordered = sorted(scans)
+        out["arr_scan_full"] = round(ordered[len(ordered) // 2], 4)
+        # execution order preserved: a drifting (e.g. heap-pressure)
+        # trend is distinguishable from a one-off pause
+        out["arr_scan_full_runs"] = [round(s, 4) for s in scans]
+        out["arr_scan_full_spread"] = round(ordered[-1] / ordered[0], 2)
+
+        # Distributed-materialization twin: decode every chunk
+        # EXECUTOR-side and reduce to (cell count, checksum) JVM-side —
+        # no driver funnel, the shape a 100 TB full scan actually uses
+        # (the driver variant above exists because the reference defines
+        # the workload that way).  Uses the same resolved index + chunk
+        # table the driver path reads.
+        import pyspark.sql.functions as _F
+
+        from mandoline_spark.core import slab as _sb2
+
+        vid = token["version-id"]
+        idx = conn.resolve_index_df(vid, "v")
+        chunks_tbl = conn.chunks_df()
+        joined = idx.select("c0", "c1", "c2", "chunk_hash").join(
+            chunks_tbl.select(
+                _F.col("hash").alias("chunk_hash"), "blob"
+            ).hint("shuffle_hash"),
+            "chunk_hash",
+        )
+
+        def _chunk_stats(batches):
+            for pdf in batches:
+                ns, sums = [], []
+                for r in pdf.itertuples():
+                    lo = (int(r.c0) * C, int(r.c1) * C, int(r.c2) * C)
+                    slab = _sb2.from_bytes(
+                        bytes(r.blob),
+                        "short",
+                        sl.mk_slice(lo, tuple(v + C for v in lo)),
+                    )
+                    ns.append(slab.data.size)
+                    sums.append(int(slab.data.sum()))
+                yield pd.DataFrame({"n": ns, "s": sums})
+
+        def _dist_scan() -> float:
+            t0 = time.perf_counter()
+            row = (
+                joined.mapInPandas(_chunk_stats, "n long, s long")
+                .agg(_F.sum("n").alias("n"), _F.sum("s").alias("s"))
+                .collect()[0]
+            )
+            dt = time.perf_counter() - t0
+            assert row["n"] == 8400 * C * C * C, row
+            return dt
+
+        out["arr_scan_full_dist"] = round(min(_dist_scan(), _dist_scan()), 4)
         spark.sparkContext._jvm.System.gc()
 
         # repeated-read phase runs with the read-through cache on (the
@@ -287,6 +348,13 @@ def main() -> None:
     # down its dataset and invalidates caches afterwards).
     times: dict[str, float] = {}
     times.update(bench_array(spark))
+    # measurement metadata (run lists / spread ratios) rides into the
+    # detail file, not the summed per-query map
+    arr_scan_meta = {
+        k: times.pop(k)
+        for k in list(times)
+        if k.endswith("_runs") or k.endswith("_spread")
+    }
 
     # AQE exists to re-plan multi-GB shuffles at runtime (coalesce,
     # skew-split); at sf0.1 every query-surface exchange is sub-MB, so
@@ -412,6 +480,39 @@ def main() -> None:
         list(pool.map(_one_query, sorted(QUERIES)))
     concurrent8_sec = round(time.perf_counter() - t0, 4)
 
+    # AQE A/B (VERDICT r7 #5): the bench's AQE-off override for the
+    # query-surface loop gets a committed, same-session measurement —
+    # every 5th query (21 of 105, all shapes represented), best-of-2
+    # per mode, both modes interleaved into the same JVM state.
+    aqe_sample = [n for i, n in enumerate(sorted(QUERIES)) if i % 5 == 0]
+    aqe_ab: dict = {"n_queries": len(aqe_sample)}
+    for mode, label in (("false", "off_sec"), ("true", "on_sec")):
+        spark.conf.set("spark.sql.adaptive.enabled", mode)
+        per: dict[str, float] = {}
+        for _ in range(2):
+            for name in aqe_sample:
+                t0 = time.perf_counter()
+                _one_query(name)
+                dt = time.perf_counter() - t0
+                per[name] = min(per.get(name, dt), dt)
+        aqe_ab[label] = round(sum(per.values()), 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # Same-session DuckDB pair (VERDICT r7 #5): the oracle baseline is
+    # re-measured in THIS process's session window, so the reported
+    # ratio is never normalized across the box's documented ±15-20%
+    # session drift.  Best-effort: a missing duckdb leaves the Spark
+    # numbers standing alone.
+    duck = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import duckdb_baseline
+
+        duck = duckdb_baseline.run(sf_dir)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        print(f"duckdb baseline skipped: {exc}", file=sys.stderr)
+
     total = round(sum(times.values()), 4)
     # The honest end-to-end number: measured query time PLUS the full
     # client-side plan-construction wall time (ADVICE r5 — keeps this
@@ -438,6 +539,16 @@ def main() -> None:
         "total_floor_adjusted": total_floor_adjusted,
         "build_sec_total": build_sec,
         "concurrent8_wall_sec": concurrent8_sec,
+        "arr_scan_meta": arr_scan_meta,
+        "aqe_ab": aqe_ab,
+        "duckdb_same_session": (
+            {
+                "total": duck["total"],
+                "concurrent8_wall_sec": duck["concurrent8_wall_sec"],
+            }
+            if duck
+            else None
+        ),
     }
     print(json.dumps(detail))
     try:
@@ -462,6 +573,11 @@ def main() -> None:
                 "sched_floor_sec": round(floor, 4),
                 "build_sec_total": build_sec,
                 "concurrent8_wall_sec": concurrent8_sec,
+                "duckdb_total_sec": duck["total"] if duck else None,
+                "duckdb_concurrent8_sec": (
+                    duck["concurrent8_wall_sec"] if duck else None
+                ),
+                "aqe_ab": aqe_ab,
             }
         )
     )

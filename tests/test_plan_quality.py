@@ -576,3 +576,38 @@ def test_ranged_is_range_exchange_plus_inpartition_sort(spark):
     qtext = explain_str(q)
     assert "rangepartitioning" in qtext.lower(), qtext
     assert "], false, 0" in qtext and "], true," not in qtext, qtext
+
+
+def test_constant_job_counts(spark):
+    """Job-count budget for the multi-job-constant family (VERDICT r7
+    #3/#1): after the per-session warm-up (catalog resolution, IVF
+    training, fixture build — all memoized), a steady-state run may
+    launch at most the budgeted number of Spark jobs.  q37's fused
+    single-traversal shape is exactly 1; the array reads pay one
+    broadcast build + the action; q66 pays the probe-side broadcast."""
+    budgets = {
+        "q37_ngram_jaccard": 1,
+        "q36_minhash_neardup": 2,  # verify-candidate broadcast + action
+        "q34_array_slice": 2,      # pruned-index broadcast + action
+        "q35_array_timetravel": 2,
+        "q81_array_version_diff": 1,
+        "q60_approx_percentile": 1,
+        "q66_ann_ivf_top1": 2,     # centroid-probe broadcast + action
+    }
+    jsc = spark.sparkContext._jsc.sc()
+    sf = "/root/testdata/sf0.001"
+    # AQE runs every query stage as its own job — the budgets describe
+    # the plan's structural job count, measured the way the bench
+    # measures (AQE off for the tiny declared surface).
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, budget in budgets.items():
+            QUERIES[name](spark, sf).collect()  # warm: memoized state
+            ids0 = set(jsc.statusTracker().getJobIdsForGroup(None))
+            df = QUERIES[name](spark, sf)
+            df.select("*")._jdf.queryExecution().toRdd().count()
+            got = len(set(jsc.statusTracker().getJobIdsForGroup(None)) - ids0)
+            assert got <= budget, f"{name}: {got} jobs > budget {budget}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -15,9 +15,11 @@ from mandoline_spark.queries import TABLES  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    os.environ.setdefault("MANDOLINE_TEST_SF", sf_dir)
+def run(sf_dir: str) -> dict:
+    """Measure the full oracle surface; write DUCKDB_DETAIL.json and
+    return the detail dict.  Callable from bench.py so every BENCH
+    ships a SAME-SESSION DuckDB pair (VERDICT r7 #5)."""
+    os.environ["MANDOLINE_TEST_SF"] = sf_dir
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
     for t in TABLES:
@@ -64,9 +66,16 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "..", "DUCKDB_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps({"metric": "duckdb_oracle_total", "value": total,
-                      "unit": "sec", "n_queries": len(times),
-                      "concurrent8_wall_sec": concurrent8}))
+    return detail
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    detail = run(sf_dir)
+    print(json.dumps({"metric": "duckdb_oracle_total",
+                      "value": detail["total"], "unit": "sec",
+                      "n_queries": detail["n"],
+                      "concurrent8_wall_sec": detail["concurrent8_wall_sec"]}))
 
 
 if __name__ == "__main__":
