@@ -325,3 +325,134 @@ class HadoopFS:
             return 0
         summary = self._fs.getContentSummary(self._p(path))
         return int(summary.getLength())
+
+
+class MemFS:
+    """Dict-backed in-memory catalog backend — the Spark shape of the
+    reference's mem backend (/root/reference backend mem.clj:1-204,
+    which implements the store protocols over atoms for fast
+    protocol-suite runs).  Holds the CATALOG tree (version tokens,
+    pointer files, claim markers) in one process-local dict; the
+    commit primitive is a lock-held insert, so second-committer-fails
+    is exact.  Scope: catalog/metadata operations only — chunk/index
+    PARQUET always flows through Spark's Hadoop IO and therefore needs
+    a real (local/HDFS/S3A) root, exactly as the reference's mem
+    backend never leaves the JVM.  Inject via ``Store(spark, root,
+    fs=MemFS())`` (the protocol suites run backend-parameterized on
+    this hook).  Thread-safe; paths are normalized so ``a//b`` and
+    ``a/b`` address one entry."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.RLock()
+        self._files: dict[str, str] = {}
+        self._dirs: set[str] = set()
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return os.path.normpath(path)
+
+    def _parents(self, path: str) -> None:
+        p = self._norm(path)
+        while p not in ("/", "", "."):
+            self._dirs.add(p)
+            p = os.path.dirname(p)
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._files or p in self._dirs
+
+    def isdir(self, path: str) -> bool:
+        with self._lock:
+            return self._norm(path) in self._dirs
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._dirs:
+                raise FileNotFoundError(p)
+            prefix = p + os.sep
+            names = {
+                e[len(prefix):].split(os.sep, 1)[0]
+                for e in (self._files.keys() | self._dirs)
+                if e.startswith(prefix)
+            }
+            return sorted(names)
+
+    def makedirs(self, path: str) -> None:
+        with self._lock:
+            self._parents(path)
+
+    def rmtree(self, path: str) -> None:
+        p = self._norm(path)
+        prefix = p + os.sep
+        with self._lock:
+            self._files = {
+                k: v
+                for k, v in self._files.items()
+                if k != p and not k.startswith(prefix)
+            }
+            self._dirs = {
+                d for d in self._dirs if d != p and not d.startswith(prefix)
+            }
+
+    def rename(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        sp = s + os.sep
+        with self._lock:
+            if s not in self._files and s not in self._dirs:
+                raise FileNotFoundError(src)
+            self._parents(os.path.dirname(d))
+            moves_f = {
+                (d + k[len(s):]): v
+                for k, v in self._files.items()
+                if k == s or k.startswith(sp)
+            }
+            moves_d = {
+                (d + k[len(s):])
+                for k in self._dirs
+                if k == s or k.startswith(sp)
+            }
+            self.rmtree(s)
+            self._files.update(moves_f)
+            self._dirs.update(moves_d)
+
+    def read_text(self, path: str) -> str:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                raise FileNotFoundError(path)
+            return self._files[p]
+
+    def write_text(self, path: str, text: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            self._parents(os.path.dirname(p))
+            self._files[p] = text
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Lock-held insert: content publishes atomically with the
+        name, so the torn-partial-content window the LocalFS
+        link-dance closes cannot exist here at all."""
+        p = self._norm(path)
+        with self._lock:
+            if p in self._files:
+                return False
+            self._parents(os.path.dirname(p))
+            self._files[p] = text
+            return True
+
+    def replace_text(self, path: str, text: str) -> None:
+        self.write_text(path, text)
+
+    def tree_size(self, path: str) -> int:
+        p = self._norm(path)
+        prefix = p + os.sep
+        with self._lock:
+            return sum(
+                len(v.encode())
+                for k, v in self._files.items()
+                if k == p or k.startswith(prefix)
+            )

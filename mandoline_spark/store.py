@@ -53,7 +53,13 @@ from . import fs as fsmod
 from .core import metadata as md
 from .core import slab as sb
 
-_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+# dots allowed INSIDE names, but a name may not BE dots: "." / ".."
+# resolve to the root itself / its parent on path-based backends —
+# create would traverse out of the store and destroy could rmtree the
+# parent (caught by the MemFS backend parameterization, r8: LocalFS
+# only rejected ".." by accident, via the parent dir "already
+# existing")
+_NAME_RE = re.compile(r"^(?!\.+$)[A-Za-z0-9_.-]+$")
 
 
 def parse_uri(uri: str) -> tuple[str, str, int | None]:

@@ -144,10 +144,10 @@ def test_bucket_caps_filter_before_collect(spark):
     )
     assert "Window" in plan, plan
     assert "_bsz" in plan, plan
-    # the guard adds no exchange: gram exchanges stay at the posting
-    # shuffle's 3 re-evaluated branches (pairs + the two size joins),
-    # each Window riding its branch's existing exchange
-    assert plan.count("hashpartitioning(gram") <= 3, plan
+    # the guard adds no exchange — and the r8 fused shape has exactly
+    # ONE gram exchange total (the single posting traversal; the old
+    # shape re-evaluated it for the pair emitter and both size joins)
+    assert plan.count("hashpartitioning(gram") == 1, plan
     plan2 = (
         minhash_lsh_pairs(docs, threshold=0.8, max_bucket=10_000)
         ._jdf.queryExecution()

@@ -41,8 +41,23 @@ _SETTINGS = dict(
 
 
 # -- Schema / catalog CRUD ----------------------------------------------------
+# Backend-parameterized like the reference harness (its protocol suites
+# run against the file AND mem backends; backend mem.clj:1-204): LocalFS
+# exercises the POSIX commit primitives, MemFS the dict-backed in-memory
+# backend (mandoline_spark.fs.MemFS).  Data-plane tests (chunk store,
+# MVCC overlay) stay on LocalFS — parquet flows through Spark's Hadoop
+# IO, which an in-process dict cannot serve.
 
 
+def _backend_fs(kind):
+    if kind == "mem":
+        from mandoline_spark.fs import MemFS
+
+        return MemFS()
+    return None  # Store default: LocalFS
+
+
+@pytest.mark.parametrize("backend", ["local", "mem"])
 @settings(**_SETTINGS)
 @given(
     ops=st.lists(
@@ -51,12 +66,12 @@ _SETTINGS = dict(
         max_size=12,
     )
 )
-def test_catalog_crud_interleavings(spark, tmp_path_factory, ops):
+def test_catalog_crud_interleavings(spark, tmp_path_factory, backend, ops):
     """Model-based CRUD: after any op sequence the listing equals the
     model set, every listed dataset connects, create of a listed name
     raises, and destroy is idempotent (protocol.clj:105-123)."""
     root = str(tmp_path_factory.mktemp("crud"))
-    store = Store(spark, root)
+    store = Store(spark, root, fs=_backend_fs(backend))
     model: set[str] = set()
     for op, name in ops:
         if op == "create":
@@ -76,15 +91,17 @@ def test_catalog_crud_interleavings(spark, tmp_path_factory, ops):
         assert store.dataset_exists(name)
 
 
+@pytest.mark.parametrize("backend", ["local", "mem"])
 @pytest.mark.parametrize("bad", ["", "a/b", "a b", "..", "a\nb", "é"])
-def test_catalog_rejects_invalid_names(spark, tmp_path, bad):
-    store = Store(spark, str(tmp_path))
+def test_catalog_rejects_invalid_names(spark, tmp_path, backend, bad):
+    store = Store(spark, str(tmp_path), fs=_backend_fs(backend))
     with pytest.raises(ValueError):
         store.create_dataset(bad)
 
 
-def test_connect_missing_dataset_raises(spark, tmp_path):
-    store = Store(spark, str(tmp_path))
+@pytest.mark.parametrize("backend", ["local", "mem"])
+def test_connect_missing_dataset_raises(spark, tmp_path, backend):
+    store = Store(spark, str(tmp_path), fs=_backend_fs(backend))
     with pytest.raises(ValueError):
         store.connect("nope")
 
@@ -192,7 +209,8 @@ def test_chunk_rewrite_same_content_is_noop(store):
     assert conn.chunks_df().count() == before
 
 
-def test_concurrent_create_has_one_winner(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["local", "mem"])
+def test_concurrent_create_has_one_winner(spark, tmp_path, backend):
     """Racing creators of the same dataset: exactly one create returns,
     the rest raise, and the dataset is usable afterwards (the
     reference's multi-threaded Schema contract, schema.clj:145-182).
@@ -200,7 +218,7 @@ def test_concurrent_create_has_one_winner(spark, tmp_path):
     exclusive marker every racer would 'win'."""
     import threading
 
-    store = Store(spark, str(tmp_path))
+    store = Store(spark, str(tmp_path), fs=_backend_fs(backend))
     results: list[str] = []
     lock = threading.Lock()
     barrier = threading.Barrier(4)
