@@ -259,3 +259,26 @@ def test_empty_docs_never_pair(spark):
     assert [(r.a, r.b) for r in mh] == [(4, 5)]
     sh = simhash_pairs(docs, max_hamming=3).collect()
     assert [(r.a, r.b) for r in sh] == [(4, 5)]
+
+
+def test_ngram_jaccard_string_ids(spark):
+    """The fused max_df path's size marker is the SELF-PAIR (x, x), so
+    it must carry whatever type the id column has — pin the non-long
+    case with string ids against the brute-force oracle."""
+    texts = {
+        "doc-a": "the quick brown fox jumps over the lazy dog",
+        "doc-b": "the quick brown fox jumps over the lazy cat",
+        "doc-c": "completely different words here entirely now",
+        "doc-d": "the quick brown fox jumps over the lazy dog",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {
+        (r.a, r.b, r.jac)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_df=10
+        ).collect()
+    }
+    want = _brute_jaccard_pairs(texts, 0.3, max_df=10)
+    assert got == want, (got, want)
