@@ -238,50 +238,54 @@ def ngram_jaccard_pairs(
         # The size marker is the self-pair (x, x) — a real pair always
         # has y ≠ x (posting lists hold distinct ids) — so the marker
         # carries the id column's own type, whatever it is.
+        # single-expr stages throughout (see gram_array: each nested
+        # pyspark call is a py4j round-trip; one SQL parse is one)
         lhs = posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
-        # one expr parse, not ~40 py4j calls (see gram_array)
-        emitted = F.explode_outer(
-            F.expr(
-                "concat("
+        directed = (
+            lhs.selectExpr(
+                "explode_outer(concat("
                 " flatten(transform("
                 "  slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
                 "  y -> array(named_struct('x', _x.id, 'y', y.id),"
                 "             named_struct('x', y.id, 'y', _x.id)))),"
-                " array(named_struct('x', _x.id, 'y', _x.id)))"
+                " array(named_struct('x', _x.id, 'y', _x.id)))) AS _p"
+            )
+            .where("_p IS NOT NULL")
+            .selectExpr("_p.x AS x", "_p.y AS y")
+            .groupBy("x", "y")
+            .agg(F.expr("count(*) AS _cnt"))
+        )
+        sized = directed.selectExpr(
+            "x",
+            "y",
+            "_cnt",
+            "max(CASE WHEN y = x THEN _cnt END)"
+            " OVER (PARTITION BY x) AS _sx",
+        ).where("y != x")
+        common = (
+            sized.selectExpr(
+                "least(x, y) AS a",
+                "greatest(x, y) AS b",
+                "_cnt",
+                "CASE WHEN x < y THEN _sx END AS _na",
+                "CASE WHEN x > y THEN _sx END AS _nb",
+            )
+            .groupBy("a", "b")
+            .agg(
+                F.expr("max(_cnt) AS common"),
+                F.expr("max(_na) AS na"),
+                F.expr("max(_nb) AS nb"),
             )
         )
-        directed = (
-            lhs.select(emitted.alias("_p"))
-            .where(F.col("_p").isNotNull())
-            .select("_p.x", "_p.y")
-            .groupBy("x", "y")
-            .agg(F.count("*").alias("_cnt"))
-        )
-        wx = Window.partitionBy("x")
-        sized = directed.withColumn(
-            "_sx",
-            F.max(F.when(F.col("y") == F.col("x"), F.col("_cnt"))).over(wx),
-        ).where(F.col("y") != F.col("x"))
-        common = sized.groupBy(
-            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-        ).agg(
-            F.max("_cnt").alias("common"),
-            F.max(F.when(F.col("x") < F.col("y"), F.col("_sx"))).alias("na"),
-            F.max(F.when(F.col("x") > F.col("y"), F.col("_sx"))).alias("nb"),
-        )
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    out = (
-        common.withColumn("_jac", jac)
-        .filter(F.col("_jac") >= threshold)
-        .select(
-            "a",
-            "b",
-            (
-                F.round("_jac", round_to)
-                if round_to is not None
-                else F.col("_jac")
-            ).alias("jac"),
-        )
+    jac_sql = "common / (na + nb - common)"
+    out = common.where(f"{jac_sql} >= {threshold!r}").selectExpr(
+        "a",
+        "b",
+        (
+            f"round({jac_sql}, {round_to}) AS jac"
+            if round_to is not None
+            else f"{jac_sql} AS jac"
+        ),
     )
     # ``ordered=False`` skips the final sort entirely: consumers that
     # re-aggregate the pairs (connected components, cluster keep-best)
@@ -533,17 +537,19 @@ def _posting_lists(
     # sf0.1 — per-task overhead on the small posting shuffles outweighs
     # the extra parallelism; a cluster tunes the session setting.
     if max_size is not None:
-        w = Window.partitionBy(*keys)
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_size)
-            .drop("_bsz")
-        )
+        # the window filter still prints as `_bsz` (pinned by
+        # test_plan_quality); single-expr construction as elsewhere
+        banded = banded.selectExpr(
+            "*",
+            f"count(1) OVER (PARTITION BY {', '.join(keys)}) AS _bsz",
+        ).where(f"_bsz <= {max_size}").drop("_bsz")
     out = banded.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(F.struct(*cols))).alias("_ids")
+        F.expr(
+            f"sort_array(collect_list(struct({', '.join(cols)}))) AS _ids"
+        )
     )
     if min_size is not None:
-        out = out.filter(F.size("_ids") >= min_size)
+        out = out.where(f"size(_ids) >= {min_size}")
     return out
 
 
