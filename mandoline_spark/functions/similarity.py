@@ -16,33 +16,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+# SQL-fragment builders over column NAMES, parsed once per call site —
+# each nested pyspark HOF call is a py4j round-trip at plan-build time
+# (see dedup.gram_array); the Catalyst trees are identical.
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _as_double_sql(col: str) -> str:
+    return f"transform(`{col}`, x -> cast(x AS double))"
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
     )
 
 
-def _norm(col):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def _norm_sql(col_sql: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({col_sql}, x -> x * x), 0.0D,"
+        f" (acc, x) -> acc + x))"
     )
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Add `_emb` (double vector) and `_norm` columns, computed once."""
-    return df.withColumn("_emb", _as_double(F.col(vec_col))).withColumn(
-        "_norm", _norm(F.col("_emb"))
-    )
+    """Add `_emb` (double vector) and `_norm` columns, computed once.
+    Two projections on purpose: `_norm` reads the MATERIALIZED `_emb`
+    attribute — inlining the cast into the norm aggregate would
+    re-evaluate it per element (HOFs are CodegenFallback)."""
+    return df.selectExpr(
+        "*", f"{_as_double_sql(vec_col)} AS _emb"
+    ).selectExpr("*", f"{_norm_sql('_emb')} AS _norm")
 
 
 def cosine_topk(
@@ -69,7 +73,7 @@ def cosine_topk(
     )
     sim = F.when(
         (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
-        _dot(F.col("_qemb"), F.col("_emb"))
+        _dot("_qemb", "_emb")
         / (F.col("_qnorm") * F.col("_norm")),
     ).otherwise(F.lit(0.0))
     pairs = c.crossJoin(F.broadcast(q)).withColumn("_sim", sim)
@@ -132,7 +136,7 @@ def cosine_pairs(
     # drops them; numpy NaN compares False)
     denom = F.col("_anorm") * F.col("_bnorm")
     sim = F.when(
-        denom > 0, _dot(F.col("_aemb"), F.col("_bemb")) / denom
+        denom > 0, _dot("_aemb", "_bemb") / denom
     )
     out = joined.withColumn("_sim", sim).filter(F.col("_sim") >= threshold)
     return out.select(
@@ -260,7 +264,7 @@ def cosine_topk_lsh(
     _denom = F.col("_qnorm") * F.col("_norm")
     pairs = c.join(F.broadcast(q), "bucket").withColumn(
         "_sim",
-        F.when(_denom > 0, _dot(F.col("_qemb"), F.col("_emb")) / _denom),
+        F.when(_denom > 0, _dot("_qemb", "_emb") / _denom),
     )
     # sim ties break to the query itself first, then lower id: an
     # in-corpus query's top-1 is itself even when the corpus contains
@@ -288,15 +292,14 @@ def with_unit(df: DataFrame, vec_col: str, out_col: str = "_unit") -> DataFrame:
     CodegenFallback), measured ~15s instead of ~1s to cell-assign a 2k
     x 64-dim corpus.  The norm alias is referenced twice, so Catalyst's
     CollapseProject keeps it un-collapsed."""
-    nn = df.withColumn("_nrm", _norm(_as_double(F.col(vec_col))))
-    return nn.withColumn(
-        out_col,
-        F.transform(
-            _as_double(F.col(vec_col)),
-            lambda x: F.when(F.col("_nrm") > 0, x / F.col("_nrm")).otherwise(
-                F.lit(0.0)
-            ),
-        ),
+    nn = df.selectExpr(
+        "*", f"{_norm_sql(_as_double_sql(vec_col))} AS _nrm"
+    )
+    return nn.selectExpr(
+        "*",
+        f"transform({_as_double_sql(vec_col)},"
+        f" x -> CASE WHEN _nrm > 0 THEN x / _nrm ELSE 0.0D END)"
+        f" AS `{out_col}`",
     ).drop("_nrm")
 
 
@@ -477,7 +480,7 @@ def ivf_topk(
     )
     sim = F.when(
         (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
-        _dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm")),
+        _dot("_qemb", "_emb") / (F.col("_qnorm") * F.col("_norm")),
     ).otherwise(F.lit(0.0))
     pairs = c.join(F.broadcast(q), "_cell").withColumn("_sim", sim)
     # same self-first tie-break as cosine_topk_lsh (ADVICE r02)
