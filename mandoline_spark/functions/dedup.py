@@ -223,10 +223,11 @@ def ngram_jaccard_pairs(
         # recount, and two broadcast-build jobs).  Instead every list
         # position emits its ORDERED pairs (x, y≠x — each unordered
         # pair lands once per direction) plus one size marker
-        # (x, NULL); a single groupBy then yields both the directed
-        # common-counts and, on the NULL rows, each doc's recounted
-        # post-drop set size.  A window over x attaches that size to
-        # every directed pair with no join — partitions are doc-keyed,
+        # — the self-pair (x, x); a single groupBy then yields both
+        # the directed common-counts and, on the self-pair rows, each
+        # doc's recounted post-drop set size.  A window over x
+        # attaches that size to every directed pair with no join —
+        # partitions are doc-keyed,
         # so the window state is one doc's pair list, skew-free — and
         # the final unordered regroup reads na from the x<y row and nb
         # from its mirror.  Volume: the directed emission is 2x the
