@@ -426,7 +426,12 @@ def main() -> None:
     # arr phase's bulk-bytes case it measured WORSE: G1's concurrent
     # phases keep stealing cores after the call returns, landing inside
     # the very window the barrier was meant to protect.
-    for extra in (False, False, True):
+    # three full passes (best-of-3): with ~100 queries on one JVM the
+    # min-of-2 still let one GC/context-cleaner pause taint a query's
+    # only clean pass (r8: untouched queries moved up to 70% BETWEEN
+    # runs while DuckDB moved <1%); the third pass costs ~30s and
+    # tightens the per-query floor materially
+    for extra in (False, False, False, True):
         for name in sorted(QUERIES):
             if extra and name not in rebuild_per_pass:
                 continue
