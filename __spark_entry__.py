@@ -41,6 +41,10 @@ _CHANGED_R8 = [
     "q35_array_timetravel",
     "q81_array_version_diff",
     "q32_multimodal",
+    # late-r8 single-traversal restructures (window-df / ride-along
+    # bigram stats)
+    "q94_rare_token_docs",
+    "q99_repetition_screen",
 ]
 
 # Oldest standing evidence (newest driver row r4 — the 14 simple
@@ -92,8 +96,6 @@ _STALE_R5_FILL = [
     "q31_text_stats",
     "q46_range_join",
     "q47_topk_per_group",
-    "q48_union_except",
-    "q49_pivot",
 ]
 
 

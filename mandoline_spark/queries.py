@@ -2674,10 +2674,14 @@ def q94(spark, sf):
     curation pipeline runs (rare tokens are where leaked secrets and
     eval-set canaries live; the relative cutoff keeps the scan
     meaningful at any corpus size, and this fixture's rarest words sit
-    at 5%).  The df filter keeps ONLY rare words before any further
-    work, so unlike a containment/pair join the hot keys die at the
-    first aggregate: one word-keyed shuffle, output bounded by the
-    rare-word postings."""
+    at 5%).  ONE corpus explode: df is a count-over-window on the
+    word-keyed exchange — the r8 restructure of the former
+    aggregate-then-semi-join-back shape, which evaluated the whole
+    explode once per branch (the q84 finding: per-branch column
+    pruning specializes the subtrees, so ReuseExchange never fires)
+    and paid three word exchanges where one suffices.  The rare
+    filter still drops hot words right after the window, before the
+    per-doc aggregation."""
     d = load_documents_wide(spark, sf)
     tw = (
         d.select(
@@ -2693,15 +2697,12 @@ def q94(spark, sf):
     nd = load(spark, sf, "documents").select(
         F.count("*").alias("_nd")
     )
-    rare = (
-        tw.groupBy("word")
-        .agg(F.count("*").alias("df"))
+    return (
+        tw.withColumn(
+            "df", F.count("*").over(Window.partitionBy("word"))
+        )
         .crossJoin(F.broadcast(nd))
         .filter(F.col("df") <= F.col("_nd") * 0.1)
-        .select("word")
-    )
-    return (
-        tw.join(rare, "word", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_rare"))
         .orderBy("doc_id")
@@ -2951,20 +2952,32 @@ def q99(spark, sf):
             lambda i: F.array_join(F.slice("ws", i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gg = base.select(
+    # The bigram stats are per-ROW array expressions, so they RIDE the
+    # word explode as functionally-dependent grouping keys (no extra
+    # groups, 16 bytes per exploded row) instead of forming a second
+    # branch joined back on doc_id — the former two-branch shape ran
+    # the tokenization once per branch and paid a doc_id exchange for
+    # the join (r8; same finding as q84/q94).
+    withg = base.select(
         "doc_id",
+        "ws",
         F.size(grams).cast("bigint").alias("total_g"),
         F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_g"),
     )
     f = (
         # explode_outer + not-null: see q98's note (the plain explode
         # invites size(ws) > 0 inference on foreign sessions)
-        base.select("doc_id", F.explode_outer("ws").alias("word"))
+        withg.select(
+            "doc_id",
+            "total_g",
+            "distinct_g",
+            F.explode_outer("ws").alias("word"),
+        )
         .where(F.col("word").isNotNull())
-        .groupBy("doc_id", "word")
+        .groupBy("doc_id", "total_g", "distinct_g", "word")
         .agg(F.count("*").alias("c"))
     )
-    ww = f.groupBy("doc_id").agg(
+    ww = f.groupBy("doc_id", "total_g", "distinct_g").agg(
         F.max("c").alias("top"), F.sum("c").cast("bigint").alias("tot")
     )
     # no total_g > 0 row filter: it would push below the repartition
@@ -2972,8 +2985,7 @@ def q99(spark, sf):
     # (see q98's note); 0/1-word docs report dup_bigram_share = 0 and
     # the oracle's CASE mirrors that
     return (
-        ww.join(gg, "doc_id")
-        .select(
+        ww.select(
             "doc_id",
             F.round(F.col("top") * 1.0 / F.col("tot"), 6).alias(
                 "top_word_share"
