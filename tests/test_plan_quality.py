@@ -611,3 +611,21 @@ def test_constant_job_counts(spark):
             assert got <= budget, f"{name}: {got} jobs > budget {budget}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_rare_token_screen_single_word_exchange(spark):
+    """q94's df guard is a count-over-window riding the ONE word-keyed
+    exchange (r8: the aggregate-then-semi-join-back shape evaluated the
+    corpus explode per branch and paid three word exchanges)."""
+    text = explain_str(QUERIES["q94_rare_token_docs"](spark, SF))
+    assert text.lower().count("hashpartitioning(word") == 1, text
+
+
+def test_repetition_screen_has_no_join(spark):
+    """q99's bigram stats ride the word explode as grouping keys — the
+    plan has no join and one tokenization (r8)."""
+    q = QUERIES["q99_repetition_screen"](spark, SF)
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    # one split() in the whole plan: the tokenization runs once
+    assert plan.count("split(text") == 1, plan
