@@ -471,15 +471,19 @@ def test_q84_argmax_is_aggregate_not_rank_window(spark):
 
 
 def test_q60_exact_side_has_no_percentile_aggregate(spark):
-    """q60's exact quantiles come from the window-rank interpolation
-    gather — the `percentile` aggregate buffers every value of a group
-    in one unspillable map and must not reappear.  approx_percentile
-    (the sketch under test) is the one allowed percentile node."""
+    """q60's exact side is the rank-count check: the `percentile`
+    aggregate (every value of a group in one unspillable map) must not
+    reappear, and neither may the earlier window-rank sort (per-group
+    sort with only |groups|-way parallelism).  approx_percentile (the
+    sketch under test) is the one allowed percentile node, and the
+    3-row sketch side must broadcast into the count pass."""
     text = explain_str(QUERIES["q60_approx_percentile"](spark, SF))
     import re
 
     bare = re.sub(r"approx_percentile", "", text)
     assert "percentile" not in bare, text
+    assert "Window" not in text, text
+    assert "BroadcastHashJoin" in text, text
 
 
 def test_psort_is_single_partition_not_range_sort(spark):
@@ -591,7 +595,7 @@ def test_constant_job_counts(spark):
         "q34_array_slice": 2,      # pruned-index broadcast + action
         "q35_array_timetravel": 2,
         "q81_array_version_diff": 1,
-        "q60_approx_percentile": 1,
+        "q60_approx_percentile": 2,  # sketch-side broadcast + action
         "q66_ann_ivf_top1": 2,     # centroid-probe broadcast + action
     }
     jsc = spark.sparkContext._jsc.sc()
