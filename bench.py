@@ -375,10 +375,10 @@ def main() -> None:
     # quantizer's training scan, and the array store's catalog/version
     # resolution reads.  Timing a pre-built DataFrame would hide that
     # work, so these are timed end-to-end, construction included.
-    # q37 rebuilds for a different reason: its plan persists the
-    # posting lists internally (max_df path), so re-running one built
-    # DataFrame would time a warm cache hit on the second pass instead
-    # of the query.
+    # (q37 left this set in r8: its max_df path no longer persists
+    # anything — the pair and size subtrees share one exchange via
+    # ReuseExchange, and the run() select("*") wrapper already forces
+    # fresh exchanges per pass.)
     rebuild_per_pass = {
         "q82_neardup_clusters",
         "q83_dedup_cluster_keep",
@@ -386,7 +386,6 @@ def main() -> None:
         "q34_array_slice",
         "q35_array_timetravel",
         "q81_array_version_diff",
-        "q37_ngram_jaccard",
     }
 
     # Everything else is pure-declarative: build the DataFrame ONCE,

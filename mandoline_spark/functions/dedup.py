@@ -157,11 +157,19 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     round_to: int | None = 6,
     ordered: bool = True,
+    sizes_broadcast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
     an inverted-index self-join on shingles.  ``max_df`` (drop shingles
     occurring in more than max_df docs) bounds join fan-out at scale
     without affecting high-similarity pairs.
+
+    ``sizes_broadcast`` (max_df path only) broadcasts the per-doc
+    post-drop set sizes into the pair stream — ~16 bytes per DOCUMENT
+    on the driver, so it is safe whenever the corpus's doc count fits
+    a broadcast (the declared q37 passes True); the default keeps the
+    two size attachments as shuffle joins, the shape that holds when
+    even |docs| rows are too many to broadcast.
 
     The posting shuffle is keyed on the 64-bit xxhash of each shingle,
     not the shingle string — 8 bytes per key instead of ~3 words of
@@ -210,74 +218,67 @@ def ngram_jaccard_pairs(
         )
     else:
         # A gram's per-bucket row count IS its document frequency (one
-        # distinct row per (id, gram)), so the stop-shingle drop is the
-        # pre-collect window filter inside _posting_lists — no separate
-        # df-count shuffle, no anti-join back onto the exploded stream
-        # (the r2 shape paid both: measured +22% on the declared q37),
-        # and no hot posting array ever materializes (ADVICE r03).
-        posts = _posting_lists(g.drop("ng"), ["gram"], [], max_size=max_df)
-        # ONE traversal of the posting lists, ONE job (VERDICT r7 #1 —
-        # the former shape persisted `posts` for three consumers: the
-        # pair emitter plus both sides of a recounted-size join, paying
-        # a cache materialization, a second full list traversal for the
-        # recount, and two broadcast-build jobs).  Instead every list
-        # position emits its ORDERED pairs (x, y≠x — each unordered
-        # pair lands once per direction) plus one size marker
-        # — the self-pair (x, x); a single groupBy then yields both
-        # the directed common-counts and, on the self-pair rows, each
-        # doc's recounted post-drop set size.  A window over x
-        # attaches that size to every directed pair with no join —
-        # partitions are doc-keyed,
-        # so the window state is one doc's pair list, skew-free — and
-        # the final unordered regroup reads na from the x<y row and nb
-        # from its mirror.  Volume: the directed emission is 2x the
-        # upper-triangle pairs (both bounded by max_df² per gram), the
-        # size markers ride the exchange the pairs already pay, and the
-        # two post-aggregation exchanges move only the (tiny)
-        # threshold-bound pair stream.  Nothing is persisted, no
-        # broadcast is built, and sizes never touch corpus-scale rows.
-        # The size marker is the self-pair (x, x) — a real pair always
-        # has y ≠ x (posting lists hold distinct ids) — so the marker
-        # carries the id column's own type, whatever it is.
-        # single-expr stages throughout (see gram_array: each nested
-        # pyspark call is a py4j round-trip; one SQL parse is one)
-        lhs = posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
-        directed = (
-            lhs.selectExpr(
-                "explode_outer(concat("
-                " flatten(transform("
-                "  slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
-                "  y -> array(named_struct('x', _x.id, 'y', y.id),"
-                "             named_struct('x', y.id, 'y', _x.id)))),"
-                " array(named_struct('x', _x.id, 'y', _x.id)))) AS _p"
+        # distinct row per (id, gram)), so the stop-shingle drop is a
+        # pre-collect window count on the posting exchange's own hash
+        # distribution — no separate df-count shuffle, no anti-join
+        # back onto the exploded stream (the r2 shape paid both:
+        # measured +22% on the declared q37), and no hot posting array
+        # ever materializes (ADVICE r03).  `surv` (the surviving
+        # exploded rows) is built ONCE and consumed by BOTH the pair
+        # pipeline and the size recount below; the two subtrees are
+        # the same object, so ReuseExchange serves both from one gram
+        # exchange — the whole corpus-scale gram pipeline runs once.
+        surv = (
+            g.drop("ng")
+            .selectExpr(
+                "*",
+                "count(1) OVER (PARTITION BY gram) AS _bsz",
+            )
+            .where(f"_bsz <= {max_df}")
+            .drop("_bsz")
+        )
+        # Post-drop set sizes recounted straight off the surviving
+        # rows — |docs|-scale output from a pre-pair-explosion input.
+        # The r8.0 fused shape derived sizes from self-pair markers
+        # INSIDE the pair aggregation instead: that forced doubled
+        # (directed) pair emission so a window over x could attach
+        # sizes join-free, and pushed 2x the pairs through THREE
+        # exchanges (emit, window, regroup).  Recounting here reads
+        # the reused gram exchange once more (window + a small agg)
+        # and lets the pair side emit the upper triangle only — at
+        # sf0.1 the swap measured 1.45s -> 0.9s end-to-end.
+        sizes = surv.groupBy("id").agg(F.expr("count(*) AS _sz"))
+        # min_size=2 applies to the PAIR side only (singleton grams
+        # emit no pairs but DO count toward their doc's set size —
+        # the sizes recount above runs before the length filter).
+        posts = (
+            surv.groupBy("gram")
+            .agg(F.expr("sort_array(collect_list(struct(id))) AS _ids"))
+            .where("size(_ids) >= 2")
+        )
+        # Upper-triangle emission off the sorted lists (sort_array ⇒
+        # a < b canonically, so the same unordered pair from different
+        # grams aggregates to one row); incremental O(L) tail slices
+        # as in _pairs_from_posts, single-expr construction (each
+        # nested pyspark call is a py4j round-trip; one SQL parse is
+        # one).
+        pairs = (
+            posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+            .selectExpr(
+                "explode_outer(transform("
+                " slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
+                " y -> named_struct('a', _x.id, 'b', y.id))) AS _p"
             )
             .where("_p IS NOT NULL")
-            .selectExpr("_p.x AS x", "_p.y AS y")
-            .groupBy("x", "y")
-            .agg(F.expr("count(*) AS _cnt"))
-        )
-        sized = directed.selectExpr(
-            "x",
-            "y",
-            "_cnt",
-            "max(CASE WHEN y = x THEN _cnt END)"
-            " OVER (PARTITION BY x) AS _sx",
-        ).where("y != x")
-        common = (
-            sized.selectExpr(
-                "least(x, y) AS a",
-                "greatest(x, y) AS b",
-                "_cnt",
-                "CASE WHEN x < y THEN _sx END AS _na",
-                "CASE WHEN x > y THEN _sx END AS _nb",
-            )
+            .selectExpr("_p.a AS a", "_p.b AS b")
             .groupBy("a", "b")
-            .agg(
-                F.expr("max(_cnt) AS common"),
-                F.expr("max(_na) AS na"),
-                F.expr("max(_nb) AS nb"),
-            )
+            .agg(F.expr("count(*) AS common"))
         )
+        sa = sizes.selectExpr("id AS a", "_sz AS na")
+        sb = sizes.selectExpr("id AS b", "_sz AS nb")
+        if sizes_broadcast:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        common = pairs.join(sa, "a").join(sb, "b")
     jac_sql = "common / (na + nb - common)"
     out = common.where(f"{jac_sql} >= {threshold!r}").selectExpr(
         "a",

@@ -855,7 +855,9 @@ def q37(spark, sf):
     from .functions.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.5, n=3, max_df=20)
+    return ngram_jaccard_pairs(
+        d, threshold=0.5, n=3, max_df=20, sizes_broadcast=True
+    )
 
 
 def _simhash_expected(sf_dir: str, max_hamming: int, n: int = 3):
