@@ -841,13 +841,18 @@ def simhash_pairs(
     )
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     # hamming filter BEFORE the dedup across bands: cheap bit_count per
-    # emitted pair shrinks the distinct's shuffle to surviving pairs
+    # emitted pair shrinks the distinct's shuffle to surviving pairs.
+    # The final sort gathers to ONE partition and sorts within it (the
+    # pair set is hamming-bounded presentation output); a global
+    # orderBy would pay a range-sampling pass per action just to split
+    # rows a collect() re-merges (same rationale as psort/queries.py).
     return (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
         .distinct()
-        .orderBy("a", "b")
+        .repartition(1)
+        .sortWithinPartitions("a", "b")
     )
 
 
