@@ -91,7 +91,10 @@ def cosine_topk(
             ).alias("sim"),
         )
     )
-    return out.orderBy("qid", F.col("sim").desc(), id_col)
+    # |queries|*k bounded output — gather-sort, not a range sort
+    return out.repartition(1).sortWithinPartitions(
+        "qid", F.col("sim").desc(), id_col
+    )
 
 
 def cosine_pairs(
@@ -139,13 +142,20 @@ def cosine_pairs(
         denom > 0, _dot("_aemb", "_bemb") / denom
     )
     out = joined.withColumn("_sim", sim).filter(F.col("_sim") >= threshold)
-    return out.select(
-        "a",
-        "b",
-        (
-            F.round("_sim", round_to) if round_to is not None else F.col("_sim")
-        ).alias("sim"),
-    ).orderBy("a", "b")
+    return (
+        out.select(
+            "a",
+            "b",
+            (
+                F.round("_sim", round_to)
+                if round_to is not None
+                else F.col("_sim")
+            ).alias("sim"),
+        )
+        # threshold-bounded presentation output — gather-sort (psort)
+        .repartition(1)
+        .sortWithinPartitions("a", "b")
+    )
 
 
 def _cosine_pairs_blas(
@@ -190,7 +200,10 @@ def _cosine_pairs_blas(
     out = df.groupBy(block_col).applyInPandas(
         per_block, f"a {id_type}, b {id_type}, sim double"
     )
-    return out.orderBy("a", "b")
+    # threshold-bounded presentation output: gather-sort on one
+    # partition instead of a global orderBy's range-sampling pass
+    # (same rationale and order contract as psort/queries.py)
+    return out.repartition(1).sortWithinPartitions("a", "b")
 
 
 def lsh_bucket(
@@ -279,7 +292,9 @@ def cosine_topk_lsh(
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("qid", id_col, F.round("_sim", 6).alias("sim"))
-        .orderBy("qid", F.col("sim").desc(), id_col)
+        # |queries|*k bounded output — gather-sort, not a range sort
+        .repartition(1)
+        .sortWithinPartitions("qid", F.col("sim").desc(), id_col)
     )
 
 
@@ -502,4 +517,7 @@ def ivf_topk(
             ).alias("sim"),
         )
     )
-    return out.orderBy("qid", F.col("sim").desc(), id_col)
+    # |queries|*k bounded output — gather-sort, not a range sort
+    return out.repartition(1).sortWithinPartitions(
+        "qid", F.col("sim").desc(), id_col
+    )
