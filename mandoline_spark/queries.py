@@ -91,9 +91,57 @@ def psort(df: DataFrame, *cols) -> DataFrame:
     ``orderBy`` pays a sampling job + range exchange to distribute a
     sort the driver's collect gathers to one stream anyway (measured
     0.15-0.25s/query at sf0.1).  Corpus-proportional outputs (per-doc
-    listings) keep ``orderBy``: a single-partition sort of those would
-    be the classic scale bottleneck."""
+    listings) go through :func:`osort` instead, whose catalog-stats
+    gate falls back to ``orderBy`` above the serial-sort cutover — a
+    single-partition sort of an unbounded result would be the classic
+    scale bottleneck."""
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+_FOOTER_ROWS: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count for a base table from the parquet FOOTER — catalog
+    statistics read driver-side (no Spark job, no data pages); cached
+    per (sf_dir, table).  The structural input to :func:`osort`."""
+    key = (sf_dir, name)
+    hit = _FOOTER_ROWS.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        hit = _FOOTER_ROWS[key] = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_rows
+    return hit
+
+
+# Serial-sort cutover for osort(), in rows of the driving table.
+# Measured at sf0.1/local[32]: a 150k-row gather sort beats the range
+# orderBy 0.25s vs 0.39s, a 600k-row gather loses 0.75s vs 0.48s — the
+# bottleneck is the single-consumer exchange, not the sort itself.
+_GATHER_MAX_ROWS = 250_000
+
+
+def osort(df: DataFrame, src_rows: int, *cols) -> DataFrame:
+    """Adaptive presentation sort for corpus-proportional computed
+    outputs — the cost-based cutover between :func:`psort` (serial)
+    and ``orderBy`` (distributed) that every engine applies to its
+    final sort.  ``src_rows`` is a STRUCTURAL upper bound on the
+    result's row count taken from catalog statistics
+    (:func:`table_rows` — the table the result is row-for-row derived
+    from, or whose key it is grouped by).  At or below the cutover the
+    result gathers onto one partition and sorts there: ONE job, no
+    range-sampling pass (orderBy pays a sampling job per action that
+    re-runs the sort's child up to its last shuffle).  Above the
+    cutover: the range-partitioned global ``orderBy``, whose sampling
+    + distributed sort is the only shape that scales.  On a 100 TB
+    deployment every base table's footer count exceeds the cutover,
+    so the plan is exactly the orderBy one; the gate reads only
+    driver-side metadata (zero extra Spark jobs on either branch)."""
+    if src_rows <= _GATHER_MAX_ROWS:
+        return psort(df, *cols)
+    return df.orderBy(*cols)
 
 
 def ranged(df: DataFrame, *keys) -> DataFrame:
@@ -250,7 +298,7 @@ def q06(spark, sf):
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
+        .transform(osort, table_rows(sf, "customer"), "c_custkey")
     )
 
 
@@ -394,7 +442,7 @@ def q14(spark, sf):
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey")
-        .orderBy("o_custkey")
+        .transform(osort, table_rows(sf, "orders"), "o_custkey")
     )
 
 
@@ -440,7 +488,7 @@ def q16(spark, sf):
     return o.select(
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("rs"),
-    ).orderBy("o_orderkey")
+    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
 
 
 @_q(
@@ -493,7 +541,7 @@ def q19(spark, sf):
         .select(
             "p_partkey", F.upper(F.substring("p_name", 1, 5)).alias("u")
         )
-        .orderBy("p_partkey")
+        .transform(osort, table_rows(sf, "part"), "p_partkey")
     )
 
 
@@ -511,7 +559,7 @@ def q20(spark, sf):
         )
         .groupBy("y", "m")
         .agg(F.count("*").alias("c"))
-        .orderBy("y", "m")
+        .transform(osort, table_rows(sf, "orders"), "y", "m")
     )
 
 
@@ -530,7 +578,9 @@ def q21(spark, sf):
                 F.sqrt("l_quantity") + F.log(F.col("l_extendedprice")), 6
             ).alias("v"),
         )
-        .orderBy("l_orderkey")
+        # l_linenumber == 1 keeps exactly one row per order, so the
+        # structural row bound for the sort gate is |orders|
+        .transform(osort, table_rows(sf, "orders"), "l_orderkey")
     )
 
 
@@ -548,7 +598,7 @@ def q22(spark, sf):
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("small")
         .alias("b"),
-    ).orderBy("o_orderkey")
+    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
 
 
 @_q(
@@ -557,8 +607,8 @@ def q22(spark, sf):
 )
 def q23(spark, sf):
     e = load(spark, sf, "embeddings")
-    return e.select("vec_id", F.size("embedding").alias("d")).orderBy(
-        "vec_id"
+    return e.select("vec_id", F.size("embedding").alias("d")).transform(
+        osort, table_rows(sf, "embeddings"), "vec_id"
     )
 
 
@@ -592,7 +642,7 @@ def q25(spark, sf):
             "event_type",
         )
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 3).alias("s"))
-        .orderBy("h", "event_type")
+        .transform(osort, table_rows(sf, "events"), "h", "event_type")
     )
 
 
@@ -620,7 +670,7 @@ def q26(spark, sf):
             "c",
             "s",
         )
-        .orderBy("ws", "event_type")
+        .transform(osort, table_rows(sf, "events"), "ws", "event_type")
     )
 
 
@@ -1205,7 +1255,7 @@ def q45(spark, sf):
     out = asof_join(clicks, views, on="ts", by="user_id")
     return out.select(
         "event_id", "user_id", F.col("view_id_r").alias("view_id")
-    ).orderBy("event_id")
+    ).transform(osort, table_rows(sf, "events"), "event_id")
 
 
 @_q(
@@ -1353,7 +1403,7 @@ def q52(spark, sf):
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey")
-        .orderBy("c_custkey")
+        .transform(osort, table_rows(sf, "customer"), "c_custkey")
     )
 
 
@@ -1371,7 +1421,9 @@ def q53(spark, sf):
     return (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "_v"))
         .select("vec_id", "pos", F.round("_v", 4).alias("val"))
-        .orderBy("vec_id", "pos")
+        # 32 vectors x dim rows — bounded by the literal filter at any
+        # scale, so the gather sort needs no stats gate
+        .transform(psort, "vec_id", "pos")
     )
 
 
@@ -1397,7 +1449,7 @@ def q54(spark, sf):
             F.first("o_orderkey").over(w).alias("fv"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
-        .orderBy("o_orderkey")
+        .transform(osort, table_rows(sf, "orders"), "o_orderkey")
     )
 
 
@@ -1416,7 +1468,7 @@ def q55(spark, sf):
                 F.substring("p_name", 1, 8), F.lit("standard")
             ).alias("d"),
         )
-        .orderBy("p_partkey")
+        .transform(osort, table_rows(sf, "part"), "p_partkey")
     )
 
 
@@ -1505,7 +1557,7 @@ def q58(spark, sf):
         F.datediff(F.lit("1995-01-01").cast("date"), d).alias("dd"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("ld"),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d30"),
-    ).orderBy("o_orderkey")
+    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
 
 
 @_q(
@@ -1536,7 +1588,7 @@ def q59(spark, sf):
             .cast("long")
             .alias("npos"),
         )
-        .orderBy("vec_id")
+        .transform(osort, table_rows(sf, "embeddings"), "vec_id")
     )
 
 
@@ -1667,7 +1719,7 @@ def q63(spark, sf):
     )
     return o.select(
         "o_orderkey", F.element_at(m, F.lit("pri")).alias("pri")
-    ).orderBy("o_orderkey")
+    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
 
 
 @_q(
@@ -1682,7 +1734,7 @@ def q64(spark, sf):
     return p.select(
         "p_partkey",
         F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("w2"),
-    ).orderBy("p_partkey")
+    ).transform(osort, table_rows(sf, "part"), "p_partkey")
 
 
 @_q(
@@ -1960,7 +2012,7 @@ def q75(spark, sf):
     loop, never a shuffled cartesian at scale)."""
     r = load(spark, sf, "region").select("r_name")
     n = load(spark, sf, "nation").select("n_name")
-    return r.crossJoin(F.broadcast(n)).orderBy("r_name", "n_name")
+    return r.crossJoin(F.broadcast(n)).transform(psort, "r_name", "n_name")
 
 
 @_q(
@@ -1984,7 +2036,7 @@ def q76(spark, sf):
         F.date_format(
             F.date_trunc("quarter", d).cast("date"), "yyyy-MM-dd"
         ).alias("qstart"),
-    ).orderBy("o_orderkey")
+    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
 
 
 @_q(
@@ -2004,7 +2056,7 @@ def q77(spark, sf):
         F.translate("p_brand", "Brand#", "brAND-").alias("tr"),
         F.reverse("p_type").alias("rv"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("rp"),
-    ).orderBy("p_partkey")
+    ).transform(osort, table_rows(sf, "part"), "p_partkey")
 
 
 @_q(
@@ -2056,7 +2108,7 @@ def q79(spark, sf):
         d.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "n_chars")
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -2180,7 +2232,7 @@ def q82(spark, sf):
     # ordered=False: the CC operator re-aggregates the pairs — a
     # global pair sort would be paid and immediately destroyed
     pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, ordered=False)
-    return connected_components(pairs.select("a", "b")).orderBy("id")
+    return connected_components(pairs.select("a", "b")).transform(osort, table_rows(sf, "documents"), "id")
 
 
 @_q(
@@ -2283,7 +2335,7 @@ def q84(spark, sf):
             F.col("b.word").alias("top_term"),
             F.round("b.score", 6).alias("tfidf"),
         )
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -2450,7 +2502,7 @@ def q88(spark, sf):
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("rep", "n_docs")
-        .orderBy("rep")
+        .transform(osort, table_rows(sf, "documents"), "rep")
     )
 
 
@@ -2625,7 +2677,7 @@ def q92(spark, sf):
         f.withColumn("_term", p * F.log(p))
         .groupBy("doc_id")
         .agg(F.round(-F.sum("_term"), 6).alias("entropy"))
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -2647,7 +2699,7 @@ def q93(spark, sf):
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("rep", "n_docs")
-        .orderBy("rep")
+        .transform(osort, table_rows(sf, "documents"), "rep")
     )
 
 
@@ -2700,7 +2752,7 @@ def q94(spark, sf):
         .filter(F.col("df") <= F.col("_nd") * 0.1)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_rare"))
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -2897,7 +2949,7 @@ def q98(spark, sf):
                 F.round(F.col("n_hit") * 100.0 / F.col("n_grams"), 4),
             ).otherwise(F.lit(0.0)),
         )
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -2992,7 +3044,7 @@ def q99(spark, sf):
                 ),
             ).otherwise(F.lit(0.0)).alias("dup_bigram_share"),
         )
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 
@@ -3124,7 +3176,7 @@ def q102(spark, sf):
         d2.join(F.broadcast(md), "source")
         .where((F.col("mad") > 0) & (F.abs(rz) > 2))
         .select("doc_id", "source", F.round(rz, 4).alias("rz"))
-        .orderBy("doc_id")
+        .transform(osort, table_rows(sf, "documents"), "doc_id")
     )
 
 

@@ -432,11 +432,14 @@ def test_version_diff_nan_to_nan_is_unchanged(store):
 def test_contamination_screen_corpus_is_map_only(spark):
     """q98: the corpus side must never shuffle — scoring is a per-row
     array_intersect against the broadcast benchmark gram set.  The only
-    exchange allowed is the benchmark fold's SinglePartition."""
+    exchanges allowed are the benchmark fold's SinglePartition and the
+    osort presentation gather (which replaced the range orderBy and its
+    per-action sampling pass — r8)."""
     q = QUERIES["q98_contamination_screen"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
-    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange SinglePartition") == 2, plan
 
 
 def test_sessionize_reuses_user_partitioning(spark):
