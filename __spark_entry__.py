@@ -48,15 +48,17 @@ _CHANGED_R8 = [
     "q94_rare_token_docs",
     "q99_repetition_screen",
     "q60_approx_percentile",
+    # late-r8 restructures: q90 lead-explode fill (grid join deleted),
+    # q65 single-pass funnel (total rides the md5 groupBy)
+    "q90_resample_ffill",
+    "q65_pipeline_compose",
     # osort()/gather-sort conversions (final presentation sort only;
     # values untouched, total order identical by construction)
     "q06_join_left",
     "q14_window_rank",
     "q16_window_frame",
-    "q19_string_funcs",
     "q20_date_funcs",
     "q21_math_funcs",
-    "q22_case_when",
     "q25_window_tumbling",
     "q26_window_sliding",
     "q45_asof_join",
@@ -73,16 +75,18 @@ _CHANGED_R8 = [
     "q98_contamination_screen",
     "q102_length_outliers",
 ]
-# Eight further osort-only conversions COULD NOT FIT in the 50-row
+# Ten further osort-only conversions COULD NOT FIT in the 50-row
 # driver window alongside the verdict-ordered stale rotation below
-# (46 changed + 12 stale = 58 > 50).  The overflow picks the eight
-# most mechanical sort-swaps — trivial projections (q05, q23, q52,
-# q63, q64, q76) and two literally-bounded psort outputs (q53, q75)
-# — whose exact row order IS exercised by the local parity suite
-# (tests/test_oracle_parity.py compares full collected output); they
-# are first in line for the r9 head.
+# (48 changed + 12 stale = 60 > 50).  The overflow picks the ten
+# most mechanical sort-swaps — trivial projections (q05, q19, q22,
+# q23, q52, q63, q64, q76) and two literally-bounded psort outputs
+# (q53, q75) — whose exact row order IS exercised by the local parity
+# suite (tests/test_oracle_parity.py compares full collected output);
+# they are first in line for the r9 head.
 _CHANGED_R8_OVERFLOW = [
     "q05_join_broadcast",
+    "q19_string_funcs",
+    "q22_case_when",
     "q23_array_funcs",
     "q52_exists_correlated",
     "q53_lateral_explode",

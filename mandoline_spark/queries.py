@@ -791,10 +791,13 @@ def q32(spark, sf):
     from .functions.multimodal import with_blob_metadata
 
     d = load(spark, sf, "documents")
-    blobs = ranged(d, "doc_id").select(
+    # osort gates the pre-UDF layout on catalog stats: bounded corpus →
+    # one-job gather (no range-sampling pass), at scale → the range
+    # exchange ranged() would place
+    blobs = osort(d, table_rows(sf, "documents"), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
-    # mapInPandas is order-preserving per partition, so the ranged
+    # mapInPandas is order-preserving per partition, so the ordered
     # layout survives the Arrow stage and no top-level sort re-executes
     # the Python workers for range sampling
     return with_blob_metadata(blobs, "blob").select(
@@ -820,10 +823,16 @@ def q33(spark, sf):
 
     li = load(spark, sf, "lineitem")
     return (
-        # filter BELOW the range exchange (pushes to the scan); the
-        # Arrow-batched UDF runs after it, once, order-preserving
-        ranged(li.filter(F.col("l_linenumber") == 1), "l_orderkey")
-        .select(
+        # filter BELOW the ordering exchange (pushes to the scan); the
+        # Arrow-batched UDF runs after it, once, order-preserving.
+        # osort gates the layout on catalog stats (l_linenumber == 1
+        # keeps one row per order): bounded → one-job gather, at scale
+        # → the range exchange, exactly ranged()'s layout
+        osort(
+            li.filter(F.col("l_linenumber") == 1),
+            table_rows(sf, "orders"),
+            "l_orderkey",
+        ).select(
             "l_orderkey",
             net_price("l_extendedprice", "l_discount").alias("net"),
         )
@@ -1754,22 +1763,27 @@ def q64(spark, sf):
 def q65(spark, sf):
     """Composition capstone: the curation funnel every training-data
     pipeline runs — quality scoring, language gating, and exact-hash
-    dedup — as ONE Catalyst plan (one scan of the corpus feeding both
-    the funnel and the total, no intermediate materialization)."""
+    dedup — as ONE Catalyst plan and ONE corpus scan: the funnel gate
+    becomes a per-row flag, the md5 groupBy counts every text group's
+    size and whether any member passed, and a scalar re-aggregate
+    yields survivors (groups with a passing member — a group's members
+    share text hence q, so this equals distinct-md5-of-kept) and total
+    (sum of group sizes) together.  The r6 shape paid a second corpus
+    scan + a broadcast-join job for the total."""
     from .functions.text import quality_score
 
     d = load_documents_wide(spark, sf)
-    kept = d.withColumn("q", quality_score(F.col("text"))).filter(
-        (F.col("q") >= 0.5) & (F.col("lang") == "en")
-    )
-    dedup = kept.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    total = load(spark, sf, "documents").agg(
-        F.count("*").alias("total")
-    )
-    return dedup.agg(F.count("*").alias("survivors")).join(
-        F.broadcast(total)
+    keep = (quality_score(F.col("text")) >= 0.5) & (F.col("lang") == "en")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(
+            F.count("*").alias("_sz"),
+            F.max(keep.cast("int")).alias("_any"),
+        )
+        .agg(
+            F.sum("_any").alias("survivors"),
+            F.sum("_sz").alias("total"),
+        )
     )
 
 
@@ -2558,52 +2572,73 @@ SELECT user_id, d, round(v, 6) AS v FROM ff ORDER BY user_id, d""",
 def q90(spark, sf):
     """Time-series resampling with forward fill: every (user, day) grid
     cell carries the user's last observed value at or before that day —
-    gap filling for irregular event streams.  The grid is generated
-    with sequence/explode (no driver loop), the per-day last value is
-    one window pass, and the fill is last-ignorenulls over the grid —
-    two shuffles on user, both O(grid)."""
+    gap filling for irregular event streams.
+
+    The grid is never JOINED: forward fill means each observed (user,
+    day) value covers exactly the days up to the user's next
+    observation, so one `lead` window over the per-day aggregate turns
+    every daily row into its covered day-range and a sequence explode
+    EMITS the filled grid directly (days before a user's first
+    observation ride along as a null-valued head range from the global
+    lower bound).  That deletes the r5 shape's users×days cross join,
+    the distinct-users exchange, and the grid⋈daily shuffle — the plan
+    is one (user, day) hash aggregate (map-side combinable, unlike the
+    old row_number window, which sorted) plus one user-ranged window,
+    both O(observed days), with the output streamed from the explode.
+    At 100 TB the grid never materializes as a join input at all."""
     e = load(spark, sf, "events")
-    daily_w = Window.partitionBy("user_id", "d").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
     daily = (
-        e.withColumn("d", F.date_trunc("day", "ts"))
-        .withColumn("rn", F.row_number().over(daily_w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "d", "value")
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("v"),
+        )
     )
     bounds = e.agg(
         F.min(F.date_trunc("day", "ts")).alias("d0"),
         F.max(F.date_trunc("day", "ts")).alias("d1"),
     )
-    grid = (
-        e.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
+    w = Window.partitionBy("user_id").orderBy("d")
+    n = spark.sparkContext.defaultParallelism
+    day = F.expr("interval 1 day")
+    # one ascending day sequence per daily row: the user's FIRST row
+    # starts at the global lower bound (its pre-observation days carry
+    # null), every row ends just before the next observation (or at
+    # the global upper bound) — exploded days < d are the null head
+    rng = F.sequence(
+        F.when(F.col("_rn") == 1, F.col("d0")).otherwise(F.col("d")),
+        F.coalesce(F.col("_nxt") - day, F.col("d1")),
+        day,
+    )
+    return (
+        daily.crossJoin(F.broadcast(bounds))
+        # range exchange on user_id feeds BOTH the lead window and the
+        # presentation order (see q14): the window's (user_id, d) sort
+        # is the collect order, the explode is order-preserving, and
+        # each row's day range is ascending by construction
+        .repartitionByRange(n, "user_id")
+        .withColumn("_nxt", F.lead("d").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        # a null-valued daily row must CARRY the previous observation
+        # (the fill ignores nulls) — same window, no extra sort
+        .withColumn(
+            "_fv",
+            F.last("v", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
         .select(
             "user_id",
-            F.explode(
-                F.expr("sequence(d0, d1, interval 1 day)")
-            ).alias("d"),
+            F.col("d").alias("_d0"),
+            F.round("_fv", 6).alias("_v"),
+            F.explode(rng).alias("d"),
         )
-    )
-    ff_w = (
-        Window.partitionBy("user_id")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    n = spark.sparkContext.defaultParallelism
-    return (
-        grid.join(daily, ["user_id", "d"], "left")
-        # range exchange on user_id feeds the fill window (see q14):
-        # the window's own (user_id, d) sort + range partitioning IS
-        # the presentation order, so the final orderBy (a third
-        # exchange + a sampling job that re-ran the whole fill) goes
-        .repartitionByRange(n, "user_id")
-        .withColumn("v", F.round(
-            F.last("value", ignorenulls=True).over(ff_w), 6
-        ))
-        .select("user_id", "d", "v")
+        .select(
+            "user_id",
+            "d",
+            F.when(F.col("d") < F.col("_d0"), F.lit(None).cast("double"))
+            .otherwise(F.col("_v"))
+            .alias("v"),
+        )
     )
 
 
@@ -2621,7 +2656,10 @@ def q91(spark, sf):
     """Star-schema join (TPC-H Q5 core): the fact table joins three
     dimensions; customer→nation broadcast, lineitem→orders as the one
     big shuffle — the plan shape Catalyst's join reordering + AQE
-    should produce, pinned by the declared result."""
+    should produce, pinned by the declared result.  (A shuffle_hash
+    hint on the orders side was measured r8: 0.87s vs SMJ's 0.63s at
+    sf0.1 — the per-partition hash build loses to the sort; SMJ
+    stands.)"""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
