@@ -171,6 +171,20 @@ def bench_array(spark) -> dict[str, float]:
         # future drift is visible as measurement, not regression.
         import gc as _gc
 
+        # One UNTIMED warmup scan first — the same treatment the query
+        # surface gets (its one-query warmup absorbs JVM/codegen
+        # first-run costs): across r5–r8 the FIRST scan of a fresh
+        # dataset was consistently the slowest of the five (page-cache
+        # population + codegen for the read path), e.g. r8 run 5:
+        # [8.46, 4.13, 5.82, 4.38, 4.62].  The warmup moves the
+        # measured five onto the steady state the median is meant to
+        # summarize; the run list still records all five timed runs.
+        warm = reader.get_slice(
+            conn, token, "v", sl.mk_slice((0, 0, 0), (X, Y, T))
+        )
+        assert warm.data.shape == (X, Y, T)
+        del warm
+
         scans = []
         for _ in range(5):
             _gc.collect()  # drop the previous 412 MiB python-side array
@@ -555,10 +569,13 @@ def main() -> None:
         ),
     }
     print(json.dumps(detail))
+    # Non-default SF runs (debug / verification passes at sf0.01) must
+    # not clobber the committed sf0.1 record — suffix their detail file.
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"),
+                         f"BENCH_DETAIL{suffix}.json"),
             "w",
         ) as f:
             json.dump(detail, f, indent=1)

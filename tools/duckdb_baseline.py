@@ -63,8 +63,11 @@ def run(sf_dir: str) -> dict:
     detail = {"queries": {k: round(v, 4) for k, v in times.items()},
               "total": total, "n": len(times), "sf_dir": sf_dir,
               "concurrent8_wall_sec": concurrent8}
+    # Non-default SF runs must not clobber the committed sf0.1 record
+    # (same guard as bench.py's BENCH_DETAIL write).
+    tag = "" if sf_dir.rstrip("/").endswith("sf0.1") else "_debug"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "..", "DUCKDB_DETAIL.json"), "w") as f:
+                           "..", f"DUCKDB_DETAIL{tag}.json"), "w") as f:
         json.dump(detail, f, indent=1)
     return detail
 
