@@ -651,3 +651,34 @@ def test_repetition_screen_has_no_join(spark):
     assert "Join" not in plan, plan
     # one split() in the whole plan: the tokenization runs once
     assert plan.count("split(text") == 1, plan
+
+
+def test_osort_branches_agree_and_gate_reads_no_jobs(spark):
+    """osort()'s contract (r8): below the catalog-stats cutover it
+    gathers to ONE partition (no range-sampling pass), above it it is
+    exactly orderBy, and BOTH branches produce the identical collected
+    row order.  The gate itself reads parquet footers driver-side —
+    building the gated plan must launch zero Spark jobs."""
+    from mandoline_spark.queries import _GATHER_MAX_ROWS, osort, table_rows
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") * 2654435761) % 997)
+        .select("k", "id")
+    )
+    low = osort(df, 1000, "k", "id")  # below cutover -> gather
+    high = osort(df, _GATHER_MAX_ROWS + 1, "k", "id")  # above -> orderBy
+    low_text = explain_str(low)
+    assert "rangepartitioning" not in low_text.lower(), low_text
+    assert "SinglePartition" in low_text, low_text
+    high_text = explain_str(high)
+    assert "rangepartitioning" in high_text.lower(), high_text
+    assert low.collect() == high.collect()
+
+    # the gate is driver-side metadata: plan construction runs no jobs
+    jsc = spark.sparkContext._jsc.sc()
+    table_rows(SF, "orders")  # prime the footer cache out of the count
+    ids0 = set(jsc.statusTracker().getJobIdsForGroup(None))
+    n = table_rows(SF, "orders")
+    assert n > 0
+    assert set(jsc.statusTracker().getJobIdsForGroup(None)) == ids0
