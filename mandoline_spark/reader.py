@@ -308,6 +308,44 @@ def get_slice(
         touched_bytes <= 16 << 20 or 2 * requested_bytes >= touched_bytes
     )
     if small:
+        # Direct chunk paste: the driver loop is the serial tail of
+        # every small/full read, and per-chunk Slab/Slice construction
+        # (intersect → merge → to_numpy_index tuple machinery) measured
+        # ~0.5 s of the perf-shape full scan's ~1.0 s Python loop
+        # (cProfile, 8,400 chunks).  Base chunks are stored FULL
+        # chunk-grid size (fill beyond the extent — chunk.clj:27-33),
+        # so a stored blob of exactly chunk-size bytes pastes as a
+        # reshaped view with three max/min clips; anything else (e.g.
+        # a future partial piece) falls back to the general slab merge.
+        import numpy as np
+
+        le_dtype = sb.as_dtype(type_name).newbyteorder("<")
+        cdims = grid.step
+        chunk_nbytes = le_dtype.itemsize
+        for c in cdims:
+            chunk_nbytes *= c
+        rstart, rstop = request.start, request.stop
+
+        def _paste(coord: tuple, buf) -> None:
+            if len(buf) != chunk_nbytes:
+                chunk_slice = ck.from_chunk_coordinate(grid, coord)
+                slab = sb.from_bytes(
+                    bytes(buf), type_name, chunk_slice, copy=False
+                )
+                sb.merge(result, sb.intersect(slab, request))
+                return
+            dst, src = [], []
+            for k, c, rs, re_ in zip(coord, cdims, rstart, rstop):
+                s = k * c
+                lo = s if s > rs else rs
+                hi = s + c if s + c < re_ else re_
+                if lo >= hi:
+                    return
+                dst.append(slice(lo - rs, hi - rs))
+                src.append(slice(lo - s, hi - s))
+            view = np.frombuffer(buf, dtype=le_dtype).reshape(cdims)
+            result.data[tuple(dst)] = view[tuple(src)]
+
         # cached path: coord→hash map + blob LRU ⇒ repeated reads of
         # warm chunks run ZERO Spark jobs (the reference's read-wrapper
         # stack: CachingChunkStore + read-only index cache)
@@ -325,11 +363,7 @@ def get_slice(
             blobs = conn.blobs_for([imap[c] for c in coords])
             if blobs is not None:
                 for c in coords:
-                    chunk_slice = ck.from_chunk_coordinate(grid, c)
-                    slab = sb.from_bytes(
-                        blobs[imap[c]], type_name, chunk_slice, copy=False
-                    )
-                    sb.merge(result, sb.intersect(slab, request))
+                    _paste(c, blobs[imap[c]])
                 return result
         idx = pruned_index_df(conn, token, var, request)
         chunks = conn.chunks_df()
@@ -342,25 +376,31 @@ def get_slice(
         # object per chunk (412 MiB perf-shape full scan: collect phase
         # 1.3 s vs 2-5 s via pandas, and ~half the peak driver
         # allocations, which is what the GC variance fed on)
-        tbl = (
-            _join_blobs(conn, token, var, request, idx, chunks)
-            .select(*ccols, "blob")
-            .toArrow()
+        blobs_df = _join_blobs(conn, token, var, request, idx, chunks).select(
+            *ccols, "blob"
         )
+        # Rebalance DECOMPRESSED bytes before the Arrow conversion —
+        # the same guard _pieces_df applies to its decode stage.  Scan
+        # splits are packed by ON-DISK file size, and regular array
+        # data compresses 100-1000x under zstd, so a large read's
+        # conversion work can land on one task (measured on the
+        # perf-shape full scan: 82% of rows in one split; toArrow 3.0 s
+        # skewed vs 0.85 s after repartition(32) INCLUDING the 412 MiB
+        # exchange).  Small reads keep their natural partitioning — the
+        # exchange would dominate their runtime.
+        cores = conn.spark.sparkContext.defaultParallelism
+        target = _decode_parallelism(conn, token, var, request)
+        if target >= cores:
+            blobs_df = blobs_df.repartition(target, *ccols)
+        tbl = blobs_df.toArrow()
         coord_cols = [tbl.column(c).to_numpy() for c in ccols]
         row_i = 0
         for arr_chunk in tbl.column("blob").chunks:
             for k in range(len(arr_chunk)):
                 coord = tuple(int(cc[row_i]) for cc in coord_cols)
                 row_i += 1
-                chunk_slice = ck.from_chunk_coordinate(grid, coord)
-                slab = sb.from_bytes(
-                    arr_chunk[k].as_buffer(),
-                    type_name,
-                    chunk_slice,
-                    copy=False,
-                )
-                sb.merge(result, sb.intersect(slab, request))
+                # pyarrow Buffer feeds np.frombuffer zero-copy
+                _paste(coord, arr_chunk[k].as_buffer())
         return result
 
     pieces = _pieces_df(conn, token, var, request)
