@@ -254,6 +254,48 @@ def stream(
     return _iter()
 
 
+# Volume floor for the small-read rebalance: below this many touched
+# bytes the exchange costs more latency than the skew it prevents.
+_REBALANCE_MIN_BYTES = 64 << 20
+
+
+def _small_read_blobs_df(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    request: Slice,
+    touched_bytes: int,
+) -> DataFrame | None:
+    """(coords…, blob) plan for the driver-side small-read path, or
+    None when the variable has no stored chunks.
+
+    Rebalances DECOMPRESSED bytes before the Arrow conversion — the
+    same guard :func:`_pieces_df` applies to its decode stage.  Scan
+    splits are packed by ON-DISK file size, and regular array data
+    compresses 100-1000x under zstd, so a large read's conversion work
+    can land on one task (measured on the 8,400-chunk perf-shape full
+    scan: 82% of rows in one split; toArrow 3.0 s skewed vs 0.85 s
+    after repartition(32) INCLUDING the 412 MiB exchange).  Small
+    reads keep their natural partitioning — the exchange would
+    dominate their runtime — with a volume floor on top of the
+    task-count guard: a many-chunk but small read (e.g. 64 tiny
+    chunks) satisfies target >= cores yet gains nothing from an
+    exchange."""
+    idx = pruned_index_df(conn, token, var, request)
+    chunks = conn.chunks_df()
+    if idx is None or chunks is None:
+        return None
+    ccols = [f"c{i}" for i in range(request.ndim)]
+    blobs_df = _join_blobs(conn, token, var, request, idx, chunks).select(
+        *ccols, "blob"
+    )
+    cores = conn.spark.sparkContext.defaultParallelism
+    target = _decode_parallelism(conn, token, var, request)
+    if target >= cores and touched_bytes > _REBALANCE_MIN_BYTES:
+        blobs_df = blobs_df.repartition(target, *ccols)
+    return blobs_df
+
+
 def get_slice(
     conn: Connection,
     token: Mapping[str, Any],
@@ -365,9 +407,10 @@ def get_slice(
                 for c in coords:
                     _paste(c, blobs[imap[c]])
                 return result
-        idx = pruned_index_df(conn, token, var, request)
-        chunks = conn.chunks_df()
-        if idx is None or chunks is None:
+        blobs_df = _small_read_blobs_df(
+            conn, token, var, request, touched_bytes
+        )
+        if blobs_df is None:
             return result
         ccols = [f"c{i}" for i in range(request.ndim)]
         # toArrow, not toPandas/collect: the blob column stays in raw
@@ -376,22 +419,6 @@ def get_slice(
         # object per chunk (412 MiB perf-shape full scan: collect phase
         # 1.3 s vs 2-5 s via pandas, and ~half the peak driver
         # allocations, which is what the GC variance fed on)
-        blobs_df = _join_blobs(conn, token, var, request, idx, chunks).select(
-            *ccols, "blob"
-        )
-        # Rebalance DECOMPRESSED bytes before the Arrow conversion —
-        # the same guard _pieces_df applies to its decode stage.  Scan
-        # splits are packed by ON-DISK file size, and regular array
-        # data compresses 100-1000x under zstd, so a large read's
-        # conversion work can land on one task (measured on the
-        # perf-shape full scan: 82% of rows in one split; toArrow 3.0 s
-        # skewed vs 0.85 s after repartition(32) INCLUDING the 412 MiB
-        # exchange).  Small reads keep their natural partitioning — the
-        # exchange would dominate their runtime.
-        cores = conn.spark.sparkContext.defaultParallelism
-        target = _decode_parallelism(conn, token, var, request)
-        if target >= cores:
-            blobs_df = blobs_df.repartition(target, *ccols)
         tbl = blobs_df.toArrow()
         coord_cols = [tbl.column(c).to_numpy() for c in ccols]
         row_i = 0
