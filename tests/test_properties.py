@@ -214,13 +214,23 @@ def test_spark_roundtrip_random_writes(data, store_factory):
     writer.write_variable(conn, token, "v", slabs)
     conn.finish_version(token)
 
+    token = reader.on_last_version(conn)
     got = reader.get_slice(
-        conn,
-        reader.on_last_version(conn),
-        "v",
-        sl.mk_slice(tuple(0 for _ in dims), dims),
+        conn, token, "v", sl.mk_slice(tuple(0 for _ in dims), dims)
     )
     np.testing.assert_array_equal(got.data, oracle)
+
+    # partial request: exercises the chunk-clip branches of the read
+    # path (r8 direct-paste fast path clips per-dim with max/min)
+    rstart = tuple(int(rng.integers(0, d)) for d in dims)
+    rstop = tuple(
+        int(rng.integers(s + 1, d + 1)) for s, d in zip(rstart, dims)
+    )
+    part = reader.get_slice(conn, token, "v", sl.mk_slice(rstart, rstop))
+    np.testing.assert_array_equal(
+        part.data,
+        oracle[tuple(slice(a, b) for a, b in zip(rstart, rstop))],
+    )
 
 
 @settings(
