@@ -61,6 +61,11 @@ from .core import slab as sb
 # existing")
 _NAME_RE = re.compile(r"^(?!\.+$)[A-Za-z0-9_.-]+$")
 
+# sentinel: a local (pyarrow) index resolution whose footer row-count
+# bound exceeded the driver-map cap — delegate to the Spark
+# limit-collect, which decides exactly
+_SPARK_RESOLVE = object()
+
 
 def parse_uri(uri: str) -> tuple[str, str, int | None]:
     """``mand://<store-root>/<dataset>[#<version>]`` → (root, dataset,
@@ -419,6 +424,81 @@ class Connection:
 
     # -- driver-side read-through caches -------------------------------------
 
+    def _local_index_plan(
+        self, version: int, var: str
+    ) -> list[tuple[int, int]] | None:
+        """Generation application order for the resolved (version, var)
+        index — the driver-side mirror of :meth:`resolve_index_df` /
+        :meth:`index_df` (version fallback, newest full + later deltas,
+        delta-only base pulled from the nearest ancestor, recursively).
+        Pure fs metadata: no Spark involvement.  None ⇔ no version has
+        written the variable."""
+        gens = self.index_gens(version, var)
+        if not gens:
+            for vid in self.version_ids():  # newest first
+                if vid < version and self.index_gens(vid, var):
+                    return self._local_index_plan(vid, var)
+            return None
+        last_full = None
+        for g in gens:
+            if not self.index_gen_is_delta(version, var, g):
+                last_full = g
+        if last_full is not None:
+            return [(version, g) for g in gens if g >= last_full]
+        base: list[tuple[int, int]] = []
+        for vid in self.version_ids():  # newest first
+            if vid < version and self.index_gens(vid, var):
+                base = self._local_index_plan(vid, var) or []
+                break
+        return base + [(version, g) for g in gens]
+
+    def _local_index_map(self, version: int, var: str, cap: int):
+        """Driver-side index resolution for LOCAL stores: read the
+        generation parquet files with pyarrow and fold the overlay into
+        a dict — ZERO Spark jobs, no overlay-plan construction (the
+        Spark resolution costs one job plus per-generation relation
+        setup, ~0.3-0.5 s of a cold small read at overlay depth 10).
+        Scale guard rides the parquet FOOTERS: the summed row count of
+        every generation in the plan is an upper bound on the resolved
+        index size, so if it exceeds ``cap`` the answer is delegated to
+        the Spark limit-collect (returns ``_SPARK_RESOLVE``), which
+        decides exactly.  Bytes read stay ≤ the index generations a
+        Spark resolution would scan anyway."""
+        import pyarrow.parquet as pq
+
+        plan = self._local_index_plan(version, var)
+        if plan is None:
+            return None
+        files: list[tuple[str, object]] = []  # (path, ParquetFile)
+        total = 0
+        for vid, g in plan:
+            d = self.index_path(vid, var, g)
+            for fn in self.fs.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(d, fn))
+                total += pf.metadata.num_rows
+                files.append((os.path.join(d, fn), pf))
+        if total > cap:
+            return _SPARK_RESOLVE
+        m: dict = {}
+        # plan order is application order: later gens overwrite
+        for path, pf in files:
+            ccols = sorted(
+                (
+                    c
+                    for c in pf.schema_arrow.names
+                    if re.match(r"^c\d+$", c)
+                ),
+                key=lambda c: int(c[1:]),
+            )
+            tbl = pf.read(columns=ccols + ["chunk_hash"])
+            cols = [tbl.column(c).to_pylist() for c in ccols]
+            hashes = tbl.column("chunk_hash").to_pylist()
+            for i, h in enumerate(hashes):
+                m[tuple(int(c[i]) for c in cols)] = h
+        return m
+
     def index_map(self, version: int, var: str) -> dict | None:
         """coord-tuple → chunk hash for the RESOLVED (version, var)
         index, collected to the driver once and memoized.  Returns None
@@ -430,6 +510,12 @@ class Connection:
         key = (version, var)
         if key in self._index_map_cache:
             return self._index_map_cache[key]
+        cap = self.index_map_max_entries
+        if isinstance(self.fs, fsmod.LocalFS):
+            local = self._local_index_map(version, var, cap)
+            if local is not _SPARK_RESOLVE:
+                self._index_map_cache[key] = local
+                return local
         idx = self.resolve_index_df(version, var)
         if idx is None:
             self._index_map_cache[key] = None
@@ -446,7 +532,6 @@ class Connection:
         # (~80ms/job of local-mode floor, and a real scheduling
         # round-trip per read on a cluster).  Collected bytes stay
         # bounded: ≤ (max+1) rows of ints + one 40-char hash.
-        cap = self.index_map_max_entries
         rows = idx.select(*ccols, "chunk_hash").limit(cap + 1).collect()
         if len(rows) > cap:
             self._index_map_cache[key] = None

@@ -335,3 +335,56 @@ def test_deep_random_delta_chain_matches_numpy_oracle(store):
         conn, conn.metadata(vid), "foo", sl.mk_slice((2, 2), (6, 6))
     ).data
     np.testing.assert_array_equal(got, oracle[2:6, 2:6])
+
+
+def test_local_index_map_matches_spark_resolution(store, spark):
+    """The pyarrow driver-side index resolution (r8: zero-Spark-job
+    small reads on local stores) must agree with resolve_index_df on
+    overlay chains, same-version last-writer-wins, version fallback,
+    and delta-only bases — and must launch ZERO Spark jobs."""
+    conn = store.create_dataset("lim")
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [_slab(FULL, 1)])
+    writer.write_variable(
+        conn, t, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    writer.write_variable(
+        conn, t, "foo", [_slab(TOP_LEFT, 3)], index_mode="delta"
+    )
+    v1 = conn.finish_version(t)
+    # v2: delta-only (base pulled from v1), v3: never writes foo
+    t2 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t2, "foo",
+        [_slab(sl.mk_slice((4, 4), (8, 8)), 4)], index_mode="delta",
+    )
+    v2 = conn.finish_version(t2)
+    t3 = conn.add_version(DDS)  # never writes foo: pure version fallback
+    v3 = conn.finish_version(t3)
+
+    conn.cache_reads = True
+    jsc = spark.sparkContext._jsc.sc()
+    for vid in (v1, v2, v3):
+        conn.invalidate_cache()
+        ids0 = set(jsc.statusTracker().getJobIdsForGroup(None))
+        m = conn.index_map(vid, "foo")
+        assert set(jsc.statusTracker().getJobIdsForGroup(None)) == ids0, (
+            "local index_map launched Spark jobs"
+        )
+        idx = conn.resolve_index_df(vid, "foo")
+        want = {
+            (r["c0"], r["c1"]): r["chunk_hash"]
+            for r in idx.select("c0", "c1", "chunk_hash").collect()
+        }
+        assert m == want, (vid, m, want)
+
+    # footer-sum > cap but resolved size <= cap: must DELEGATE to the
+    # Spark limit-collect (which succeeds), not refuse
+    conn.invalidate_cache()
+    conn.index_map_max_entries = 4  # resolved v1 index = 4 chunks
+    m = conn.index_map(v1, "foo")  # gens hold 4 + 1 + 1 = 6 rows
+    assert m is not None and len(m) == 4
+    # and a genuinely-too-big resolved index still refuses
+    conn.invalidate_cache()
+    conn.index_map_max_entries = 3
+    assert conn.index_map(v1, "foo") is None
