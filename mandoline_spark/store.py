@@ -214,6 +214,16 @@ class Connection:
     _index_map_cache: dict = field(default_factory=dict, repr=False)
     blob_lru_size: int = 1000
     index_map_max_entries: int = 2_000_000
+    # Driver-side blob point-fetch eligibility: when the LOCAL chunk
+    # table's on-disk footprint is under this bound, LRU misses are
+    # read with pyarrow on the driver (statistics-pruned, zero Spark
+    # jobs — the interactive point-read path); above it, misses go
+    # through the filtered Spark scan.  The measured size is memoized
+    # and cleared with the table caches, so it can go stale against a
+    # CONCURRENT writer — the consequence is bounded extra driver
+    # bytes on one fetch, never wrong data (content addressing).
+    blob_local_fetch_max_bytes: int = 256 << 20
+    _chunks_disk_bytes: int | None = field(default=None, repr=False)
 
     def __post_init__(self):
         if self.fs is None:
@@ -421,6 +431,7 @@ class Connection:
         self._df_cache.clear()
         self._blob_lru.clear()
         self._index_map_cache.clear()
+        self._chunks_disk_bytes = None
 
     # -- driver-side read-through caches -------------------------------------
 
@@ -543,6 +554,40 @@ class Connection:
         self._index_map_cache[key] = m
         return m
 
+    def _local_blobs(self, hashes: list[str]) -> dict[str, bytes] | None:
+        """Driver-side point fetch of chunk blobs for LOCAL stores whose
+        chunk table fits ``blob_local_fetch_max_bytes`` on disk: a
+        pyarrow dataset scan filtered on the content hash — zero Spark
+        jobs (the Spark path's filtered scan costs a scheduling
+        round-trip per cold read, the dominant cost of interactive
+        point reads).  Returns None when not eligible (remote fs, big
+        table, no chunks yet) — the caller falls back to the Spark
+        scan.  pyarrow prunes row groups on hash statistics where they
+        help; worst case it reads a table already bounded by the byte
+        cap."""
+        if not isinstance(self.fs, fsmod.LocalFS):
+            return None
+        path = self.chunks_path()
+        if not _has_parquet(self.fs, path):
+            return None
+        if self._chunks_disk_bytes is None:
+            self._chunks_disk_bytes = self.fs.tree_size(path)
+        if self._chunks_disk_bytes > self.blob_local_fetch_max_bytes:
+            return None
+        import pyarrow.dataset as pads
+
+        want = set(hashes)
+        tbl = pads.dataset(path, format="parquet").to_table(
+            columns=["hash", "blob"],
+            filter=pads.field("hash").isin(list(want)),
+        )
+        h = tbl.column("hash").to_pylist()
+        b = tbl.column("blob")
+        out = {h[i]: b[i].as_py() for i in range(len(h))}
+        if set(out) != want:
+            return None  # store inconsistency; let the caller decide
+        return out
+
     def blobs_for(self, hashes: list[str]) -> dict[str, bytes] | None:
         """hash → raw blob bytes through the LRU (read-through: misses
         are fetched in one filtered job, hits cost nothing)."""
@@ -550,21 +595,29 @@ class Connection:
             return None
         out: dict[str, bytes] = {}
         missing = []
-        for h in hashes:
+        # DISTINCT misses: content addressing dedups identical chunks,
+        # so a read of n chunks may carry repeated hashes — counting
+        # occurrences instead of distinct keys made the inconsistency
+        # check below false-fire and silently pushed every such read
+        # off the cached path (latent until a test wrote same-content
+        # chunks)
+        for h in dict.fromkeys(hashes):
             if h in self._blob_lru:
                 self._blob_lru[h] = self._blob_lru.pop(h)  # mark recent
                 out[h] = self._blob_lru[h]
             else:
                 missing.append(h)
         if missing:
-            chunks = self.chunks_df()
-            if chunks is None:
-                return None
-            pdf = chunks.filter(chunks.hash.isin(missing)).toPandas()
-            got = {
-                r.hash: bytes(r.blob)
-                for r in pdf.itertuples(index=False)
-            }
+            got = self._local_blobs(missing)
+            if got is None:
+                chunks = self.chunks_df()
+                if chunks is None:
+                    return None
+                pdf = chunks.filter(chunks.hash.isin(missing)).toPandas()
+                got = {
+                    r.hash: bytes(r.blob)
+                    for r in pdf.itertuples(index=False)
+                }
             if len(got) < len(missing):
                 return None  # store inconsistency; let caller fall back
             for h, b in got.items():

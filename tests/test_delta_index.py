@@ -378,6 +378,27 @@ def test_local_index_map_matches_spark_resolution(store, spark):
         }
         assert m == want, (vid, m, want)
 
+    # the combination (driver-side index + driver-side blob point
+    # fetch) makes a fully COLD small read ZERO Spark jobs on a local
+    # store — and it must still read the right bytes
+    conn.invalidate_cache()
+    ids0 = set(jsc.statusTracker().getJobIdsForGroup(None))
+    got = _read(conn, v2)
+    assert set(jsc.statusTracker().getJobIdsForGroup(None)) == ids0, (
+        "cold local small read launched Spark jobs"
+    )
+    want = np.full((8, 8), 1, np.int32)
+    want[0:4, 0:4] = 3
+    want[4:8, 4:8] = 4
+    np.testing.assert_array_equal(got, want)
+
+    # ineligible blob fetch (cap 0) falls back to the Spark scan with
+    # identical results
+    conn.invalidate_cache()
+    conn.blob_local_fetch_max_bytes = 0
+    np.testing.assert_array_equal(_read(conn, v2), want)
+    conn.blob_local_fetch_max_bytes = 256 << 20
+
     # footer-sum > cap but resolved size <= cap: must DELEGATE to the
     # Spark limit-collect (which succeeds), not refuse
     conn.invalidate_cache()
