@@ -480,21 +480,21 @@ class Connection:
         plan = self._local_index_plan(version, var)
         if plan is None:
             return None
-        files: list[tuple[str, object]] = []  # (path, ParquetFile)
+        files: list = []  # ParquetFile handles, plan order
         total = 0
         for vid, g in plan:
             d = self.index_path(vid, var, g)
-            for fn in self.fs.listdir(d):
+            for fn in sorted(self.fs.listdir(d)):
                 if not fn.endswith(".parquet"):
                     continue
                 pf = pq.ParquetFile(os.path.join(d, fn))
                 total += pf.metadata.num_rows
-                files.append((os.path.join(d, fn), pf))
+                files.append(pf)
         if total > cap:
             return _SPARK_RESOLVE
         m: dict = {}
         # plan order is application order: later gens overwrite
-        for path, pf in files:
+        for pf in files:
             ccols = sorted(
                 (
                     c

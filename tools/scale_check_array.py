@@ -16,15 +16,21 @@ chunks; 412 MiB / 824 MiB / 1.65 GiB) and times:
 - **ten random 10^3-cell slice reads**: the index-pruned interactive
   path whose cost should track the SLICE, not the corpus.
 
-Round-8 findings (local[32], /tmp store, best-of-2): ingest 3.9 s /
-5.6 s / 8.4 s (1x / 1.4x / 2.1x at 4x the bytes — SUBLINEAR: the
-fixed commit/planning cost amortizes and the write path is
-embarrassingly parallel), distributed scan 2.6 s / 3.6 s / 5.2 s
-(1x / 1.3x / 2.0x — same shape), ten slice reads 4-5 s FLAT across
-all three corpus sizes (pruned-index reads scale with the request,
-not the corpus).  Sublinear-in-bytes bulk paths + corpus-independent
-point reads are exactly the two properties a 1000-executor
-deployment needs.
+Round-8 findings (local[32], /tmp store, best-of-2; re-measured after
+the late-r8 read-path work): ingest 2.9 s / 3.0 s / 4.3 s (1x / 1.0x /
+1.5x at 4x the bytes — SUBLINEAR: the fixed commit/planning cost
+amortizes and the write path is embarrassingly parallel), distributed
+scan 1.8 s / 2.6 s / 4.9 s (1x / 1.4x / 2.7x — tracks bytes once the
+fixed cost amortizes), ten slice reads ~3 s FLAT across all three
+corpus sizes on the pure-distributed path measured here (cache
+wrappers off: every read pays its Spark jobs; pruned-index reads
+scale with the request, not the corpus).  With the reference's
+read-through cache stack on (``cache_reads=True``) the same ten cold
+reads measure 0.15 s on a local store — driver-side footer-bounded
+index + point blob fetch, zero Spark jobs (bench.py
+``arr_read_slices_x10``).  Sublinear-in-bytes bulk paths +
+corpus-independent point reads are exactly the two properties a
+1000-executor deployment needs.
 
 Usage: PYTHONPATH=<repo> python tools/scale_check_array.py
 """
