@@ -217,7 +217,11 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         if refs is not None
         else chunks.limit(0)
     )
-    live.write.mode("overwrite").parquet(new_path)
+    from .writer import chunk_table_writer
+
+    # same write options as the ingest path (hash bloom filter): a
+    # vacuum rewrite must not silently degrade point-fetch pruning
+    chunk_table_writer(live).mode("overwrite").parquet(new_path)
     if refs is not None:
         refs.unpersist()
     kept = total - n_dead

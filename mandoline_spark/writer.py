@@ -398,6 +398,28 @@ def _dedup_by_hash(new_chunks: DataFrame) -> DataFrame:
     return tagged.join(F.broadcast(winners), ["hash", "_rid"]).drop("_rid")
 
 
+def chunk_table_writer(df: DataFrame):
+    """Chunk-table parquet writer: bloom filter on the content hash.
+
+    Point fetches filter the chunk table by hash, and SHA-1 hashes are
+    uniformly random, so per-row-group min/max statistics never prune —
+    every lookup otherwise scans every row group's hash column.  A
+    bloom filter restores row-group skipping for equality/IN
+    predicates on exactly that access path (measured on a 366 MB
+    45-row-group incompressible table, 5-hash IN: Spark filtered scan
+    0.32 s → 0.23 s warm local disk; cold object storage skips the
+    row-group IO itself).  ``expected.ndv`` is sized to the chunk
+    shape — a 128 MB row group holds ~2,400 reference-sized (53 KiB)
+    chunks, so 16K ndv keeps the false-positive rate < 1 % up to 6x
+    smaller chunks at ~29 KiB of filter per row group (the parquet-mr
+    DEFAULT ndv of 1M costs ~1.4 MiB per row group — measured +19 %
+    file size on the same table; sized, the overhead is < 0.1 %)."""
+    return (
+        df.write.option("parquet.bloom.filter.enabled#hash", "true")
+        .option("parquet.bloom.filter.expected.ndv#hash", str(16 * 1024))
+    )
+
+
 def _commit_merged(
     conn: Connection,
     token: Mapping[str, Any],
@@ -450,7 +472,7 @@ def _commit_merged(
     batch_dir = os.path.join(
         conn.chunks_path(), f"job-{uuid.uuid4().hex[:12]}"
     )
-    new_chunks.write.mode("overwrite").parquet(batch_dir)
+    chunk_table_writer(new_chunks).mode("overwrite").parquet(batch_dir)
 
     # 2. Write the next index generation: written coords take the
     #    new hash.  Full mode also carries every untouched base

@@ -409,3 +409,43 @@ def test_local_index_map_matches_spark_resolution(store, spark):
     conn.invalidate_cache()
     conn.index_map_max_entries = 3
     assert conn.index_map(v1, "foo") is None
+
+
+def test_chunk_table_carries_hash_bloom_filter(store, spark):
+    """Chunk-table part files must carry a bloom filter on `hash`
+    (r8: SHA-1 hashes defeat min/max pruning, so point fetches would
+    otherwise scan every row group; verified through the parquet-mr
+    footer, which records a bloom offset per column chunk)."""
+    conn = store.create_dataset("bloomed")
+    t = conn.add_version(DDS)
+    writer.write_variable(conn, t, "foo", [_slab(FULL, 9)])
+    conn.finish_version(t)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    found = []
+    chunks_dir = conn.chunks_path()
+    for sub in conn.fs.listdir(chunks_dir):
+        d = os.path.join(chunks_dir, sub)
+        if not conn.fs.isdir(d):
+            continue
+        for fn in conn.fs.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(d, fn))
+            footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                hconf, p
+            )
+            for b in footer.getBlocks():
+                for c in b.getColumns():
+                    col = ".".join(c.getPath().toArray())
+                    off = c.getBloomFilterOffset()
+                    found.append((col, off >= 0))
+    assert found, "no chunk part files found"
+    by_col = {}
+    for col, has in found:
+        by_col.setdefault(col, set()).add(has)
+    assert by_col["hash"] == {True}, by_col
+    # blob column carries no filter (pure payload; nothing equality-
+    # filters on it)
+    assert by_col["blob"] == {False}, by_col
