@@ -288,3 +288,15 @@ def test_delta_overlay_matches_numpy_across_versions(data, store_factory):
     for vid, want in mirrors.items():
         got = reader.get_slice(conn, conn.metadata(vid), "v", full)
         np.testing.assert_array_equal(got.data, want)
+
+    # same reads through the cached tier (r8: on a local store the
+    # index resolves driver-side from parquet footers and blob misses
+    # are a pyarrow point fetch) — randomized full/delta/compaction
+    # interleavings must agree with the numpy mirror on BOTH tiers
+    conn.cache_reads = True
+    for vid, want in mirrors.items():
+        conn.invalidate_cache()
+        got = reader.get_slice(conn, conn.metadata(vid), "v", full)
+        np.testing.assert_array_equal(got.data, want)
+    conn.cache_reads = False
+    conn.invalidate_cache()
