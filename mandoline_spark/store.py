@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Mapping
 
@@ -224,6 +225,13 @@ class Connection:
     # bytes on one fetch, never wrong data (content addressing).
     blob_local_fetch_max_bytes: int = 256 << 20
     _chunks_disk_bytes: int | None = field(default=None, repr=False)
+    # Serializes the driver-side cache mutations (blob LRU eviction,
+    # index-map memo): one Connection is routinely shared by
+    # concurrent reader threads (the bench's concurrent8 run, any
+    # multi-threaded driver), and the LRU's read-then-evict sequence
+    # is not atomic under the GIL.  Guards dict bookkeeping only —
+    # Spark actions and pyarrow reads run outside it.
+    _cache_lock: object = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
         if self.fs is None:
@@ -429,9 +437,10 @@ class Connection:
         for df in self._df_cache.values():
             df.unpersist()
         self._df_cache.clear()
-        self._blob_lru.clear()
-        self._index_map_cache.clear()
-        self._chunks_disk_bytes = None
+        with self._cache_lock:
+            self._blob_lru.clear()
+            self._index_map_cache.clear()
+            self._chunks_disk_bytes = None
 
     # -- driver-side read-through caches -------------------------------------
 
@@ -601,12 +610,14 @@ class Connection:
         # check below false-fire and silently pushed every such read
         # off the cached path (latent until a test wrote same-content
         # chunks)
-        for h in dict.fromkeys(hashes):
-            if h in self._blob_lru:
-                self._blob_lru[h] = self._blob_lru.pop(h)  # mark recent
-                out[h] = self._blob_lru[h]
-            else:
-                missing.append(h)
+        with self._cache_lock:
+            for h in dict.fromkeys(hashes):
+                if h in self._blob_lru:
+                    # mark recent
+                    self._blob_lru[h] = self._blob_lru.pop(h)
+                    out[h] = self._blob_lru[h]
+                else:
+                    missing.append(h)
         if missing:
             got = self._local_blobs(missing)
             if got is None:
@@ -620,11 +631,12 @@ class Connection:
                 }
             if len(got) < len(missing):
                 return None  # store inconsistency; let caller fall back
-            for h, b in got.items():
-                out[h] = b
-                self._blob_lru[h] = b
-                while len(self._blob_lru) > self.blob_lru_size:
-                    self._blob_lru.pop(next(iter(self._blob_lru)))
+            with self._cache_lock:
+                for h, b in got.items():
+                    out[h] = b
+                    self._blob_lru[h] = b
+                    while len(self._blob_lru) > self.blob_lru_size:
+                        self._blob_lru.pop(next(iter(self._blob_lru)))
         return out
 
     def chunks_df(self) -> DataFrame | None:

@@ -213,3 +213,49 @@ def test_stale_claim_blocks_full_mode_until_released(store):
     oracle[0:7, 0:7] = 1
     oracle[7:14, 7:14] = 2
     np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_threaded_cached_reads_one_connection(store):
+    """Eight reader threads hammer ONE cache_reads connection (the
+    concurrent8 bench shape): the r8 cache lock must keep the blob
+    LRU's read-then-evict bookkeeping consistent — every thread reads
+    the correct bytes and the LRU never exceeds its bound."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("threaded")
+    dds = {
+        "dimensions": {"x": 40},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    t = conn.add_version(dds)
+    data = np.arange(40, dtype=np.int32)
+    writer.write_variable(
+        conn, t, "v", [sb.Slab(data, sl.mk_slice((0,), (40,)))]
+    )
+    vid = conn.finish_version(t)
+    conn.cache_reads = True
+    conn.blob_lru_size = 3  # force constant eviction churn
+    token = reader.on_version(conn, vid)
+
+    def read_some(seed: int) -> bool:
+        rng = np.random.default_rng(seed)
+        for _ in range(30):
+            a = int(rng.integers(0, 39))
+            b = int(rng.integers(a + 1, 41))
+            got = reader.get_slice(conn, token, "v", sl.mk_slice((a,), (b,)))
+            if not np.array_equal(got.data, data[a:b]):
+                return False
+        return True
+
+    with ThreadPoolExecutor(8) as pool:
+        assert all(pool.map(read_some, range(8)))
+    assert len(conn._blob_lru) <= conn.blob_lru_size
