@@ -776,7 +776,12 @@ class Connection:
         a variable not rewritten in a version reads its most recent
         data; uncommitted versions are invisible, failed_ingest.clj).
         Because history is linear (commit enforces parent == last) the
-        committed-ids walk IS the parent chain."""
+        committed-ids walk IS the parent chain.
+
+        MIRROR: :meth:`_local_index_plan` re-implements this selection
+        driver-side (with :meth:`index_df`'s full/delta/base rules) for
+        the job-free local read tier; a semantics change here must land
+        there too — test_delta_index pins their equivalence."""
         if self.index_gens(version, var):
             return self.index_df(version, var)
         for vid in self.version_ids():  # newest first
