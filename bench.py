@@ -152,6 +152,27 @@ def bench_array(spark) -> dict[str, float]:
             conn.finish_version(tok)
             ingests.append(time.perf_counter() - t0)
         out["arr_ingest_412mb"] = round(min(ingests), 4)
+        # Generator share, recorded so the ingest number is
+        # interpretable: the timed pipeline necessarily includes the
+        # bench's OWN executor-side data generator (pieces stream
+        # through ingest_aligned's job), and a sum(length) pass over
+        # the same pieces isolates gen + Arrow transfer from the
+        # engine's hash/dedup/write/commit work (measured ~0.9 s of a
+        # ~2.8 s ingest).  Kept inside the metric — dropping it would
+        # redefine arr_ingest mid-build and fake a speedup — but the
+        # share rides the meta record.
+        t0 = time.perf_counter()
+        import pyspark.sql.functions as _Fg
+
+        assert (
+            pieces.select(_Fg.length("data").alias("n"))
+            .agg(_Fg.sum("n"))
+            .collect()[0][0]
+            == 8400 * 54000
+        )
+        out["arr_ingest_gen_share_runs"] = [
+            round(time.perf_counter() - t0, 4)
+        ]
 
         token = reader.on_last_version(conn)
         # GC barrier between phases: the ingest leaves ~400 MB of
