@@ -160,7 +160,10 @@ def ngram_jaccard_pairs(
     sizes_broadcast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) via
-    an inverted-index self-join on shingles.  ``max_df`` (drop shingles
+    an inverted-index self-join on shingles.  ``threshold`` is coerced
+    to a plain Python float before SQL interpolation — a numpy scalar's
+    repr under numpy 2.x ('np.float64(0.5)') would not parse
+    (ADVICE r8).  ``max_df`` (drop shingles
     occurring in more than max_df docs) bounds join fan-out at scale
     without affecting high-similarity pairs.
 
@@ -279,6 +282,8 @@ def ngram_jaccard_pairs(
         if sizes_broadcast:
             sa, sb = F.broadcast(sa), F.broadcast(sb)
         common = pairs.join(sa, "a").join(sb, "b")
+    threshold = float(threshold)
+    round_to = int(round_to) if round_to is not None else None
     jac_sql = "common / (na + nb - common)"
     out = common.where(f"{jac_sql} >= {threshold!r}").selectExpr(
         "a",

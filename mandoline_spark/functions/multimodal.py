@@ -287,9 +287,12 @@ def _wav_is_pcm16(b: bytes) -> bool:
         if cid == b"fmt " and pos + 24 <= len(b):
             fmt_tag, _ch, _rate = struct.unpack("<HHI", b[pos + 8 : pos + 16])
             (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
-            if fmt_tag == 0xFFFE and size >= 24 and pos + 8 + size <= len(b):
+            if fmt_tag == 0xFFFE and size >= 26 and pos + 34 <= len(b):
                 # WAVE_FORMAT_EXTENSIBLE: real format is the GUID's
                 # leading u16 in the extension (offset 24 into chunk).
+                # size>=26 / pos+34 bound the slice so a truncated
+                # extensible header falls through to False instead of
+                # raising struct.error (ADVICE r8).
                 (fmt_tag,) = struct.unpack("<H", b[pos + 32 : pos + 34])
             return fmt_tag == 1 and bits == 16
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -155,93 +155,97 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     # data twice at 100 TB), and ``kept`` is derived as total - dead —
     # no read-back count of the new generation.
     refs = refs.distinct().persist() if refs is not None else None
-    n_dead = (
-        chunks.select("hash").join(refs, "hash", "left_anti").count()
-        if refs is not None
-        else total
-    )
-    if n_dead == 0:
-        # Nothing unreferenced: skip the generation rewrite entirely.
-        # Without this, every vacuum call on an already-clean store
-        # rewrote a full new chunks generation and (with
-        # ``retain_seconds`` > 0) retained the superseded one for the
-        # whole grace window — frequent retention-mode vacuums
-        # multiplied live-chunk disk usage linearly in calls-per-window
-        # (ADVICE r5).  Clean store → vacuum is a read-only no-op on
-        # the chunk data.
-        stats["chunks_kept"] = total
-        # The skip must not wedge retention cleanup: superseded chunk
-        # generations from EARLIER vacuums still age out and get
-        # collected here, otherwise a store that went clean would keep
-        # its grace-window directories forever.
-        current = os.path.basename(conn.chunks_path().rstrip("/"))
+    # The persisted ref-hash set must not outlive the call even when
+    # the survivors' write, pointer flip, or retire loop raises — an
+    # exception would otherwise leak the InMemoryRelation for the
+    # session's lifetime (ADVICE r8).
+    try:
+        n_dead = (
+            chunks.select("hash").join(refs, "hash", "left_anti").count()
+            if refs is not None
+            else total
+        )
+        if n_dead == 0:
+            # Nothing unreferenced: skip the generation rewrite entirely.
+            # Without this, every vacuum call on an already-clean store
+            # rewrote a full new chunks generation and (with
+            # ``retain_seconds`` > 0) retained the superseded one for the
+            # whole grace window — frequent retention-mode vacuums
+            # multiplied live-chunk disk usage linearly in calls-per-window
+            # (ADVICE r5).  Clean store → vacuum is a read-only no-op on
+            # the chunk data.
+            stats["chunks_kept"] = total
+            # The skip must not wedge retention cleanup: superseded chunk
+            # generations from EARLIER vacuums still age out and get
+            # collected here, otherwise a store that went clean would keep
+            # its grace-window directories forever.
+            current = os.path.basename(conn.chunks_path().rstrip("/"))
+            for d in conn.fs.listdir(conn.path):
+                if (
+                    (d == "chunks" or d.startswith("chunks.g"))
+                    and d != current
+                ):
+                    if _retire(
+                        conn.fs,
+                        os.path.join(conn.path, d),
+                        retain_seconds,
+                        now,
+                    ):
+                        stats["chunk_gens_removed"] += 1
+                    else:
+                        stats["chunk_gens_retained"] += 1
+            return stats
+
+        # Generation flip instead of rename-swap: the survivors are written
+        # BESIDE the live directory as chunks.g<N>, the CHUNKS pointer file
+        # is atomically replaced to name the new generation, and only then
+        # is the old directory deleted — a concurrent reader resolves
+        # either the old or the new generation, never a missing directory
+        # (the r2 swap left a window with no chunks dir at all).  With
+        # ``retain_seconds`` > 0 the old generation is merely marked
+        # superseded and outlives the flip by the grace period, so a reader
+        # that resolved it just before the flip cannot lose the rmtree
+        # race; with the default 0 the delete is immediate (readers retry,
+        # matching the reference's destroy semantics).
+        old_path = conn.chunks_path()
+        old_name = os.path.basename(old_path.rstrip("/"))
+        gen = int(old_name.rsplit(".g", 1)[1]) + 1 if ".g" in old_name else 0
+        new_path = os.path.join(conn.path, f"chunks.g{gen}")
+        conn.fs.rmtree(new_path)
+        # Single blob-bearing job: the survivors' write reuses the
+        # persisted ref-hash set; kept is total - n_dead (the anti-join
+        # already counted the complement), no read-back count.
+        live = (
+            chunks.join(refs, "hash", "left_semi")
+            if refs is not None
+            else chunks.limit(0)
+        )
+        from .writer import chunk_table_writer
+
+        # same write options as the ingest path (hash bloom filter): a
+        # vacuum rewrite must not silently degrade point-fetch pruning
+        chunk_table_writer(live).mode("overwrite").parquet(new_path)
+        kept = total - n_dead
+        conn.fs.replace_text(
+            os.path.join(conn.path, "CHUNKS"), f"chunks.g{gen}\n"
+        )
+        current = f"chunks.g{gen}"
         for d in conn.fs.listdir(conn.path):
-            if (
-                (d == "chunks" or d.startswith("chunks.g"))
-                and d != current
-            ):
+            if (d == "chunks" or d.startswith("chunks.g")) and d != current:
                 if _retire(
-                    conn.fs,
-                    os.path.join(conn.path, d),
-                    retain_seconds,
-                    now,
+                    conn.fs, os.path.join(conn.path, d), retain_seconds, now
                 ):
                     stats["chunk_gens_removed"] += 1
                 else:
                     stats["chunk_gens_retained"] += 1
+        conn.invalidate_cache()
+
+        stats["chunks_kept"] = kept
+        stats["chunks_removed"] = n_dead
+        return stats
+    finally:
         if refs is not None:
             refs.unpersist()
-        return stats
-
-    # Generation flip instead of rename-swap: the survivors are written
-    # BESIDE the live directory as chunks.g<N>, the CHUNKS pointer file
-    # is atomically replaced to name the new generation, and only then
-    # is the old directory deleted — a concurrent reader resolves
-    # either the old or the new generation, never a missing directory
-    # (the r2 swap left a window with no chunks dir at all).  With
-    # ``retain_seconds`` > 0 the old generation is merely marked
-    # superseded and outlives the flip by the grace period, so a reader
-    # that resolved it just before the flip cannot lose the rmtree
-    # race; with the default 0 the delete is immediate (readers retry,
-    # matching the reference's destroy semantics).
-    old_path = conn.chunks_path()
-    old_name = os.path.basename(old_path.rstrip("/"))
-    gen = int(old_name.rsplit(".g", 1)[1]) + 1 if ".g" in old_name else 0
-    new_path = os.path.join(conn.path, f"chunks.g{gen}")
-    conn.fs.rmtree(new_path)
-    # Single blob-bearing job: the survivors' write reuses the
-    # persisted ref-hash set; kept is total - n_dead (the anti-join
-    # already counted the complement), no read-back count.
-    live = (
-        chunks.join(refs, "hash", "left_semi")
-        if refs is not None
-        else chunks.limit(0)
-    )
-    from .writer import chunk_table_writer
-
-    # same write options as the ingest path (hash bloom filter): a
-    # vacuum rewrite must not silently degrade point-fetch pruning
-    chunk_table_writer(live).mode("overwrite").parquet(new_path)
-    if refs is not None:
-        refs.unpersist()
-    kept = total - n_dead
-    conn.fs.replace_text(
-        os.path.join(conn.path, "CHUNKS"), f"chunks.g{gen}\n"
-    )
-    current = f"chunks.g{gen}"
-    for d in conn.fs.listdir(conn.path):
-        if (d == "chunks" or d.startswith("chunks.g")) and d != current:
-            if _retire(
-                conn.fs, os.path.join(conn.path, d), retain_seconds, now
-            ):
-                stats["chunk_gens_removed"] += 1
-            else:
-                stats["chunk_gens_retained"] += 1
-    conn.invalidate_cache()
-
-    stats["chunks_kept"] = kept
-    stats["chunks_removed"] = n_dead
-    return stats
 
 
 def compact_index(

@@ -44,6 +44,35 @@ def test_vacuum_collects_failed_ingest(store):
     np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
 
 
+def test_vacuum_unpersists_refs_on_failure(store, spark):
+    """A vacuum that raises mid-rewrite must not leak the persisted
+    ref-hash frame for the session's lifetime (ADVICE r8): the
+    unpersist sits in a finally block, so an injected pointer-flip
+    failure leaves the persistent-RDD census unchanged."""
+    import pytest
+
+    conn = store.create_dataset("ds")
+    _write_version(conn, 1)
+    # dead chunks: an uncommitted ingest makes the dirty path run
+    t2 = conn.add_version(DDS)
+    writer.write_variable(conn, t2, "foo", [sb.empty("int", FULL, 2)])
+
+    orig = conn.fs.replace_text
+
+    def boom(*a, **k):
+        raise OSError("injected pointer-flip failure")
+
+    conn.fs.replace_text = boom
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    try:
+        with pytest.raises(OSError, match="injected"):
+            vacuum(conn)
+    finally:
+        conn.fs.replace_text = orig
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before, "vacuum leaked a persisted refs frame"
+
+
 def test_vacuum_keeps_time_travel(store):
     conn = store.create_dataset("ds")
     v1 = _write_version(conn, 1)

@@ -291,6 +291,15 @@ def test_soundfile_sniff_excludes_pcm16_wav():
     assert not mm._wav_is_pcm16(f32)
     assert not mm._wav_is_pcm16(pcm24)
     assert not mm._wav_is_pcm16(b"RIFFxxxx")  # malformed: False, not raise
+    # ADVICE r8: a WAVE_FORMAT_EXTENSIBLE fmt chunk whose declared size
+    # (24-25) passes the old guards but stops BEFORE the GUID tag must
+    # return False, not raise struct.error from the short slice.
+    trunc_ext = _wav(0xFFFE, 16, fmt_size=24)
+    assert mm._wav_is_pcm16(trunc_ext) is False
+    # ...and the same header with the blob cut at the chunk end (the
+    # literal short-slice unpack the old guards allowed)
+    fmt_end = 12 + 8 + 24
+    assert mm._wav_is_pcm16(trunc_ext[:fmt_end]) is False
 
     # the sniff declines exactly the built-in's formats
     assert not mm._soundfile_sniff(pcm16)
