@@ -105,7 +105,11 @@ def doc_gram_hashes(
     fixed-width longs instead of ~30-char strings, and set
     intersections downstream compare longs.  Hash collisions merge two
     grams — the same d²/2^65 bound documented on ngram_jaccard_pairs.
-    Repartitioned like :func:`doc_grams` (CPU-bound per-doc work)."""
+    Repartitioned like :func:`doc_grams` (CPU-bound per-doc work).
+    The two-step select is load-bearing: the split result materializes
+    in its own Project, and the sig UDF downstream consumes a plain
+    attribute (a fused single expression collapses into the pandas
+    UDF's argument and trips ExtractPythonUDFs' codegen)."""
     sc = df.sparkSession.sparkContext
     gets = ", ".join(f"get(_words, i + {j})" for j in range(n))
     return (
@@ -123,6 +127,24 @@ def doc_gram_hashes(
                 f" g -> length(g) > 0), g -> xxhash64(g)))"
             ).alias("ghashes"),
         )
+    )
+
+
+def _ghashes_col(text_col: str, n: int) -> Column:
+    """The split → grams → xxhash64 → distinct expression of
+    :func:`doc_gram_hashes` as a bare Column, for consumers that place
+    it in a projection of their own (e.g. ABOVE a candidate-pruning
+    join, where evaluating it per surviving row beats a full-corpus
+    pass).  Not UDF-adjacent: see the doc_gram_hashes shape note."""
+    gets = ", ".join(f"get(_w, i + {j})" for j in range(n))
+    # the one-element transform binds the split result to _w so the
+    # word array is computed once, not once per shingle position
+    return F.expr(
+        f"transform(array(split({text_col}, '\\\\s+')), _w -> "
+        f"array_distinct(transform(filter("
+        f"transform(sequence(0, greatest(size(_w) - {n}, 0)),"
+        f" i -> concat_ws(' ', {gets})),"
+        f" g -> length(g) > 0), g -> xxhash64(g))))[0]"
     )
 
 
@@ -698,7 +720,18 @@ def minhash_lsh_pairs(
     # O(corpus).
     sides_small = cand.select("a", "b", F.explode(F.array("a", "b")).alias("id"))
     if verify_broadcast:
-        sides = dgh.join(F.broadcast(sides_small), "id")
+        # The broadcast probe runs against the RAW corpus scan and the
+        # gram expression sits in a projection ABOVE the join, so the
+        # pipeline's second gram evaluation is O(candidate member
+        # rows), not a second full-corpus pass (r8 joined the
+        # broadcast onto the already-projected dgh — the corpus's
+        # split/shingle/hash work ran twice per action, measured
+        # ~0.2s of the 0.79s total at sf0.1).  A doc in several pairs
+        # recomputes its set once per pair — candidates ≪ corpus is
+        # this branch's precondition, so that duplication is noise.
+        sides = df.join(
+            F.broadcast(sides_small), F.col(id_col) == F.col("id")
+        ).select("a", "b", "id", _ghashes_col(text_col, n).alias("ghashes"))
     else:
         sides = sides_small.join(dgh, "id")
     paired = sides.groupBy("a", "b").agg(

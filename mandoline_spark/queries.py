@@ -116,6 +116,45 @@ def table_rows(sf_dir: str, name: str) -> int:
     return hit
 
 
+_FOOTER_MINMAX: dict[tuple[str, str, str], tuple | None] = {}
+
+
+def table_col_minmax(sf_dir: str, name: str, col: str):
+    """(min, max) of an unfiltered base-table column from the parquet
+    FOOTER statistics — catalog statistics read driver-side (no Spark
+    job, no data pages), cached per (sf_dir, table, column).  Exact for
+    the types used here (int64 timestamps carry untruncated stats, and
+    parquet min/max ignore nulls exactly as F.min/F.max do).  Returns
+    None when any row group lacks the statistic — callers must keep a
+    Spark aggregation fallback, the same contract a catalog-stats
+    optimizer rule has."""
+    key = (sf_dir, name, col)
+    if key not in _FOOTER_MINMAX:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata
+        mins: list = []
+        maxs: list = []
+        ok = md.num_row_groups > 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            stat = None
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                if c.path_in_schema == col:
+                    stat = c.statistics
+                    break
+            if stat is None or not stat.has_min_max:
+                ok = False
+                break
+            mins.append(stat.min)
+            maxs.append(stat.max)
+        _FOOTER_MINMAX[key] = (min(mins), max(maxs)) if ok else None
+    return _FOOTER_MINMAX[key]
+
+
 # Serial-sort cutover for osort(), in rows of the driving table.
 # Measured at sf0.1/local[32]: a 150k-row gather sort beats the range
 # orderBy 0.25s vs 0.39s, a 600k-row gather loses 0.75s vs 0.48s — the
@@ -456,12 +495,20 @@ def q15(spark, sf):
     """Range exchange feeds the window (see q14); the presentation sort
     key (custkey, orderkey) differs from the window order (custkey,
     orderdate, orderkey), so an in-partition sort remains — but no
-    second exchange and no sampling job re-executing the window."""
+    second exchange and no sampling job re-executing the window.
+    Below the osort() serial cutover the exchange gathers to ONE
+    partition instead (single partition satisfies the window's
+    clustering trivially): same operators, no range-sampling job."""
     o = load(spark, sf, "orders")
     n = spark.sparkContext.defaultParallelism
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    shaped = (
+        o.repartition(1)
+        if table_rows(sf, "orders") <= _GATHER_MAX_ROWS
+        else o.repartitionByRange(n, "o_custkey")
+    )
     return (
-        o.repartitionByRange(n, "o_custkey")
+        shaped
         .select(
             "o_custkey",
             "o_orderkey",
@@ -2593,10 +2640,25 @@ def q90(spark, sf):
             F.max_by("value", F.struct("ts", "event_id")).alias("v"),
         )
     )
-    bounds = e.agg(
-        F.min(F.date_trunc("day", "ts")).alias("d0"),
-        F.max(F.date_trunc("day", "ts")).alias("d1"),
-    )
+    # The global day bounds come from the parquet FOOTER's ts min/max —
+    # catalog statistics, zero Spark jobs (r8 ran a broadcast subtree
+    # that re-scanned the whole events table just for min/max: one
+    # full extra job per action).  Day truncation of the min/max
+    # commutes with min/max of the truncation.  Stats missing → the
+    # r8 broadcast-aggregate fallback.
+    mm = table_col_minmax(sf, "events", "ts")
+    if mm is not None:
+        d0c = F.lit(mm[0].replace(hour=0, minute=0, second=0,
+                                  microsecond=0))
+        d1c = F.lit(mm[1].replace(hour=0, minute=0, second=0,
+                                  microsecond=0))
+        bounds = None
+    else:
+        bounds = e.agg(
+            F.min(F.date_trunc("day", "ts")).alias("d0"),
+            F.max(F.date_trunc("day", "ts")).alias("d1"),
+        )
+        d0c, d1c = F.col("d0"), F.col("d1")
     w = Window.partitionBy("user_id").orderBy("d")
     n = spark.sparkContext.defaultParallelism
     day = F.expr("interval 1 day")
@@ -2605,17 +2667,29 @@ def q90(spark, sf):
     # null), every row ends just before the next observation (or at
     # the global upper bound) — exploded days < d are the null head
     rng = F.sequence(
-        F.when(F.col("_rn") == 1, F.col("d0")).otherwise(F.col("d")),
-        F.coalesce(F.col("_nxt") - day, F.col("d1")),
+        F.when(F.col("_rn") == 1, d0c).otherwise(F.col("d")),
+        F.coalesce(F.col("_nxt") - day, d1c),
         day,
     )
+    shaped = daily if bounds is None else daily.crossJoin(
+        F.broadcast(bounds)
+    )
+    # Exchange gate (the osort() cost model applied to a window
+    # input): at or below the serial cutover the daily rows gather to
+    # ONE partition — the window and the presentation order both run
+    # there, no range-sampling job (events' footer count bounds
+    # |daily| structurally).  Above it: the range exchange on user_id
+    # feeds BOTH the lead window and the presentation order (see
+    # q14) — the window's (user_id, d) sort is the collect order, the
+    # explode is order-preserving, and each row's day range is
+    # ascending by construction.  Either way the grid itself is never
+    # a join input; it streams out of the explode.
+    if table_rows(sf, "events") <= _GATHER_MAX_ROWS:
+        shaped = shaped.repartition(1)
+    else:
+        shaped = shaped.repartitionByRange(n, "user_id")
     return (
-        daily.crossJoin(F.broadcast(bounds))
-        # range exchange on user_id feeds BOTH the lead window and the
-        # presentation order (see q14): the window's (user_id, d) sort
-        # is the collect order, the explode is order-preserving, and
-        # each row's day range is ascending by construction
-        .repartitionByRange(n, "user_id")
+        shaped
         .withColumn("_nxt", F.lead("d").over(w))
         .withColumn("_rn", F.row_number().over(w))
         # a null-valued daily row must CARRY the previous observation
@@ -2779,15 +2853,15 @@ def q94(spark, sf):
         )
         .where(F.col("word").isNotNull())
     )
-    nd = load(spark, sf, "documents").select(
-        F.count("*").alias("_nd")
-    )
+    # corpus row count from the parquet FOOTER (table_rows — catalog
+    # statistics, zero jobs): r8 ran a broadcast count subtree per
+    # action just to produce this one unfiltered-scan scalar
+    nd = table_rows(sf, "documents")
     return (
         tw.withColumn(
             "df", F.count("*").over(Window.partitionBy("word"))
         )
-        .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") <= F.col("_nd") * 0.1)
+        .filter(F.col("df") <= F.lit(nd) * 0.1)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_rare"))
         .transform(osort, table_rows(sf, "documents"), "doc_id")

@@ -610,6 +610,12 @@ def test_constant_job_counts(spark):
     budgets = {
         "q37_ngram_jaccard": 2,  # size-broadcast build + action
         "q36_minhash_neardup": 2,  # verify-candidate broadcast + action
+        # r9 job-kills: footer-stats bounds/counts replaced per-action
+        # broadcast subtrees, and the osort gather gate removed the
+        # range-sampling job at fixture scale
+        "q90_resample_ffill": 1,
+        "q94_rare_token_docs": 1,
+        "q15_window_lag": 1,
         "q34_array_slice": 2,      # pruned-index broadcast + action
         "q35_array_timetravel": 2,
         "q81_array_version_diff": 1,
