@@ -42,6 +42,43 @@ def chunk_coordinate_ranges(s: Slice, chunk_grid: Slice) -> list[tuple[int, int]
     ]
 
 
+def chunk_coordinate_sets(
+    s: Slice, chunk_grid: Slice, max_enum: int = 65536
+) -> list[tuple[int, int, Tuple[int, ...] | None]]:
+    """Per-dimension touched chunk coordinates for a GENERAL (possibly
+    strided) slice, as ``(lo, hi, vals)`` with ``vals=None`` meaning
+    every coordinate in ``[lo, hi]`` is touched (the dense case — the
+    compact BETWEEN predicate).  ``vals`` is the explicit sorted
+    coordinate set only when the stride actually skips whole chunks
+    (step > chunk length), which is when pruning on it pays — the
+    capability the reference designed at slice.clj:81-102 but never
+    shipped (stride tests are future-fact, test/slice_test.clj:91-92).
+
+    ``max_enum`` bounds the per-dimension enumeration: a lattice with
+    more requested points than that falls back to the dense range — a
+    correct superset, and an IN-list that size would be a worse
+    predicate than the BETWEEN anyway."""
+    out: list[tuple[int, int, Tuple[int, ...] | None]] = []
+    for a, b, st, c in zip(s.start, s.stop, s.step, chunk_grid.step):
+        lo, hi = a // c, (b - 1) // c
+        if st <= c or hi == lo:
+            # consecutive lattice points land at most one chunk apart:
+            # every chunk coordinate in [lo, hi] holds a point
+            out.append((lo, hi, None))
+            continue
+        npts = (b - a + st - 1) // st
+        if npts > max_enum:
+            out.append((lo, hi, None))
+            continue
+        vals = sorted({(a + k * st) // c for k in range(npts)})
+        out.append(
+            (lo, hi, None)
+            if len(vals) == hi - lo + 1
+            else (lo, hi, tuple(vals))
+        )
+    return out
+
+
 def from_chunk_coordinate(chunk_grid: Slice, coord: Tuple[int, ...]) -> Slice:
     """Chunk coordinate → its data-space slice ``[k*c, (k+1)*c)``; NOT
     cropped to the dataset extent (chunk.clj:27-33, variable.clj:58-74)."""

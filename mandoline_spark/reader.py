@@ -51,10 +51,19 @@ def pruned_index_df(
     if request.ndim == 0:
         return idx
     grid = md.get_chunk_grid_slice(token, var)
-    ranges = ck.chunk_coordinate_ranges(request, grid)
     cond = F.lit(True)
-    for i, (lo, hi) in enumerate(ranges):
-        cond = cond & F.col(f"c{i}").between(lo, hi)
+    # Strided requests prune on the exact per-dimension coordinate SET
+    # when the stride skips whole chunks (step >= chunk length) — an
+    # IN-list beside the BETWEEN, so a step>=chunk read decodes only
+    # the chunks its lattice touches instead of the full bounding box.
+    for i, (lo, hi, vals) in enumerate(
+        ck.chunk_coordinate_sets(request, grid)
+    ):
+        cond = cond & (
+            F.col(f"c{i}").between(lo, hi)
+            if vals is None
+            else F.col(f"c{i}").isin(*vals)
+        )
     return idx.filter(cond)
 
 
@@ -69,8 +78,8 @@ def _touched_chunks(
         return 1, sb.as_dtype(md.get_type(token, var)).itemsize
     grid = md.get_chunk_grid_slice(token, var)
     n_coords = 1
-    for lo, hi in ck.chunk_coordinate_ranges(request, grid):
-        n_coords *= hi - lo + 1
+    for lo, hi, vals in ck.chunk_coordinate_sets(request, grid):
+        n_coords *= len(vals) if vals is not None else hi - lo + 1
     chunk_elems = 1
     for i in range(grid.ndim):
         chunk_elems *= grid.step[i]
@@ -152,19 +161,25 @@ def _pieces_df(
     token: Mapping[str, Any],
     var: str,
     request: Slice,
+    lattice: Slice | None = None,
 ) -> DataFrame | None:
-    idx = pruned_index_df(conn, token, var, request)
+    """``lattice`` (a strided original request whose step-1 bounding
+    box is ``request``) drives PRUNING and sizing; clipping stays on
+    ``request`` — slab intersect/merge are step-1 operations, and the
+    box buffer's untouched regions read as fill."""
+    prune = lattice if lattice is not None else request
+    idx = pruned_index_df(conn, token, var, prune)
     chunks = conn.chunks_df()
     if idx is None or chunks is None:
         return None
     ndim = request.ndim
     ccols = [f"c{i}" for i in range(ndim)]
-    joined = _join_blobs(conn, token, var, request, idx, chunks).select(
+    joined = _join_blobs(conn, token, var, prune, idx, chunks).select(
         *ccols, "blob"
     )
     if ndim:
         cores = conn.spark.sparkContext.defaultParallelism
-        target = _decode_parallelism(conn, token, var, request)
+        target = _decode_parallelism(conn, token, var, prune)
         # Only worth an exchange when the request is big enough to keep
         # every core busy — small slice reads run on their natural input
         # partitioning (the extra shuffle would dominate their runtime).
@@ -302,23 +317,30 @@ def get_slice(
     var: str,
     request: Slice,
     check_bounds: bool = True,
+    *,
+    _lattice: Slice | None = None,
 ) -> Slab:
     """Materialize ``request``: fill-initialized slab + merge of all
     stored pieces (mandoline.clj:260-270).
 
-    Strided requests (step>1) are served by reading the step-1 bounding
-    box and subsampling driver-side — the capability the reference's
-    deprecated ``get-intersection-slow`` gestured at (slice.clj:76-102)
-    but its read path never shipped (stride tests are ``future-fact``
-    in test/slice_test.clj).  The chunk fetch is still pruned to the
-    bounding box, so the extra cost is decode-side only."""
+    Strided requests (step>1) materialize into the step-1 bounding box
+    and subsample driver-side, but the chunk fetch is pruned to the
+    chunks the stride LATTICE actually touches (``_lattice`` threads
+    the original request through the recursion): a step>=chunk-size
+    read decodes only its own chunks, not the full box — the
+    capability the reference designed at slice.clj:81-102 but never
+    shipped (stride tests are ``future-fact`` in test/slice_test.clj).
+    Chunks inside the box the lattice skips stay at fill in the box
+    buffer, which the subsample never samples."""
     if not sl.step_is_one(request):
         if any(s < 1 for s in request.step):
             raise ValueError(f"steps must be >= 1: {request}")
         box = sl.Slice(
             request.start, request.stop, tuple(1 for _ in request.step)
         )
-        full = get_slice(conn, token, var, box, check_bounds)
+        full = get_slice(
+            conn, token, var, box, check_bounds, _lattice=request
+        )
         return sb.Slab(
             full.data[sl.to_numpy_index(request, box)].copy(), request
         )
@@ -328,6 +350,7 @@ def get_slice(
         md.get_type(token, var), request, md.get_fill(token, var)
     )
     type_name = md.get_type(token, var)
+    prune = _lattice if _lattice is not None else request
 
     # Small-read fast path: when the requested chunk bytes fit the
     # driver comfortably anyway, collect the raw blobs and decode/clip
@@ -336,8 +359,10 @@ def get_slice(
     # read, the latency-critical pattern of repeated point/slab lookups
     # (the workload the reference's chunk cache exists for).
     grid = md.get_chunk_grid_slice(token, var)
-    ranges = ck.chunk_coordinate_ranges(request, grid) if request.ndim else []
-    _, touched_bytes = _touched_chunks(token, var, request)
+    csets = (
+        ck.chunk_coordinate_sets(prune, grid) if request.ndim else []
+    )
+    _, touched_bytes = _touched_chunks(token, var, prune)
     itemsize = sb.as_dtype(type_name).itemsize
     requested_bytes = sl.num_elements(request) * itemsize
     # Driver-side decode also wins whenever clipping would discard
@@ -398,7 +423,10 @@ def get_slice(
             coords = [
                 c
                 for c in itertools.product(
-                    *[range(lo, hi + 1) for lo, hi in ranges]
+                    *[
+                        vals if vals is not None else range(lo, hi + 1)
+                        for lo, hi, vals in csets
+                    ]
                 )
                 if c in imap
             ]
@@ -408,7 +436,7 @@ def get_slice(
                     _paste(c, blobs[imap[c]])
                 return result
         blobs_df = _small_read_blobs_df(
-            conn, token, var, request, touched_bytes
+            conn, token, var, prune, touched_bytes
         )
         if blobs_df is None:
             return result
@@ -430,7 +458,7 @@ def get_slice(
                 _paste(coord, arr_chunk[k].as_buffer())
         return result
 
-    pieces = _pieces_df(conn, token, var, request)
+    pieces = _pieces_df(conn, token, var, request, lattice=_lattice)
     if pieces is None:
         return result
     # one job; the pieces are already clipped to the request so this

@@ -284,6 +284,58 @@ def test_array_read_prunes_8400_chunk_grid(store):
     assert got.data.shape == (5, 5, 5) and (got.data == 0).all()
 
 
+def test_strided_read_prunes_to_lattice_chunks(store):
+    """A step >= chunk-size read decodes only the chunks its stride
+    lattice touches, not the full bounding box (r9: stride-general
+    chunk pruning via chunk_coordinate_sets — the capability the
+    reference designed at slice.clj:81-102 but never shipped).  Pinned
+    at both layers: the pruned index row count, and the values of the
+    read itself against a numpy mirror."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import chunk as ck
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 64, "y": 16},
+        "chunk-dimensions": {"x": 4, "y": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x", "y"], "fill-value": 0}
+        },
+    }
+    t = conn.add_version(dds)
+    vals = np.arange(64 * 16, dtype=np.int32).reshape(64, 16)
+    writer.write_variable(
+        conn, t, "v", [sb.Slab(vals, sl.mk_slice((0, 0), (64, 16)))]
+    )
+    conn.finish_version(t)
+    token = reader.on_last_version(conn)
+
+    # x step 9 over [0, 64): lattice {0,9,...,63} → chunks {0,2,4,6,
+    # 9,11,13,15} — 8 of the 16 x-chunks in the bounding box
+    req = sl.Slice((0, 0), (64, 16), (9, 1))
+    grid = sl.Slice((0, 0), (64, 16), (4, 4))
+    csets = ck.chunk_coordinate_sets(req, grid)
+    assert csets[0][2] is not None and len(csets[0][2]) == 8, csets
+    assert csets[1][2] is None  # y is dense
+
+    idx = reader.pruned_index_df(conn, token, "v", req)
+    assert idx.count() == 8 * 4  # 8 x-chunks x 4 y-chunks, box is 64
+
+    got = reader.get_slice(conn, token, "v", req)
+    np.testing.assert_array_equal(got.data, vals[::9, :])
+
+    # step below chunk size stays on the dense BETWEEN (every chunk in
+    # range holds a lattice point)
+    dense = ck.chunk_coordinate_sets(
+        sl.Slice((0, 0), (64, 16), (3, 2)), grid
+    )
+    assert dense[0][2] is None and dense[1][2] is None
+
+
 def test_version_diff_decodes_only_changed_chunks(store):
     """q81's scale shape: the diff's cell-emitting stage reads the
     full-outer index join pruned by null-safe hash inequality — its

@@ -232,6 +232,18 @@ def test_spark_roundtrip_random_writes(data, store_factory):
         oracle[tuple(slice(a, b) for a, b in zip(rstart, rstop))],
     )
 
+    # strided request: exercises the stride-lattice chunk pruning
+    # (r9 — chunk_coordinate_sets), including steps >= chunk length
+    # where whole chunks inside the bounding box are skipped
+    steps = tuple(int(rng.integers(1, 5)) for _ in dims)
+    strided = sl.Slice(rstart, rstop, steps)
+    got_s = reader.get_slice(conn, token, "v", strided)
+    np.testing.assert_array_equal(
+        got_s.data,
+        oracle[tuple(slice(a, b, s)
+                     for a, b, s in zip(rstart, rstop, steps))],
+    )
+
 
 @settings(
     max_examples=8,
