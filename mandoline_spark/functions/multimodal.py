@@ -64,7 +64,19 @@ def register_codec(
     shape (image: uint8 HxWxC ndarray; audio: (int16 [n, ch] ndarray,
     sample_rate); video: uint8 NxHxWxC ndarray).  Later registrations
     take priority over earlier ones of the same kind; re-registering a
-    name replaces it."""
+    name replaces it.
+
+    SNIFF CONTRACT (VERDICT r8): a registered sniff must claim ONLY
+    formats its decoder handles losslessly.  Priority-0 insertion is an
+    explicit override — a greedy sniff (``lambda b: True``, or one
+    that claims a format it decodes worse than a built-in, e.g. a
+    float-converting library claiming 16-bit integer PCM WAV) silently
+    shadows the exact decoder for every blob it matches.  That is the
+    r7 soundfile bug: its registration now declines 16-bit PCM WAV
+    (``_soundfile_sniff``/``_wav_is_pcm16``) so the lossless stdlib
+    decoder keeps it, and lossy formats are the opt-in.  Decode
+    fidelity is the registrant's responsibility; the registry resolves
+    ties by recency alone."""
     if kind not in _CODECS:
         raise ValueError(f"unknown codec kind {kind!r}: {sorted(_CODECS)}")
     _CODECS[kind] = [e for e in _CODECS[kind] if e[0] != name]

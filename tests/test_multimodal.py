@@ -252,6 +252,36 @@ def test_register_codec_reaches_executors(spark):
         mm.decode_image(blob)
 
 
+def test_greedy_codec_is_an_explicit_override():
+    """Pins the registry's documented tie semantics (the sniff
+    contract at register_codec): priority-0 insertion means a greedy
+    sniff SHADOWS the built-ins for every blob it claims — which is
+    why the contract requires sniffs to claim only losslessly-decoded
+    formats — and unregistering restores the byte-exact built-in."""
+    import numpy as np
+
+    from mandoline_spark.functions import multimodal as mm
+
+    sine = (np.sin(np.linspace(0, 6.28, 64)) * 3000).astype(np.int16)
+    blob = mm.encode_wav(sine, 8000)
+
+    calls = []
+
+    def greedy_decode(b):
+        calls.append(len(b))
+        return (np.zeros((1, 1), np.int16), 1)
+
+    mm.register_codec("audio", "greedy", lambda b: True, greedy_decode)
+    try:
+        got, rate = mm.decode_wav(blob)
+        assert rate == 1 and calls, "greedy codec must win every sniff"
+    finally:
+        mm.unregister_codec("audio", "greedy")
+    got, rate = mm.decode_wav(blob)
+    assert rate == 8000
+    np.testing.assert_array_equal(got[:, 0], sine)
+
+
 def test_soundfile_sniff_excludes_pcm16_wav():
     """VERDICT r7 #2: 16-bit integer PCM WAV must stay on the built-in
     lossless decoder even when a soundfile codec is registered (later

@@ -296,6 +296,29 @@ def test_delta_overlay_matches_numpy_across_versions(data, store_factory):
         if data.draw(st.booleans()):
             compact_index(conn, vid, "v")
 
+    # Guaranteed boundary crossings on top of the random interleaving
+    # (VERDICT r8 #6): one delta overlay left UNcompacted, then a
+    # compacted version above it — every sample's final overlay stack
+    # crosses both a delta and a compaction boundary.
+    for forced_mode, forced_compact in (("delta", False), ("full", True)):
+        token = conn.add_version(dds)
+        start = tuple(int(rng.integers(0, d)) for d in dims)
+        stop = tuple(
+            int(rng.integers(s + 1, d + 1)) for s, d in zip(start, dims)
+        )
+        region = sl.mk_slice(start, stop)
+        vals = np.full(sl.get_shape(region), val, np.int32)
+        val += 1
+        writer.write_variable(
+            conn, token, "v", [sb.Slab(vals, region)],
+            index_mode=forced_mode,
+        )
+        oracle[tuple(slice(a, b) for a, b in zip(start, stop))] = vals
+        vid = conn.finish_version(token)
+        mirrors[vid] = oracle.copy()
+        if forced_compact:
+            compact_index(conn, vid, "v")
+
     full = sl.mk_slice(tuple(0 for _ in dims), dims)
     for vid, want in mirrors.items():
         got = reader.get_slice(conn, conn.metadata(vid), "v", full)
@@ -312,3 +335,28 @@ def test_delta_overlay_matches_numpy_across_versions(data, store_factory):
         np.testing.assert_array_equal(got.data, want)
     conn.cache_reads = False
     conn.invalidate_cache()
+
+    # Hash-level identity of the MIRRORED resolution implementations
+    # (VERDICT r8 #6): the driver-side pyarrow overlay fold must equal
+    # the Spark resolution map-for-map on every version of every
+    # sampled stack — not just produce the same cell values.
+    import re as _re
+
+    from mandoline_spark.store import _SPARK_RESOLVE
+
+    for vid in mirrors:
+        local = conn._local_index_map(vid, "v", 1 << 20)
+        assert local is not _SPARK_RESOLVE
+        idx = conn.resolve_index_df(vid, "v")
+        if idx is None:
+            assert local is None
+            continue
+        ccols = sorted(
+            (c for c in idx.columns if _re.match(r"^c\d+$", c)),
+            key=lambda c: int(c[1:]),
+        )
+        spark_map = {
+            tuple(int(r[c]) for c in ccols): r["chunk_hash"]
+            for r in idx.select(*ccols, "chunk_hash").collect()
+        }
+        assert local == spark_map, f"version {vid} resolution diverged"
