@@ -47,15 +47,16 @@ _CHANGED_R9 = [
     # scale-canonical orderkey shuffle)
     "q84_tfidf_top_term",
     "q104_shipping_priority",
+    "q101_token_length_hist",
 ]
 
 # r8's documented overflow (osort/psort conversions whose driver
 # evidence predates the r8 sort swap): first in line, as the r8
 # docstring promised.  Row order for them is pinned locally by
 # tests/test_presentation_order.py; values by test_oracle_parity.py.
-# q75/q76 (r7 evidence — the newest in the overflow) yield their
-# slots to the two late-r9 changed queries above and are next in
-# line for r10; the r4/r5-evidence members all rotate now.
+# q63/q75/q76 (r7 evidence — the newest overflow rows) yield
+# their slots to the three late-r9 changed queries above and are
+# next in line for r10; the r4/r5-evidence members all rotate now.
 _R8_OVERFLOW = [
     "q05_join_broadcast",
     "q19_string_funcs",
@@ -63,7 +64,6 @@ _R8_OVERFLOW = [
     "q23_array_funcs",
     "q52_exists_correlated",
     "q53_lateral_explode",
-    "q63_map_funcs",
     "q64_regexp_extract",
 ]
 
@@ -108,7 +108,7 @@ def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
     only the FIRST 50 entries (observed: CORRECTNESS_r01–r08 stop at
     50).  Head = every query r9's changes transitively touch, then the
-    r8 overflow, then the r5-evidence backlog — 50 exactly (14 + 8 +
+    r8 overflow, then the r5-evidence backlog — 50 exactly (15 + 7 +
     28), retiring every pre-r7 evidence row in one window.  The full
     local parity suite (tests/test_oracle_parity.py) still runs every
     entry."""
