@@ -43,7 +43,7 @@ def chunk_coordinate_ranges(s: Slice, chunk_grid: Slice) -> list[tuple[int, int]
 
 
 def chunk_coordinate_sets(
-    s: Slice, chunk_grid: Slice, max_enum: int = 65536
+    s: Slice, chunk_grid: Slice, max_in: int = 256
 ) -> list[tuple[int, int, Tuple[int, ...] | None]]:
     """Per-dimension touched chunk coordinates for a GENERAL (possibly
     strided) slice, as ``(lo, hi, vals)`` with ``vals=None`` meaning
@@ -54,20 +54,31 @@ def chunk_coordinate_sets(
     capability the reference designed at slice.clj:81-102 but never
     shipped (stride tests are future-fact, test/slice_test.clj:91-92).
 
-    ``max_enum`` bounds the per-dimension enumeration: a lattice with
-    more requested points than that falls back to the dense range — a
-    correct superset, and an IN-list that size would be a worse
-    predicate than the BETWEEN anyway."""
+    ``hi`` is derived from the LAST lattice point, not ``stop - 1`` —
+    the [lo, hi] bound is exact in every branch, so consumers sizing
+    on it (touched-chunk counts, broadcast budgets) never overcount
+    (r9 review finding).
+
+    ``max_in`` bounds the emitted IN-list, which is what actually
+    costs: with step > chunk each lattice point owns its own chunk, so
+    len(vals) == point count, and a multi-thousand-literal In
+    expression is slower to build (one py4j literal each) and evaluate
+    than the BETWEEN superset it replaces (r9 review finding — the old
+    cap bounded the ENUMERATION at 65536 and could emit IN-lists that
+    size)."""
     out: list[tuple[int, int, Tuple[int, ...] | None]] = []
     for a, b, st, c in zip(s.start, s.stop, s.step, chunk_grid.step):
-        lo, hi = a // c, (b - 1) // c
+        npts = (b - a + st - 1) // st
+        last = a + (npts - 1) * st
+        lo, hi = a // c, last // c
         if st <= c or hi == lo:
             # consecutive lattice points land at most one chunk apart:
             # every chunk coordinate in [lo, hi] holds a point
             out.append((lo, hi, None))
             continue
-        npts = (b - a + st - 1) // st
-        if npts > max_enum:
+        if npts > max_in:
+            # step > chunk ⇒ every point is in its own chunk, so the
+            # IN-set would have npts entries — stay on the BETWEEN
             out.append((lo, hi, None))
             continue
         vals = sorted({(a + k * st) // c for k in range(npts)})

@@ -338,24 +338,39 @@ class MemFS:
 
     Data plane: chunk/index PARQUET always flows through Spark's
     Hadoop IO against the real path (exactly as the reference's mem
-    backend never leaves the JVM), so the read-only probes
-    (``exists``/``isdir``/``listdir``/``tree_size``) UNION the dict
-    with the on-disk tree and the destructive ops (``rmtree``,
-    ``rename``) mirror onto disk — the full behavioral suites run
-    against the mem catalog with Spark-written files visible through
-    the same interface (VERDICT r8 #3).  Text/commit primitives stay
-    dict-only: that is the backend's point — catalog atomicity comes
-    from the lock, not from POSIX.  Inject via ``Store(spark, root,
-    fs=MemFS())`` (the protocol suites run backend-parameterized on
-    this hook).  Thread-safe; paths are normalized so ``a//b`` and
-    ``a/b`` address one entry."""
+    backend never leaves the JVM).  Passing ``mirror_root`` (a
+    directory the STORE owns, e.g. the test tmp dir) makes the
+    read-only probes (``exists``/``isdir``/``listdir``/``tree_size``)
+    UNION the dict with the on-disk tree under it, and the
+    destructive ops (``rmtree``/``rename``) mirror onto disk there —
+    the full behavioral suites run against the mem catalog with
+    Spark-written files visible through the same interface (VERDICT
+    r8 #3).  The mirror is OPT-IN and path-scoped: without it the
+    backend is pure-virtual, and a synthetic root that happens to
+    collide with a real directory can never be read from — or worse,
+    rmtree'd — on disk.  Text/commit primitives stay dict-only
+    either way: that is the backend's point — catalog atomicity
+    comes from the lock, not from POSIX.  Inject via ``Store(spark,
+    root, fs=MemFS(mirror_root=root))`` (the protocol suites run
+    backend-parameterized on this hook).  Thread-safe; paths are
+    normalized so ``a//b`` and ``a/b`` address one entry."""
 
-    def __init__(self):
+    def __init__(self, mirror_root: str | None = None):
         import threading
 
         self._lock = threading.RLock()
         self._files: dict[str, str] = {}
         self._dirs: set[str] = set()
+        self._mirror = (
+            os.path.normpath(mirror_root) if mirror_root else None
+        )
+
+    def _mirrored(self, path: str) -> bool:
+        """True when ``path`` sits under the opt-in disk-mirror root."""
+        if self._mirror is None:
+            return False
+        p = os.path.normpath(path)
+        return p == self._mirror or p.startswith(self._mirror + os.sep)
 
     @staticmethod
     def _norm(path: str) -> str:
@@ -372,14 +387,14 @@ class MemFS:
         with self._lock:
             if p in self._files or p in self._dirs:
                 return True
-        return os.path.exists(p)
+        return self._mirrored(p) and os.path.exists(p)
 
     def isdir(self, path: str) -> bool:
         p = self._norm(path)
         with self._lock:
             if p in self._dirs:
                 return True
-        return os.path.isdir(p)
+        return self._mirrored(p) and os.path.isdir(p)
 
     def listdir(self, path: str) -> list[str]:
         p = self._norm(path)
@@ -391,7 +406,7 @@ class MemFS:
                 for e in (self._files.keys() | self._dirs)
                 if e.startswith(prefix)
             }
-        if os.path.isdir(p):
+        if self._mirrored(p) and os.path.isdir(p):
             known = True
             names |= set(os.listdir(p))
         if not known:
@@ -414,15 +429,16 @@ class MemFS:
             self._dirs = {
                 d for d in self._dirs if d != p and not d.startswith(prefix)
             }
-        # mirror onto disk: Spark-written data files under the removed
-        # catalog subtree go with it (destroy/retire semantics)
-        import shutil
-
-        shutil.rmtree(p, ignore_errors=True)
+        # mirror onto disk (opt-in root only): Spark-written data files
+        # under the removed catalog subtree go with it (destroy/retire
+        # semantics); outside the mirror root the backend never touches
+        # the real filesystem
+        if self._mirrored(p):
+            shutil.rmtree(p, ignore_errors=True)
 
     def rename(self, src: str, dst: str) -> None:
         s, d = self._norm(src), self._norm(dst)
-        if os.path.exists(s):
+        if self._mirrored(s) and self._mirrored(d) and os.path.exists(s):
             # disk-side entry (Spark-written data): move it on disk
             os.makedirs(os.path.dirname(d), exist_ok=True)
             os.rename(s, d)
@@ -486,10 +502,11 @@ class MemFS:
                 for k, v in self._files.items()
                 if k == p or k.startswith(prefix)
             )
-        for base, _dirs, files in os.walk(p):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(base, f))
-                except OSError:
-                    pass
+        if self._mirrored(p):
+            for base, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(base, f))
+                    except OSError:
+                        pass
         return total

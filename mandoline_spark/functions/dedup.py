@@ -729,9 +729,21 @@ def minhash_lsh_pairs(
         # ~0.2s of the 0.79s total at sf0.1).  A doc in several pairs
         # recomputes its set once per pair — candidates ≪ corpus is
         # this branch's precondition, so that duplication is noise.
-        sides = df.join(
-            F.broadcast(sides_small), F.col(id_col) == F.col("id")
-        ).select("a", "b", "id", _ghashes_col(text_col, n).alias("ghashes"))
+        # qualified join + select: with id_col == "id" the bare column
+        # names are ambiguous between the corpus and candidate sides
+        # (r9 review finding — the r8 USING-join shape tolerated any
+        # id_col, this probe-side rewrite must too)
+        corpus, cand = df.alias("_corpus"), F.broadcast(
+            sides_small
+        ).alias("_cand")
+        sides = corpus.join(
+            cand, F.col(f"_corpus.{id_col}") == F.col("_cand.id")
+        ).select(
+            F.col("_cand.a").alias("a"),
+            F.col("_cand.b").alias("b"),
+            F.col("_cand.id").alias("id"),
+            _ghashes_col(text_col, n).alias("ghashes"),
+        )
     else:
         sides = sides_small.join(dgh, "id")
     paired = sides.groupBy("a", "b").agg(

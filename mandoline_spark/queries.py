@@ -2647,7 +2647,14 @@ def q90(spark, sf):
     # full extra job per action).  Day truncation of the min/max
     # commutes with min/max of the truncation.  Stats missing → the
     # r8 broadcast-aggregate fallback.
+    import datetime as _dt
+
     mm = table_col_minmax(sf, "events", "ts")
+    # type guard (r9 review): a plain-INT64 ts file's footer stats come
+    # back as ints — that layout must take the Spark-aggregate fallback
+    # below, not crash on .replace()
+    if mm is not None and not isinstance(mm[0], _dt.datetime):
+        mm = None
     if mm is not None:
         d0c = F.lit(mm[0].replace(hour=0, minute=0, second=0,
                                   microsecond=0))

@@ -44,7 +44,10 @@ def store(request, spark, tmp_path):
     root = str(tmp_path)
     fs = None
     if kind == "mem":
-        fs = fsmod.MemFS()
+        # mirror_root scopes the disk union/mirror to the store's own
+        # tmp dir — outside it MemFS is pure-virtual and never touches
+        # the real filesystem
+        fs = fsmod.MemFS(mirror_root=root)
     elif kind == "hadoop":
         root = "file:" + root
     inner = Store(spark, root, fs=fs)

@@ -261,6 +261,25 @@ def test_empty_docs_never_pair(spark):
     assert [(r.a, r.b) for r in sh] == [(4, 5)]
 
 
+def test_minhash_verify_broadcast_id_named_id(spark):
+    """The verify_broadcast probe joins the raw corpus to the
+    candidate rows; with id_col == "id" the bare column name exists on
+    BOTH sides (r9 review finding — the qualified join/select must
+    resolve it, as the r8 USING join did)."""
+    rows = [
+        # identical texts: banding recall is 1.0 regardless of seed —
+        # this test pins name RESOLUTION, not LSH recall
+        Row(id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(id=2, text="alpha beta gamma delta epsilon zeta"),
+        Row(id=3, text="totally different words over here now"),
+    ]
+    docs = spark.createDataFrame(rows)
+    got = minhash_lsh_pairs(
+        docs, threshold=0.5, id_col="id", verify_broadcast=True
+    ).collect()
+    assert [(r.a, r.b, r.jac) for r in got] == [(1, 2, 1.0)]
+
+
 def test_ngram_jaccard_string_ids(spark):
     """The fused max_df path's size marker is the SELF-PAIR (x, x), so
     it must carry whatever type the id column has — pin the non-long

@@ -283,3 +283,43 @@ def test_create_exclusive_falls_back_without_hardlinks(tmp_path, monkeypatch):
     assert fs.read_text(p) == "one"
     # no staging litter left behind
     assert [f for f in _os.listdir(tmp_path) if f != "MARKER"] == []
+
+
+def test_memfs_without_mirror_root_never_touches_disk(tmp_path):
+    """MemFS is pure-virtual unless a mirror_root is passed (r9 review
+    finding): a synthetic catalog root that collides with a REAL
+    directory must neither read from it nor — the destructive case —
+    rmtree it."""
+    import os as _os
+
+    from mandoline_spark.fs import MemFS
+
+    real = tmp_path / "collide"
+    (real / "sub").mkdir(parents=True)
+    (real / "sub" / "keep.txt").write_text("precious")
+
+    fs = MemFS()
+    # a colliding path is invisible...
+    assert not fs.exists(str(real))
+    assert not fs.isdir(str(real))
+    # ...and destroying the virtual path leaves the real one intact
+    fs.makedirs(str(real / "virtualdir"))
+    fs.write_text(str(real / "virtualdir" / "f"), "x")
+    fs.rmtree(str(real))
+    assert (real / "sub" / "keep.txt").read_text() == "precious"
+
+    # with the opt-in mirror the union + mirror apply, scoped to it
+    scoped = MemFS(mirror_root=str(tmp_path / "owned"))
+    owned = tmp_path / "owned" / "ds"
+    (owned / "chunks").mkdir(parents=True)
+    (owned / "chunks" / "part-0.parquet").write_text("bytes")
+    scoped.makedirs(str(owned))
+    assert scoped.isdir(str(owned / "chunks"))
+    assert scoped.listdir(str(owned / "chunks")) == ["part-0.parquet"]
+    # outside the mirror root: still invisible and untouchable
+    assert not scoped.exists(str(real))
+    scoped.rmtree(str(real))
+    assert (real / "sub" / "keep.txt").read_text() == "precious"
+    # inside: rmtree mirrors to disk
+    scoped.rmtree(str(owned))
+    assert not owned.exists()
