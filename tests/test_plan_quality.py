@@ -742,6 +742,42 @@ def test_osort_branches_agree_and_gate_reads_no_jobs(spark):
     assert set(jsc.statusTracker().getJobIdsForGroup(None)) == ids0
 
 
+def test_footer_minmax_and_q90_fallback(spark, tmp_path):
+    """table_col_minmax reads exact bounds from footer statistics
+    (zero jobs, datetime-typed for timestamp columns) and returns None
+    when a file carries no stats — and q90 then takes the documented
+    Spark-aggregate fallback and still produces the identical result
+    (r9 review: a non-datetime or absent statistic must never crash
+    the query)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mandoline_spark.queries import QUERIES, table_col_minmax
+
+    mm = table_col_minmax(SF, "events", "ts")
+    assert mm is not None and mm[0] <= mm[1]
+    assert hasattr(mm[0], "replace")  # datetime, not an epoch int
+
+    # a stats-less copy of the fixture: the helper must answer None
+    nostats = tmp_path / "nostats"
+    nostats.mkdir()
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    pq.write_table(
+        tbl, str(nostats / "events.parquet"), write_statistics=False
+    )
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        shutil.copy(f"{SF}/{t}.parquet", str(nostats / f"{t}.parquet"))
+    assert table_col_minmax(str(nostats), "events", "ts") is None
+
+    # q90 on the stats-less dir: fallback branch, identical rows
+    want = QUERIES["q90_resample_ffill"](spark, SF).collect()
+    got = QUERIES["q90_resample_ffill"](spark, str(nostats)).collect()
+    assert got == want
+
+
 def test_small_read_rebalances_by_decompressed_volume(spark, tmp_path, monkeypatch):
     """The driver-funnel read path must rebalance by DECOMPRESSED bytes
     before its Arrow conversion once the touched volume is large
