@@ -58,3 +58,59 @@ def test_generate_id():
     # content addressing: same cells, separately-built array → same id
     a2 = Slab(np.tile(np.arange(10, dtype=np.int64), (10, 1)), s)
     assert ck.generate_id(a2) == ida
+
+
+def test_chunk_coordinate_sets_match_enumeration_oracle():
+    """Property (hypothesis): for any strided slice, the per-dimension
+    (lo, hi, vals) sets are a SUPERSET of the exact touched-coordinate
+    enumeration (to_chunk_coordinates), are EXACT whenever vals is
+    explicit, and the [lo, hi] bound is tight to the lattice extent
+    (r9 review: hi derived from stop-1 overcounted sparse strides)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        ndim = data.draw(st.integers(1, 3))
+        dims, starts, stops, steps, chunks = [], [], [], [], []
+        for _ in range(ndim):
+            d = data.draw(st.integers(2, 60))
+            a = data.draw(st.integers(0, d - 1))
+            b = data.draw(st.integers(a + 1, d))
+            starts.append(a)
+            stops.append(b)
+            steps.append(data.draw(st.integers(1, 15)))
+            chunks.append(data.draw(st.integers(1, 12)))
+        s = Slice(tuple(starts), tuple(stops), tuple(steps))
+        grid = Slice(
+            tuple(0 for _ in chunks),
+            tuple(c * 10 for c in chunks),
+            tuple(chunks),
+        )
+        exact = set(ck.to_chunk_coordinates(s, grid))
+        csets = ck.chunk_coordinate_sets(s, grid)
+        per_dim_exact = [
+            sorted({c[i] for c in exact}) for i in range(ndim)
+        ]
+        for (lo, hi, vals), dim_exact in zip(csets, per_dim_exact):
+            # tight bounds in every branch
+            assert lo == dim_exact[0] and hi == dim_exact[-1]
+            if vals is not None:
+                assert list(vals) == dim_exact  # exact IN-set
+            else:
+                # dense claim: a superset that stays within the bound
+                assert set(dim_exact) <= set(range(lo, hi + 1))
+        # and the product of the sets covers every touched coordinate
+        import itertools
+
+        covered = set(
+            itertools.product(
+                *[
+                    vals if vals is not None else range(lo, hi + 1)
+                    for lo, hi, vals in csets
+                ]
+            )
+        )
+        assert exact <= covered
+
+    run()
