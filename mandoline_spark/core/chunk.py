@@ -42,9 +42,53 @@ def chunk_coordinate_ranges(s: Slice, chunk_grid: Slice) -> list[tuple[int, int]
     ]
 
 
+class ModSet:
+    """Compact touched-coordinate set for a stride that skips whole
+    chunks, used when the explicit IN-list would exceed the literal
+    budget: coordinate ``h`` in ``[lo, hi]`` is touched iff
+    ``(a - h*c) mod st < c``.
+
+    EXACT for ``st > c`` (the only branch that emits it): positions in
+    chunk ``h`` are ``[h*c, h*c + c)``; the smallest lattice point
+    ``x ≡ a (mod st)`` with ``x >= h*c`` lands inside iff its offset
+    ``(a - h*c) mod st`` is ``< c``, and within ``[lo, hi]`` such an
+    ``x`` can be neither below ``a`` (``h > lo ⇒ h*c > a``; ``h = lo``
+    gives ``x = a``) nor above the last lattice point (``x > last ⇒
+    x >= last + st > hi*c + c - 1``, outside every bounded chunk).
+    Iterates the touched coordinates ascending (consecutive lattice
+    points are ``st > c`` apart, so coordinates are strictly
+    increasing and one per point)."""
+
+    __slots__ = ("a", "st", "c", "lo", "hi", "count")
+
+    def __init__(self, a: int, st: int, c: int, lo: int, hi: int,
+                 count: int):
+        self.a, self.st, self.c = a, st, c
+        self.lo, self.hi, self.count = lo, hi, count
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __iter__(self):
+        a, st, c = self.a, self.st, self.c
+        return ((a + k * st) // c for k in range(self.count))
+
+    def __contains__(self, h) -> bool:
+        return (
+            self.lo <= h <= self.hi
+            and (self.a - h * self.c) % self.st < self.c
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"ModSet(a={self.a}, st={self.st}, c={self.c}, "
+            f"lo={self.lo}, hi={self.hi}, n={self.count})"
+        )
+
+
 def chunk_coordinate_sets(
     s: Slice, chunk_grid: Slice, max_in: int = 256
-) -> list[tuple[int, int, Tuple[int, ...] | None]]:
+) -> list[tuple[int, int, Tuple[int, ...] | ModSet | None]]:
     """Per-dimension touched chunk coordinates for a GENERAL (possibly
     strided) slice, as ``(lo, hi, vals)`` with ``vals=None`` meaning
     every coordinate in ``[lo, hi]`` is touched (the dense case — the
@@ -78,8 +122,13 @@ def chunk_coordinate_sets(
             continue
         if npts > max_in:
             # step > chunk ⇒ every point is in its own chunk, so the
-            # IN-set would have npts entries — stay on the BETWEEN
-            out.append((lo, hi, None))
+            # IN-set would have npts entries.  Instead of collapsing to
+            # the full-box BETWEEN (the r9 cliff: a 20k-point step-5
+            # read over chunk-4 decoded every chunk in the box), emit
+            # the O(1)-literal modular predicate — exact for st > c,
+            # see ModSet — which the reader renders as
+            # ``pmod(a - coord*c, st) < c`` beside the BETWEEN
+            out.append((lo, hi, ModSet(a, st, c, lo, hi, npts)))
             continue
         vals = sorted({(a + k * st) // c for k in range(npts)})
         out.append(

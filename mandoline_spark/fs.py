@@ -438,14 +438,29 @@ class MemFS:
 
     def rename(self, src: str, dst: str) -> None:
         s, d = self._norm(src), self._norm(dst)
-        if self._mirrored(s) and self._mirrored(d) and os.path.exists(s):
-            # disk-side entry (Spark-written data): move it on disk
-            os.makedirs(os.path.dirname(d), exist_ok=True)
-            os.rename(s, d)
-            with self._lock:
-                in_mem = s in self._files or s in self._dirs
-            if not in_mem:
-                return
+        with self._lock:
+            if (
+                self._mirrored(s)
+                and self._mirrored(d)
+                and os.path.exists(s)
+            ):
+                # disk-side entry (Spark-written data): move it on
+                # disk.  Probe + move run under the lock (the r9 shape
+                # raced concurrent renames in the unlocked window), and
+                # an existing dst is cleared first so the disk mirror
+                # keeps the dict rename's overwrite semantics —
+                # os.rename refuses a non-empty directory dst.
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                if os.path.isdir(d) and not os.path.islink(d):
+                    shutil.rmtree(d)
+                elif os.path.lexists(d):
+                    os.remove(d)
+                os.rename(s, d)
+                if s not in self._files and s not in self._dirs:
+                    return
+            self._rename_mem(s, d, src)
+
+    def _rename_mem(self, s: str, d: str, src: str) -> None:
         sp = s + os.sep
         with self._lock:
             if s not in self._files and s not in self._dirs:

@@ -98,59 +98,93 @@ def psort(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
-_FOOTER_ROWS: dict[tuple[str, str], int] = {}
+def _footer_files(path: str) -> list[str]:
+    """The parquet files behind a table path: the file itself, or — a
+    Spark-written table is a DIRECTORY of part files — its fragments.
+    Directory tables are the production layout; every footer-statistic
+    helper aggregates over fragments exactly as a catalog would."""
+    if not os.path.isdir(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _footer_key(sf_dir: str, name: str) -> tuple:
+    """Cache key for footer-statistic reads: (path, mtime_ns, size),
+    aggregated over fragments for directory tables.  Keying on file
+    identity — not just the path — means an in-place rewrite (or a
+    fragment added to a directory table) invalidates the cached stats
+    the way a real catalog's file-listing refresh would (r9 ADVICE: a
+    path-only key silently served stale bounds/counts)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    mt = sz = 0
+    for f in _footer_files(path):
+        st = os.stat(f)
+        mt = max(mt, st.st_mtime_ns)
+        sz += st.st_size
+    return (path, mt, sz)
+
+
+_FOOTER_ROWS: dict[tuple, int] = {}
 
 
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count for a base table from the parquet FOOTER — catalog
     statistics read driver-side (no Spark job, no data pages); cached
-    per (sf_dir, table).  The structural input to :func:`osort`."""
-    key = (sf_dir, name)
+    per (path, mtime, size), summed over a directory table's
+    fragments.  The structural input to :func:`osort`."""
+    key = _footer_key(sf_dir, name)
     hit = _FOOTER_ROWS.get(key)
     if hit is None:
         import pyarrow.parquet as pq
 
-        hit = _FOOTER_ROWS[key] = pq.ParquetFile(
-            os.path.join(sf_dir, f"{name}.parquet")
-        ).metadata.num_rows
+        hit = _FOOTER_ROWS[key] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _footer_files(key[0])
+        )
     return hit
 
 
-_FOOTER_MINMAX: dict[tuple[str, str, str], tuple | None] = {}
+_FOOTER_MINMAX: dict[tuple, tuple | None] = {}
 
 
 def table_col_minmax(sf_dir: str, name: str, col: str):
     """(min, max) of an unfiltered base-table column from the parquet
     FOOTER statistics — catalog statistics read driver-side (no Spark
-    job, no data pages), cached per (sf_dir, table, column).  Exact for
+    job, no data pages), cached per (path, mtime, size, column).  Exact for
     the types used here (int64 timestamps carry untruncated stats, and
     parquet min/max ignore nulls exactly as F.min/F.max do).  Returns
     None when any row group lacks the statistic — callers must keep a
     Spark aggregation fallback, the same contract a catalog-stats
     optimizer rule has."""
-    key = (sf_dir, name, col)
+    key = _footer_key(sf_dir, name) + (col,)
     if key not in _FOOTER_MINMAX:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(
-            os.path.join(sf_dir, f"{name}.parquet")
-        ).metadata
         mins: list = []
         maxs: list = []
-        ok = md.num_row_groups > 0
-        for i in range(md.num_row_groups):
-            rg = md.row_group(i)
-            stat = None
-            for ci in range(rg.num_columns):
-                c = rg.column(ci)
-                if c.path_in_schema == col:
-                    stat = c.statistics
+        ok = False
+        for f in _footer_files(key[0]):
+            md = pq.ParquetFile(f).metadata
+            ok = ok or md.num_row_groups > 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                stat = None
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    if c.path_in_schema == col:
+                        stat = c.statistics
+                        break
+                if stat is None or not stat.has_min_max:
+                    ok = False
                     break
-            if stat is None or not stat.has_min_max:
-                ok = False
+                mins.append(stat.min)
+                maxs.append(stat.max)
+            if not ok:
                 break
-            mins.append(stat.min)
-            maxs.append(stat.max)
         _FOOTER_MINMAX[key] = (min(mins), max(maxs)) if ok else None
     return _FOOTER_MINMAX[key]
 
@@ -2652,8 +2686,14 @@ def q90(spark, sf):
     mm = table_col_minmax(sf, "events", "ts")
     # type guard (r9 review): a plain-INT64 ts file's footer stats come
     # back as ints — that layout must take the Spark-aggregate fallback
-    # below, not crash on .replace()
-    if mm is not None and not isinstance(mm[0], _dt.datetime):
+    # below, not crash on .replace().  tz-aware guard (r10): a
+    # UTC-adjusted timestamp file's footer datetimes carry tzinfo and
+    # truncate to UTC midnights, while the Spark fallback (and the
+    # oracle) truncate in the SESSION timezone — off by a day on
+    # non-UTC sessions, so that layout also falls back.
+    if mm is not None and (
+        not isinstance(mm[0], _dt.datetime) or mm[0].tzinfo is not None
+    ):
         mm = None
     if mm is not None:
         d0c = F.lit(mm[0].replace(hour=0, minute=0, second=0,

@@ -56,14 +56,30 @@ def pruned_index_df(
     # when the stride skips whole chunks (step >= chunk length) — an
     # IN-list beside the BETWEEN, so a step>=chunk read decodes only
     # the chunks its lattice touches instead of the full bounding box.
+    # Past the IN-list literal budget the set arrives as a ModSet and
+    # renders as the O(1)-literal modular predicate (exact for
+    # step > chunk; core/chunk.py), so large sparse reads keep full
+    # pruning instead of falling off the r9 cliff to the box BETWEEN.
     for i, (lo, hi, vals) in enumerate(
         ck.chunk_coordinate_sets(request, grid)
     ):
-        cond = cond & (
-            F.col(f"c{i}").between(lo, hi)
-            if vals is None
-            else F.col(f"c{i}").isin(*vals)
-        )
+        col = F.col(f"c{i}")
+        if vals is None:
+            cond = cond & col.between(lo, hi)
+        elif isinstance(vals, ck.ModSet):
+            cond = (
+                cond
+                & col.between(lo, hi)
+                & (
+                    F.pmod(
+                        F.lit(vals.a) - col * F.lit(vals.c),
+                        F.lit(vals.st),
+                    )
+                    < F.lit(vals.c)
+                )
+            )
+        else:
+            cond = cond & col.isin(*vals)
     return idx.filter(cond)
 
 

@@ -113,4 +113,42 @@ def test_chunk_coordinate_sets_match_enumeration_oracle():
         )
         assert exact <= covered
 
+        # same slice through a tiny literal budget: whatever spills
+        # past max_in must arrive as a ModSet that is still EXACT
+        # (r10 — the modular predicate that replaced the r9 cliff)
+        tiny = ck.chunk_coordinate_sets(s, grid, max_in=2)
+        for (lo, hi, vals), dim_exact in zip(tiny, per_dim_exact):
+            assert lo == dim_exact[0] and hi == dim_exact[-1]
+            if isinstance(vals, ck.ModSet):
+                assert list(vals) == dim_exact
+                assert len(vals) == len(dim_exact)
+                assert all(v in vals for v in dim_exact)
+                assert not any(
+                    h in vals
+                    for h in range(lo, hi + 1)
+                    if h not in set(dim_exact)
+                )
+
     run()
+
+
+def test_modset_replaces_the_between_cliff():
+    """The ADVICE r9 scenario: a long sparse read (step just above the
+    chunk length, thousands of points) used to fall back to the full
+    bounding-box BETWEEN once npts > max_in.  It now emits a ModSet
+    whose membership is exactly the touched lattice chunks — ~1/st of
+    the box instead of all of it."""
+    s = Slice((3,), (3 + 5 * 20_000,), (5,))  # 20k points, step 5
+    grid = Slice((0,), (120_000,), (4,))  # chunk length 4
+    [(lo, hi, vals)] = ck.chunk_coordinate_sets(s, grid)
+    assert isinstance(vals, ck.ModSet)
+    assert len(vals) == 20_000
+    exact = sorted({(3 + 5 * k) // 4 for k in range(20_000)})
+    assert lo == exact[0] and hi == exact[-1]
+    assert list(vals) == exact
+    box = hi - lo + 1
+    # the box holds ~25k coordinates; the set prunes ~1/5 of nothing —
+    # it keeps exactly the 20k touched, dropping the ~5k skipped
+    assert len(vals) < box
+    probe = set(exact)
+    assert all((h in vals) == (h in probe) for h in range(lo, hi + 1))

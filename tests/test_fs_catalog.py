@@ -323,3 +323,34 @@ def test_memfs_without_mirror_root_never_touches_disk(tmp_path):
     # inside: rmtree mirrors to disk
     scoped.rmtree(str(owned))
     assert not owned.exists()
+
+
+def test_memfs_mirrored_rename_overwrites_existing_dst(tmp_path):
+    """MemFS's disk-mirrored rename keeps the dict rename's overwrite
+    semantics (r9 ADVICE): renaming onto an EXISTING non-empty
+    directory replaces it, where a raw os.rename would raise — the
+    retire/rename-onto-prior-generation path the maintenance flow
+    uses."""
+    from mandoline_spark.fs import MemFS
+
+    root = tmp_path / "owned"
+    fs = MemFS(mirror_root=str(root))
+
+    src = root / "gen-new"
+    dst = root / "gen-live"
+    (src / "chunks").mkdir(parents=True)
+    (src / "chunks" / "a.bin").write_text("new-bytes")
+    (dst / "chunks").mkdir(parents=True)
+    (dst / "chunks" / "old.bin").write_text("old-bytes")
+
+    fs.rename(str(src), str(dst))
+    assert not src.exists()
+    assert (dst / "chunks" / "a.bin").read_text() == "new-bytes"
+    assert not (dst / "chunks" / "old.bin").exists()
+
+    # file-onto-file replace as well
+    (root / "f1").write_text("one")
+    (root / "f2").write_text("two")
+    fs.rename(str(root / "f1"), str(root / "f2"))
+    assert (root / "f2").read_text() == "one"
+    assert not (root / "f1").exists()

@@ -336,6 +336,51 @@ def test_strided_read_prunes_to_lattice_chunks(store):
     assert dense[0][2] is None and dense[1][2] is None
 
 
+def test_long_sparse_read_prunes_via_modular_predicate(store):
+    """Past the IN-list literal budget (npts > 256) a sparse stride no
+    longer falls back to the bounding-box BETWEEN (the r9 cliff): the
+    index filter carries the O(1)-literal modular predicate, the
+    pruned index holds exactly the lattice chunks, and the read's
+    values match the numpy mirror."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import chunk as ck
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    conn = store.create_dataset("ds")
+    dds = {
+        "dimensions": {"x": 2048},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    t = conn.add_version(dds)
+    vals = np.arange(2048, dtype=np.int32)
+    writer.write_variable(
+        conn, t, "v", [sb.Slab(vals, sl.mk_slice((0,), (2048,)))]
+    )
+    conn.finish_version(t)
+    token = reader.on_last_version(conn)
+
+    # step 5 over [0, 2048): 410 points > max_in 256 → ModSet branch
+    req = sl.Slice((0,), (2048,), (5,))
+    grid = sl.Slice((0,), (2048,), (4,))
+    [(lo, hi, vset)] = ck.chunk_coordinate_sets(req, grid)
+    assert isinstance(vset, ck.ModSet) and len(vset) == 410
+
+    exact_chunks = sorted({(5 * k) // 4 for k in range(410)})
+    idx = reader.pruned_index_df(conn, token, "v", req)
+    got_chunks = sorted(r["c0"] for r in idx.select("c0").collect())
+    assert got_chunks == exact_chunks  # 410 of 512 box chunks
+    assert len(got_chunks) < (hi - lo + 1)
+
+    got = reader.get_slice(conn, token, "v", req)
+    np.testing.assert_array_equal(got.data, vals[::5])
+
+
 def test_version_diff_decodes_only_changed_chunks(store):
     """q81's scale shape: the diff's cell-emitting stage reads the
     full-outer index join pruned by null-safe hash inequality — its
@@ -776,6 +821,100 @@ def test_footer_minmax_and_q90_fallback(spark, tmp_path):
     want = QUERIES["q90_resample_ffill"](spark, SF).collect()
     got = QUERIES["q90_resample_ffill"](spark, str(nostats)).collect()
     assert got == want
+
+
+def test_footer_caches_track_file_identity(tmp_path):
+    """The footer-stat caches key on (path, mtime, size), not path
+    alone: rewriting a table file in place serves the NEW stats, the
+    way a catalog's file-listing refresh would (r9 ADVICE — a
+    path-only key silently froze bounds/counts after a rewrite)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mandoline_spark.queries import table_col_minmax, table_rows
+
+    d = str(tmp_path)
+    p = os.path.join(d, "orders.parquet")
+    pq.write_table(pa.table({"o_orderkey": pa.array([1, 2, 3])}), p)
+    assert table_rows(d, "orders") == 3
+    assert table_col_minmax(d, "orders", "o_orderkey") == (1, 3)
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([5, 6, 7, 8])}), p
+    )
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    assert table_rows(d, "orders") == 4
+    assert table_col_minmax(d, "orders", "o_orderkey") == (5, 8)
+
+    # directory tables (the Spark-written production layout) aggregate
+    # over part files — and adding a fragment refreshes the cache
+    dd = os.path.join(d, "lineitem.parquet")
+    os.mkdir(dd)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2])}), os.path.join(dd, "p0.parquet")
+    )
+    (open(os.path.join(dd, "_SUCCESS"), "w")).close()
+    assert table_rows(d, "lineitem") == 2
+    assert table_col_minmax(d, "lineitem", "k") == (1, 2)
+    pq.write_table(
+        pa.table({"k": pa.array([7])}), os.path.join(dd, "p1.parquet")
+    )
+    assert table_rows(d, "lineitem") == 3
+    assert table_col_minmax(d, "lineitem", "k") == (1, 7)
+
+
+def test_footer_minmax_tz_aware_takes_fallback(spark, tmp_path):
+    """A UTC-adjusted (tz-aware) timestamp file's footer datetimes
+    truncate to UTC midnights while the Spark fallback truncates in
+    the SESSION timezone — so q90's footer gate must treat tz-aware
+    stats as absent and take the aggregate fallback (r9 ADVICE).
+    Pinned on a non-UTC session by comparing the gated query against
+    the same data with statistics stripped (fallback forced): without
+    the guard the two grids start a day apart."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mandoline_spark.queries as Q
+
+    tzdir = tmp_path / "tzaware"
+    nodir = tmp_path / "tzaware_nostats"
+    tzdir.mkdir()
+    nodir.mkdir()
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    ts_utc = tbl.column("ts").cast(pa.timestamp("us", tz="UTC"))
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts", ts_utc
+    )
+    pq.write_table(tbl, str(tzdir / "events.parquet"))
+    pq.write_table(
+        tbl, str(nodir / "events.parquet"), write_statistics=False
+    )
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        shutil.copy(f"{SF}/{t}.parquet", str(tzdir / f"{t}.parquet"))
+        shutil.copy(f"{SF}/{t}.parquet", str(nodir / f"{t}.parquet"))
+
+    # the raw footer stat IS tz-aware — the guard is load-bearing
+    mm = Q.table_col_minmax(str(tzdir), "events", "ts")
+    assert mm is not None and mm[0].tzinfo is not None
+    assert Q.table_col_minmax(str(nodir), "events", "ts") is None
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Denver")
+        gated = Q.QUERIES["q90_resample_ffill"](
+            spark, str(tzdir)
+        ).collect()
+        forced = Q.QUERIES["q90_resample_ffill"](
+            spark, str(nodir)
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert gated == forced
 
 
 def test_small_read_rebalances_by_decompressed_volume(spark, tmp_path, monkeypatch):
