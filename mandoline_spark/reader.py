@@ -181,8 +181,17 @@ def _pieces_df(
 ) -> DataFrame | None:
     """``lattice`` (a strided original request whose step-1 bounding
     box is ``request``) drives PRUNING and sizing; clipping stays on
-    ``request`` — slab intersect/merge are step-1 operations, and the
-    box buffer's untouched regions read as fill."""
+    ``request`` — the box-recursion (small-read) shape, where the box
+    buffer's untouched regions read as fill.
+
+    A STRIDED ``request`` (step > 1, ``lattice`` None) instead makes
+    the decode stage subsample each chunk to the request's lattice
+    points (r9 verdict #5): pieces ship ~1/∏step of the bounding-box
+    bytes, with ``pstart``/``pstop`` carrying the strided
+    intersection's data coordinates (the step is the request's, known
+    to the consumer).  The subsample is the CRT intersection
+    (:func:`core.slice.get_intersection_general`) + one strided numpy
+    view copy per chunk."""
     prune = lattice if lattice is not None else request
     idx = pruned_index_df(conn, token, var, prune)
     chunks = conn.chunks_df()
@@ -213,6 +222,7 @@ def _pieces_df(
     def decode_clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         req = Slice(*req_tuple)
         grid_s = Slice(*grid_tuple)
+        strided = req.ndim > 0 and not sl.step_is_one(req)
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
@@ -221,6 +231,13 @@ def _pieces_df(
                 slab = sb.from_bytes(bytes(row["blob"]), type_name, chunk_slice)
                 if req.ndim == 0:
                     clipped = slab
+                elif strided:
+                    # lattice subsample: ship only the stride's points
+                    inter = sl.get_intersection_general(slab.slice, req)
+                    clipped = sb.Slab(
+                        slab.data[sl.to_numpy_index(inter, slab.slice)],
+                        inter,
+                    )
                 else:
                     clipped = sb.intersect(slab, req)
                 out.append(
@@ -339,27 +356,64 @@ def get_slice(
     """Materialize ``request``: fill-initialized slab + merge of all
     stored pieces (mandoline.clj:260-270).
 
-    Strided requests (step>1) materialize into the step-1 bounding box
-    and subsample driver-side, but the chunk fetch is pruned to the
-    chunks the stride LATTICE actually touches (``_lattice`` threads
-    the original request through the recursion): a step>=chunk-size
-    read decodes only its own chunks, not the full box — the
-    capability the reference designed at slice.clj:81-102 but never
-    shipped (stride tests are ``future-fact`` in test/slice_test.clj).
-    Chunks inside the box the lattice skips stay at fill in the box
-    buffer, which the subsample never samples."""
+    Strided requests (step>1): the chunk fetch is pruned to the chunks
+    the stride LATTICE actually touches — the capability the reference
+    designed at slice.clj:81-102 but never shipped (stride tests are
+    ``future-fact`` in test/slice_test.clj).  Small reads (the
+    small-read byte gate below) materialize the step-1 bounding box
+    and subsample driver-side — the raw blobs are fetched whole either
+    way, so there is nothing to strip before the driver.  Larger reads
+    take the distributed decode, whose executors subsample each chunk
+    to the lattice BEFORE shipping (r9 verdict #5): the Arrow transfer
+    carries ~1/∏step of the box bytes, and the driver pastes the
+    strided pieces straight into the lattice-shaped result — the box
+    buffer never exists."""
     if not sl.step_is_one(request):
         if any(s < 1 for s in request.step):
             raise ValueError(f"steps must be >= 1: {request}")
-        box = sl.Slice(
-            request.start, request.stop, tuple(1 for _ in request.step)
+        if check_bounds:
+            _check_bounds(token, var, request)
+        _, touched_bytes = _touched_chunks(token, var, request)
+        itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
+        lattice_bytes = sl.num_elements(request) * itemsize
+        if touched_bytes <= 16 << 20 or 2 * lattice_bytes >= touched_bytes:
+            # small (or barely-stripping) read: box recursion, driver
+            # subsample — same routing rationale as the step-1 gate
+            box = sl.Slice(
+                request.start, request.stop, tuple(1 for _ in request.step)
+            )
+            full = get_slice(
+                conn, token, var, box, False, _lattice=request
+            )
+            return sb.Slab(
+                full.data[sl.to_numpy_index(request, box)].copy(), request
+            )
+        result = sb.empty(
+            md.get_type(token, var), request, md.get_fill(token, var)
         )
-        full = get_slice(
-            conn, token, var, box, check_bounds, _lattice=request
-        )
-        return sb.Slab(
-            full.data[sl.to_numpy_index(request, box)].copy(), request
-        )
+        pieces = _pieces_df(conn, token, var, request)
+        if pieces is None:
+            return result
+        ptbl = pieces.select("pstart", "pstop", "data").toArrow()
+        le_dtype = sb.as_dtype(md.get_type(token, var)).newbyteorder("<")
+        import numpy as np
+
+        starts = ptbl.column("pstart").to_pylist()
+        stops = ptbl.column("pstop").to_pylist()
+        row_i = 0
+        for arr_chunk in ptbl.column("data").chunks:
+            for k in range(len(arr_chunk)):
+                pslice = Slice(
+                    tuple(starts[row_i]),
+                    tuple(stops[row_i]),
+                    request.step,
+                )
+                row_i += 1
+                arr = np.frombuffer(
+                    arr_chunk[k].as_buffer(), dtype=le_dtype
+                ).reshape(sl.get_shape(pslice))
+                result.data[sl.to_lattice_index(pslice, request)] = arr
+        return result
     if check_bounds:
         _check_bounds(token, var, request)
     result = sb.empty(

@@ -19,8 +19,19 @@ Physical layout (one directory per dataset under a store root):
 
 Semantics mirrored from the reference:
 - commit = single metadata write; "second committer to the same parent
-  fails" (mandoline.clj:292-310, linear_versions.clj:61-67) — here the
-  atomic O_EXCL create of ``versions/<vid>.json`` wins the race.
+  fails" (mandoline.clj:292-310, linear_versions.clj:61-67).  The
+  commit POINT is the exclusive create of a latch named by the PARENT
+  (``versions/n<parent>.json``, full token as content): version ids
+  are per-writer timestamps, so an id-named create alone cannot
+  arbitrate two children of one parent — the reference admits exactly
+  that window on its file backend and closes it only on DynamoDB's
+  conditional put.  A parent-named latch closes it on ANY backend with
+  a conditional create (O_EXCL, HDFS overwrite=false, S3
+  ``If-None-Match``), stale listings included: the check-then-create
+  race collapses into the create.  ``versions/<vid>.json`` remains as
+  the id-named MIRROR so hot paths list ids from one listdir; a
+  committer dying between latch and mirror leaves one repairable
+  orphan (see ``_repair_unmirrored``).
 - uncommitted writes are invisible: readers resolve versions only
   through ``versions/*.json`` (failed_ingest.clj:26-150).
 - version listing reverse-chronological, nth-version with negative
@@ -242,11 +253,51 @@ class Connection:
     def _versions_dir(self) -> str:
         return os.path.join(self.path, "versions")
 
+    @staticmethod
+    def _mirror_ids(names: list[str]) -> list[int]:
+        return [
+            int(fn[:-5])
+            for fn in names
+            if fn.endswith(".json") and fn[:-5].isdigit()
+        ]
+
+    def _repair_unmirrored(self, names: list[str]) -> bool:
+        """Publish the id-named mirror of a commit whose committer died
+        between the latch create and the mirror write.  At most ONE
+        such orphan can exist: its latch is named by the then-visible
+        tip, so every later commit attempt fails the latch until the
+        mirror appears — history cannot advance past it.  Detection is
+        count arithmetic on one listing (k commits leave k latches and
+        k mirrors); the orphan's latch is named by the newest MIRRORED
+        id (or 0 for a first commit).  The mirror write is an
+        atomic-content exclusive create, so racing repairers — or the
+        resurrected committer — collapse to one winner."""
+        vids = self._mirror_ids(names)
+        n_latch = sum(
+            1
+            for fn in names
+            if fn.startswith("n") and fn.endswith(".json")
+        )
+        if n_latch <= len(vids):
+            return False
+        d = self._versions_dir()
+        orphan = os.path.join(d, f"n{max(vids) if vids else 0}.json")
+        try:
+            body = self.fs.read_text(orphan)
+        except OSError:
+            return False
+        vid = md.parse_metadata(body)["version-id"]
+        self.fs.create_exclusive(os.path.join(d, f"{vid}.json"), body)
+        return True
+
     def versions(self) -> list[tuple[int, dict]]:
         """Committed (version_id, token) pairs, newest first."""
+        names = self.fs.listdir(self._versions_dir())
+        if self._repair_unmirrored(names):
+            names = self.fs.listdir(self._versions_dir())
         out = []
-        for fn in self.fs.listdir(self._versions_dir()):
-            if fn.endswith(".json"):
+        for fn in names:
+            if fn.endswith(".json") and fn[:-5].isdigit():
                 token = md.parse_metadata(
                     self.fs.read_text(
                         os.path.join(self._versions_dir(), fn)
@@ -258,14 +309,15 @@ class Connection:
 
     def version_ids(self) -> list[int]:
         """Committed ids, newest first — from the FILENAMES alone (the
-        id IS the name), so the hot paths (every commit conflict check,
-        every version fallback walk) cost one listdir, not O(history)
-        file reads + JSON parses on a remote store."""
-        ids = [
-            int(fn[:-5])
-            for fn in self.fs.listdir(self._versions_dir())
-            if fn.endswith(".json")
-        ]
+        id IS the mirror's name), so the hot paths (every commit
+        conflict check, every version fallback walk) cost one listdir,
+        not O(history) file reads + JSON parses on a remote store.
+        The same listing detects a missing mirror (dead committer) and
+        triggers the one-read repair."""
+        names = self.fs.listdir(self._versions_dir())
+        if self._repair_unmirrored(names):
+            names = self.fs.listdir(self._versions_dir())
+        ids = self._mirror_ids(names)
         ids.sort(reverse=True)
         return ids
 
@@ -333,22 +385,51 @@ class Connection:
 
     def finish_version(self, token: Mapping[str, Any]) -> int:
         """Commit: succeeds iff the token's parent is still the last
-        committed version (optimistic concurrency; same semantics and
-        the same admitted few-ms race window as mandoline.clj:292-310,
-        but the exclusive create — O_EXCL locally, ``create(path,
-        overwrite=false)`` on Hadoop filesystems — makes the final
-        write itself atomic: second committer fails)."""
+        committed version (optimistic concurrency,
+        mandoline.clj:292-310 / linear_versions.clj:61-67).  The
+        commit point is the exclusive create of the PARENT-named latch
+        ``n<parent>.json``: only one child of a given parent can ever
+        create it, so second-committer-fails holds atomically on any
+        conditional-create backend — even when the ``last_version``
+        pre-check ran against a stale (object-store, list-after-write
+        lagged) listing.  The reference admits this race on its file
+        backend and closes it only via DynamoDB's conditional put; the
+        latch closes it everywhere.  The id-named mirror written after
+        the latch serves the one-listdir hot paths and is repairable
+        if this committer dies first (``_repair_unmirrored``)."""
         vid = token["version-id"]
-        if self.last_version() != token.get("parent"):
+        parent = token.get("parent")
+        if self.last_version() != parent:
             raise VersionConflict(
-                f"parent {token.get('parent')} is no longer the last "
+                f"parent {parent} is no longer the last "
                 f"committed version ({self.last_version()})"
             )
-        fp = os.path.join(self._versions_dir(), f"{vid}.json")
-        if not self.fs.create_exclusive(
-            fp, md.generate_metadata(dict(token))
-        ):
-            raise VersionConflict(f"version {vid} already committed")
+        d = self._versions_dir()
+        body = md.generate_metadata(dict(token))
+        latch = os.path.join(d, f"n{parent if parent is not None else 0}.json")
+        if not self.fs.create_exclusive(latch, body):
+            # event-driven repair: the existing latch may be a dead
+            # committer's orphan (latch written, mirror not).  Reading
+            # it and re-publishing the mirror is idempotent and makes
+            # the winning commit visible, so this loser's caller can
+            # rebase onto it — covers histories where the count
+            # heuristic in _repair_unmirrored cannot see the orphan
+            # (datasets carrying pre-latch commits).
+            try:
+                won = self.fs.read_text(latch)
+                wvid = md.parse_metadata(won)["version-id"]
+                self.fs.create_exclusive(
+                    os.path.join(d, f"{wvid}.json"), won
+                )
+            except OSError:
+                pass
+            raise VersionConflict(
+                f"a version atop parent {parent} is already committed "
+                f"(version {vid} loses the race)"
+            )
+        # the mirror: second create of the same name (a repairer racing
+        # this committer) is benign — identical content either way
+        self.fs.create_exclusive(os.path.join(d, f"{vid}.json"), body)
         return vid
 
     # -- physical table handles ----------------------------------------------

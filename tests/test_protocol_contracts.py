@@ -318,3 +318,242 @@ def test_mvcc_overlay_matches_model(spark, tmp_path_factory, versions):
             assert got.data.tolist() == want.tolist(), (
                 f"version {v} diverged from model"
             )
+
+
+# -- Object-store semantics (r9 verdict #3) -----------------------------------
+# The behavior matrix runs on POSIX-atomic backends; this wrapper
+# injects S3-style faults so the commit protocol's guarantees are
+# pinned where they are actually stressed: listings lag writes (the
+# classic list-after-write inconsistency), rename is copy-then-delete
+# (no atomic rename exists), and the only atomic primitives are the
+# per-key PUT (replace_text) and the conditional create
+# (create_exclusive — O_EXCL / HDFS overwrite=false / S3
+# If-None-Match, the documented deployment contract in fs.py).
+
+
+class ObjectStoreFS:
+    """LocalFS with object-store fault injection for contract tests.
+
+    - ``listdir`` hides entries created within the last ``lag``
+      listing calls (list-after-write lag); direct per-key GETs
+      (``exists``/``read_text``) stay strong, matching modern S3.
+    - ``rename`` is copy-then-delete — callers relying on rename
+      atomicity would observe src+dst coexisting.  The catalog never
+      calls it (generation flips + replace_text replaced the r2
+      rename-swap), which this suite effectively proves.
+    - ``create_exclusive`` remains conditional: the one primitive the
+      commit protocol is allowed to lean on.
+    """
+
+    def __init__(self, lag: int = 3):
+        from mandoline_spark.fs import LocalFS
+
+        self._inner = LocalFS()
+        self._lag = lag
+        self._fresh: dict[str, int] = {}
+
+    def _mark(self, path: str) -> None:
+        self._fresh[os.path.normpath(path)] = self._lag
+
+    def listdir(self, path: str) -> list[str]:
+        names = self._inner.listdir(path)
+        base = os.path.normpath(path)
+        visible = [
+            n
+            for n in names
+            if self._fresh.get(os.path.join(base, n), 0) <= 0
+        ]
+        for k in list(self._fresh):
+            self._fresh[k] -= 1
+            if self._fresh[k] <= 0:
+                del self._fresh[k]
+        return visible
+
+    def rename(self, src: str, dst: str) -> None:
+        import shutil as _sh
+
+        if os.path.isdir(src):
+            _sh.copytree(src, dst)
+            _sh.rmtree(src)
+        else:
+            _sh.copy2(src, dst)
+            os.remove(src)
+        self._mark(dst)
+
+    def write_text(self, path: str, text: str) -> None:
+        self._inner.write_text(path, text)
+        self._mark(path)
+
+    def replace_text(self, path: str, text: str) -> None:
+        self._inner.replace_text(path, text)
+        self._mark(path)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        ok = self._inner.create_exclusive(path, text)
+        if ok:
+            self._mark(path)
+        return ok
+
+    def makedirs(self, path: str) -> None:
+        self._inner.makedirs(path)
+        self._mark(path)
+
+    def __getattr__(self, attr):
+        return getattr(self._inner, attr)
+
+
+def _tiny_spec() -> dict:
+    return {
+        "dimensions": {"x": 4},
+        "chunk-dimensions": {"x": 2},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+
+
+def test_second_committer_fails_under_stale_listings(spark, tmp_path):
+    """Two writers fork the same parent; the first commits, but the
+    winner's version file is INVISIBLE to listings when the second
+    commits (list-after-write lag).  The parent==last pre-check
+    therefore passes for both — the case where an id-named exclusive
+    create cannot arbitrate (ids differ) and history would silently
+    fork.  The parent-named latch must still fail the second
+    committer."""
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    w2 = conn.add_version(_tiny_spec())
+    assert w1.get("parent") == w2.get("parent") is None
+
+    v1 = conn.finish_version(w1)
+    # lag keeps v1's files hidden: the stale pre-check passes, the
+    # latch still arbitrates
+    assert conn.last_version() is None  # stale listing, by injection
+    with pytest.raises(VersionConflict):
+        conn.finish_version(w2)
+    # once listings catch up, exactly v1 is history and a rebased
+    # writer commits cleanly
+    for _ in range(12):
+        conn.version_ids()
+    assert conn.version_ids() == [v1]
+    w3 = conn.add_version(_tiny_spec())
+    assert w3["parent"] == v1
+    v3 = conn.finish_version(w3)
+    for _ in range(12):
+        conn.version_ids()  # drain the injected lag again
+    assert conn.version_ids() == [v3, v1]
+
+
+def test_dead_committer_orphan_is_repaired(spark, tmp_path):
+    """A committer that dies between the latch create and the mirror
+    write leaves a committed-but-unlisted version.  The next LISTING
+    detects the latch/mirror count mismatch and repairs the mirror
+    from the latch, so a competing writer of the same parent rebases
+    onto the repaired tip instead of forking history."""
+    from mandoline_spark.core import metadata as md
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=0))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    # simulate death-after-latch: write the latch exactly as
+    # finish_version would, but never write the mirror
+    body = md.generate_metadata(dict(w1))
+    latch = os.path.join(conn.path, "versions", "n0.json")
+    assert conn.fs.create_exclusive(latch, body)
+
+    # the very next listing repairs: the dead committer's version IS
+    # history, and a new writer inherits it as parent and commits
+    assert conn.version_ids() == [w1["version-id"]]
+    w2 = conn.add_version(_tiny_spec())
+    assert w2["parent"] == w1["version-id"]
+    v2 = conn.finish_version(w2)
+    assert conn.version_ids() == [v2, w1["version-id"]]
+
+
+def test_orphan_latch_repair_on_mixed_history(spark, tmp_path):
+    """The count heuristic is blind when pre-latch history exists (old
+    id-named files without latches): a dead committer's orphan then
+    surfaces through the EVENT-driven path — the losing committer's
+    failed latch create repairs the winner's mirror before raising,
+    so the loser's retry rebases instead of deadlocking forever."""
+    from mandoline_spark.core import metadata as md
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=0))
+    conn = store.create_dataset("ds")
+
+    # pre-latch history: an id-named version file with NO latch, the
+    # layout a dataset written before the latch protocol carries
+    old = conn.add_version(_tiny_spec())
+    old_vid = old["version-id"]
+    conn.fs.write_text(
+        os.path.join(conn.path, "versions", f"{old_vid}.json"),
+        md.generate_metadata(dict(old)),
+    )
+    assert conn.version_ids() == [old_vid]
+
+    # dead committer atop old_vid: latch without mirror.  Counts are
+    # now equal (1 latch, 1 mirror) — the heuristic cannot see it.
+    dead = conn.add_version(_tiny_spec())
+    assert dead["parent"] == old_vid
+    conn.fs.create_exclusive(
+        os.path.join(conn.path, "versions", f"n{old_vid}.json"),
+        md.generate_metadata(dict(dead)),
+    )
+    assert conn.version_ids() == [old_vid]  # still blind
+
+    # a live committer of the same parent: loses the latch, which
+    # repairs the dead committer's mirror en route
+    live = conn.add_version(_tiny_spec())
+    assert live["parent"] == old_vid
+    with pytest.raises(VersionConflict):
+        conn.finish_version(live)
+    assert conn.version_ids() == [dead["version-id"], old_vid]
+
+    # the retry rebases onto the repaired tip and commits
+    retry = conn.add_version(_tiny_spec())
+    assert retry["parent"] == dead["version-id"]
+    v = conn.finish_version(retry)
+    assert conn.version_ids() == [v, dead["version-id"], old_vid]
+
+
+def test_failed_ingest_invisible_under_object_store(spark, tmp_path):
+    """failed_ingest.clj:26-150 under object-store semantics: chunks
+    written for a version that never commits stay invisible to
+    readers, and a later successful commit reads back exactly its own
+    data."""
+    from mandoline_spark import reader
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=2))
+    conn = store.create_dataset("ds")
+
+    # first ingest writes data but the driver "dies" before commit
+    t1 = conn.add_version(_tiny_spec())
+    writer.write_variable(
+        conn,
+        t1,
+        "v",
+        [sb.Slab(np.full(4, 7, np.int32), sl.mk_slice((0,), (4,)))],
+    )
+    assert conn.version_ids() == []  # nothing committed, nothing listed
+
+    # second ingest commits; reads resolve only its version
+    t2 = conn.add_version(_tiny_spec())
+    writer.write_variable(
+        conn,
+        t2,
+        "v",
+        [sb.Slab(np.full(4, 9, np.int32), sl.mk_slice((0,), (4,)))],
+    )
+    v2 = conn.finish_version(t2)
+    for _ in range(4):
+        conn.version_ids()  # drain the listing lag
+    assert conn.version_ids() == [v2]
+    tok = reader.on_last_version(conn)
+    got = reader.get_slice(conn, tok, "v", sl.mk_slice((0,), (4,)))
+    assert got.data.tolist() == [9, 9, 9, 9]

@@ -207,3 +207,134 @@ def test_resume_writer_same_process(spark, store):
     )
     vid = conn2.finish_version(tok2)
     assert conn.last_version() == vid
+
+
+FOUR_WRITER = textwrap.dedent(
+    """
+    import json, os, sys, time
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from mandoline_spark import writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+    from mandoline_spark.store import resume_writer
+
+    token_file, ready_file, go_file = sys.argv[1:4]
+    y_lo, y_hi, val, seed = (int(a) for a in sys.argv[4:8])
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"four_{y_lo}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    conn, tok = resume_writer(spark, open(token_file).read())
+    # the reference's script.clj:40-52 shape: one slab per LAST-dim
+    # coordinate over the full leading extent, written in SHUFFLED
+    # order (the mis-ordered? variant of concurrency.clj:162-243)
+    X = tok["dimensions"]["x"]
+    cols = list(range(y_lo, y_hi))
+    np.random.default_rng(seed).shuffle(cols)
+    slabs = [
+        sb.empty("short", sl.mk_slice((0, y), (X, y + 1)), val)
+        for y in cols
+    ]
+    # ready/go barrier so all four drivers write CONCURRENTLY
+    open(ready_file, "w").close()
+    while not os.path.exists(go_file):
+        time.sleep(0.05)
+    writer.write_variable(conn, tok, "v", slabs, index_mode="delta")
+    print("done")
+    spark.stop()
+    """
+)
+
+
+def test_four_process_distributed_write(spark, store, tmp_path):
+    """The reference's lots-of-processes suite
+    (test/concurrency.clj:162-243 + test/script.clj:54-83) at four
+    writers: a coordinator opens one version, four SEPARATE driver
+    processes resume it from the token, pass a ready/go barrier so the
+    writes overlap in time, and each writes its shard as shuffled
+    per-column slabs (the mis-ordered oracle).  The coordinator
+    commits and the merged variable equals the numpy mosaic.
+
+    Divergence from the reference, by design: shard assignment is
+    CHUNK-ALIGNED per process.  The reference resolves two processes
+    writing into one chunk tile with a per-chunk conditional-put retry
+    loop; this engine's concurrent-writer contract is one claimed
+    delta generation per job with chunk-disjoint shards (writer.py
+    _claim_generation) — the sharding any 100 TB bulk ingest uses
+    anyway.  Within a process, overlapping shuffled slabs ARE
+    supported (slab-order last-writer-wins, writer.py:102)."""
+    import time
+
+    X, Y, CH = 14, 20, 5  # y chunk 5 divides each 5-wide shard
+    conn = store.create_dataset("four")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": X, "y": Y},
+            "chunk-dimensions": {"x": 7, "y": CH},
+            "variables": {
+                "v": {"type": "short", "shape": ["x", "y"], "fill-value": -3}
+            },
+        }
+    )
+    tf = tmp_path / "writer.token"
+    tf.write_text(conn.writer_token(tok))
+    script = tmp_path / "worker.py"
+    script.write_text(FOUR_WRITER)
+    go = tmp_path / "go"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+
+    # shard assignment itself arrives shuffled
+    shards = [(0, 5, 1), (5, 10, 2), (10, 15, 3), (15, 20, 4)]
+    rng = np.random.default_rng(11)
+    rng.shuffle(shards)
+    procs = []
+    readies = []
+    for i, (lo, hi, val) in enumerate(shards):
+        ready = tmp_path / f"ready_{i}"
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(tf), str(ready),
+                    str(go), str(lo), str(hi), str(val), str(100 + i),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+        )
+    deadline = time.time() + 240
+    while not all(r.exists() for r in readies):
+        assert time.time() < deadline, "workers never reached ready"
+        assert all(p.poll() is None for p in procs), [
+            p.communicate()[1][-2000:] for p in procs if p.poll()
+        ]
+        time.sleep(0.1)
+    go.write_text("go")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-4000:]
+        assert "done" in out
+
+    conn.finish_version(tok)
+    # four concurrent jobs claimed four DISTINCT delta generations
+    assert len(conn.index_gens(tok["version-id"], "v")) == 4
+
+    expected = np.empty((X, Y), dtype=np.int16)
+    for lo, hi, val in shards:
+        expected[:, lo:hi] = val
+    got = reader.get_slice(
+        conn,
+        reader.on_last_version(conn),
+        "v",
+        sl.mk_slice((0, 0), (X, Y)),
+    )
+    np.testing.assert_array_equal(got.data, expected)
