@@ -256,11 +256,49 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     LSH bucket, then exact re-rank.  Trades recall for a bucket-equi
-    join instead of a full cross product (the 100 TB shape)."""
+    join instead of a full cross product (the 100 TB shape).
+
+    ``n_probe_bits`` enables MULTI-PROBE (Lv et al., VLDB'07 shape):
+    each query also probes every bucket within that Hamming distance
+    of its own — the r10 recall measurement
+    (BASELINE.md "ANN recall curves") showed single-bucket probing is
+    recall-unsafe as a top-1 index (0.43–0.83 recall@1), because a
+    neighbor on the far side of ONE hyperplane lands in a sibling
+    bucket.  The probe set explodes on the QUERY side only
+    (sum_{i<=b} C(n_planes, i) rows per query — the small, broadcast
+    side); the corpus keeps one bucket per vector and never reshuffles,
+    so the knob scales probe cost with queries, not corpus."""
+    if n_probe_bits < 0 or n_probe_bits > 2:
+        # C(62, 3)+ probe fan-out stops being a "probe" — use IVF
+        raise ValueError(
+            f"n_probe_bits must be 0, 1, or 2: {n_probe_bits}"
+        )
+    masks = [0]
+    if n_probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if n_probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     qb = lsh_bucket(queries, n_planes, seed, vec_col)
+    if len(masks) > 1:
+        qb = qb.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in masks
+                    ]
+                )
+            ),
+        )
     cb = lsh_bucket(corpus, n_planes, seed, vec_col)
     q = with_norm(qb, vec_col).select(
         F.col(id_col).alias("qid"),

