@@ -291,6 +291,28 @@ def bench_array(spark) -> dict[str, float]:
         out["arr_read_slices_x10"] = round(min(slice_runs), 4)
         conn.invalidate_cache()
 
+        # Strided full scan (step 2 per dim): touched bytes = the whole
+        # 412 MiB array, but the executors subsample each chunk to the
+        # stride lattice before shipping (r10), so the Arrow transfer
+        # and driver assembly carry 1/8 of the cells.  Ideal = well
+        # under the full-scan time; at parity with it the executor
+        # subsampling would be broken (box-shipping regression).
+        strided_runs = []
+        for _ in range(2):
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            got = reader.get_slice(
+                conn,
+                token,
+                "v",
+                sl.Slice((0, 0, 0), (X, Y, T), (2, 2, 2)),
+            )
+            strided_runs.append(time.perf_counter() - t0)
+            assert got.data.shape == (X // 2, Y // 2, (T + 1) // 2)
+            del got
+        out["arr_scan_strided_s2"] = round(min(strided_runs), 4)
+
         # Delta-overlay read cost vs chain depth (store.py's
         # "compact_every" guidance wants a measured number): for depth
         # d in (1, 5, 10), a version gets its OWN full base commit and
