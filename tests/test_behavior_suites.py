@@ -27,13 +27,20 @@ from mandoline_spark.store import VersionConflict
 # `store` for every suite in this module: LocalFS exercises the POSIX
 # commit primitives, MemFS the lock-held in-memory catalog (data files
 # visible through its disk union), HadoopFS-on-file:/ the Hadoop
-# FileSystem client path; the +cache rows hand out connections with the
-# read-through cached tier on.
+# FileSystem client path, and ObjectStoreFS (r9 VERDICT #3) a modern
+# object store — strongly-consistent per-key reads and listings, NO
+# atomic rename (copy-then-delete), commits leaning only on the
+# conditional create; the legacy lagged-listing variant lives in the
+# dedicated commit-race tests (test_protocol_contracts.py), since
+# list-after-write lag breaks the read-your-writes these suites
+# assume.  The +cache rows hand out connections with the read-through
+# cached tier on.
 @pytest.fixture(
     params=[
         "local", "local+cache",
         "mem", "mem+cache",
         "hadoop", "hadoop+cache",
+        "objstore", "objstore+cache",
     ]
 )
 def store(request, spark, tmp_path):
@@ -48,6 +55,10 @@ def store(request, spark, tmp_path):
         # tmp dir — outside it MemFS is pure-virtual and never touches
         # the real filesystem
         fs = fsmod.MemFS(mirror_root=root)
+    elif kind == "objstore":
+        from tests.faults import ObjectStoreFS
+
+        fs = ObjectStoreFS(lag=0)
     elif kind == "hadoop":
         root = "file:" + root
     inner = Store(spark, root, fs=fs)
