@@ -259,3 +259,55 @@ def test_threaded_cached_reads_one_connection(store):
     with ThreadPoolExecutor(8) as pool:
         assert all(pool.map(read_some, range(8)))
     assert len(conn._blob_lru) <= conn.blob_lru_size
+
+
+def test_commit_race_barrier_one_winner(store):
+    """Eight threads commit DIFFERENT children of the same parent
+    through a barrier, so every pre-check reads the same 'last
+    version' before any latch lands — the exact interleaving the
+    reference admits as a race window on its file backend
+    (mandoline.clj:292-310).  The parent-named latch (r10) makes it
+    atomic: exactly ONE commit wins, every loser raises
+    VersionConflict, and history holds exactly the winner."""
+    import threading
+
+    from mandoline_spark.store import VersionConflict
+
+    conn = store.create_dataset("race")
+    spec = {
+        "dimensions": {"x": 4},
+        "chunk-dimensions": {"x": 2},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    tokens = [conn.add_version(spec) for _ in range(8)]
+    assert len({t["version-id"] for t in tokens}) == 8
+    barrier = threading.Barrier(8)
+    results: list = [None] * 8
+
+    def commit(i):
+        barrier.wait()
+        try:
+            results[i] = ("won", conn.finish_version(tokens[i]))
+        except VersionConflict:
+            results[i] = ("lost", None)
+
+    threads = [
+        threading.Thread(target=commit, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r[0] == "won"]
+    assert len(wins) == 1, results
+    assert [r[0] for r in results].count("lost") == 7
+    assert conn.version_ids() == [wins[0][1]]
+
+    # and the losers rebase cleanly: a fresh writer inherits the
+    # winner as parent and commits
+    t2 = conn.add_version(spec)
+    assert t2["parent"] == wins[0][1]
+    v2 = conn.finish_version(t2)
+    assert conn.version_ids() == [v2, wins[0][1]]
