@@ -394,12 +394,15 @@ def test_strided_read_ships_lattice_bytes_only(store):
     from mandoline_spark.core import slab as sb
     from mandoline_spark.core import slice as sl
 
+    # chunk 300k does NOT divide 5M: the last chunk is stored full-size
+    # with fill beyond the extent (chunk.clj:27-33), so the executor
+    # subsample must clip to the request, not the chunk box
     N, STEP = 5_000_000, 3  # 20 MB int32 > the 16 MB small-read gate
     conn = store.create_dataset("ds")
     t = conn.add_version(
         {
             "dimensions": {"x": N},
-            "chunk-dimensions": {"x": 250_000},
+            "chunk-dimensions": {"x": 300_000},
             "variables": {
                 "v": {"type": "int", "shape": ["x"], "fill-value": 0}
             },
@@ -420,7 +423,7 @@ def test_strided_read_ships_lattice_bytes_only(store):
     rows = pieces.selectExpr(
         "sum(length(data)) AS total", "count(*) AS n"
     ).collect()[0]
-    assert rows["n"] == 20  # every chunk holds lattice points
+    assert rows["n"] == 17  # every chunk (incl. the edge) holds points
     assert rows["total"] == n_lattice * 4, (
         rows["total"],
         n_lattice * 4,

@@ -79,7 +79,17 @@ def main() -> None:
 
     out: dict = {"probe": "ann_recall", "dim": 64, "queries": 100}
     scratch = tempfile.mkdtemp(prefix="ann_recall_")
+    # scoping knobs so a partial re-measure doesn't re-pay the whole
+    # sweep (the x100 exact baseline alone is ~2-3 min):
+    #   ANN_SCALES=x100        run only these comma-separated scales
+    #   ANN_SKIP_IVF=1         skip the IVF sweep
+    #   ANN_SKIP_LSH=1         skip the LSH sweep
+    scales = os.environ.get("ANN_SCALES", "x10,x100").split(",")
+    skip_ivf = os.environ.get("ANN_SKIP_IVF") == "1"
+    skip_lsh = os.environ.get("ANN_SKIP_LSH") == "1"
     for label, n in (("x10", 20_000), ("x100", 200_000)):
+        if label not in scales:
+            continue
         corpus_np, queries_np = synth(n)
         cpath = os.path.join(scratch, f"corpus_{label}.parquet")
         qpath = os.path.join(scratch, f"queries_{label}.parquet")
@@ -94,8 +104,10 @@ def main() -> None:
 
         curves: dict = {"exact_sec": exact_sec, "ivf": {}, "lsh": {}}
         cells = 16
-        centroids = sim.train_ivf_centroids(corpus, n_cells=cells)
-        for n_probe in (1, 2, 4, 8, 16):
+        centroids = None
+        if not skip_ivf:
+            centroids = sim.train_ivf_centroids(corpus, n_cells=cells)
+        for n_probe in () if skip_ivf else (1, 2, 4, 8, 16):
             t0 = time.perf_counter()
             got = top1_map(
                 sim.ivf_topk(
@@ -113,7 +125,7 @@ def main() -> None:
                 "recall@1": round(hits / len(exact), 3),
                 "sec": sec,
             }
-        for n_planes, bits in (
+        for n_planes, bits in () if skip_lsh else (
             (4, 0), (8, 0), (12, 0), (16, 0),
             (12, 1), (16, 1), (12, 2), (16, 2),
         ):
