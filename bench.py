@@ -406,11 +406,16 @@ def main() -> None:
     times: dict[str, float] = {}
     times.update(bench_array(spark))
     # measurement metadata (run lists / spread ratios) rides into the
-    # detail file, not the summed per-query map
+    # detail file, not the summed per-query map.  The strided-scan
+    # entry (new in r10) also rides here: adding a workload to the
+    # SUMMED map would inflate the headline totals the driver compares
+    # round-over-round by ~1.5s of pure new-coverage time.
     arr_scan_meta = {
         k: times.pop(k)
         for k in list(times)
-        if k.endswith("_runs") or k.endswith("_spread")
+        if k.endswith("_runs")
+        or k.endswith("_spread")
+        or k == "arr_scan_strided_s2"
     }
 
     # AQE exists to re-plan multi-GB shuffles at runtime (coalesce,
