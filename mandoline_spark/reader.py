@@ -306,6 +306,13 @@ def stream(
 # bytes the exchange costs more latency than the skew it prevents.
 _REBALANCE_MIN_BYTES = 64 << 20
 
+# Small-read routing gate: at or below this many touched chunk bytes
+# the driver collects raw blobs and decodes in-process (no mapInPandas
+# stage, no Python-worker round trip).  A module constant so tests can
+# force the DISTRIBUTED branch on small fixtures (the strided-lattice
+# hypothesis roundtrip pins executor subsampling that way).
+_SMALL_READ_MAX_BYTES = 16 << 20
+
 
 def _small_read_blobs_df(
     conn: Connection,
@@ -376,7 +383,10 @@ def get_slice(
         _, touched_bytes = _touched_chunks(token, var, request)
         itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
         lattice_bytes = sl.num_elements(request) * itemsize
-        if touched_bytes <= 16 << 20 or 2 * lattice_bytes >= touched_bytes:
+        if (
+            touched_bytes <= _SMALL_READ_MAX_BYTES
+            or 2 * lattice_bytes >= touched_bytes
+        ):
             # small (or barely-stripping) read: box recursion, driver
             # subsample — same routing rationale as the step-1 gate
             box = sl.Slice(
@@ -442,7 +452,8 @@ def get_slice(
     # (partial chunk overlap).  A full scan strips nothing — routing it
     # through mapInPandas moves the same bytes twice.
     small = request.ndim > 0 and (
-        touched_bytes <= 16 << 20 or 2 * requested_bytes >= touched_bytes
+        touched_bytes <= _SMALL_READ_MAX_BYTES
+        or 2 * requested_bytes >= touched_bytes
     )
     if small:
         # Direct chunk paste: the driver loop is the serial tail of

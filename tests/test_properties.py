@@ -246,6 +246,76 @@ def test_spark_roundtrip_random_writes(data, store_factory):
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_strided_distributed_path_matches_numpy(data, store_factory):
+    """Randomized strided reads FORCED through the distributed
+    executor-subsample path (r10): the small-read gate is lowered to
+    -1 so every read runs _pieces_df + lattice paste instead of the
+    box recursion the tiny fixtures would otherwise route to, and the
+    result must equal the numpy mirror's strided view.  Covers
+    non-aligned edge chunks, steps spanning 2..3x chunk lengths, and
+    multi-dim stride mixes the deterministic plan test cannot."""
+    import mandoline_spark.reader as reader_mod
+    from mandoline_spark import reader, writer
+
+    ndim = data.draw(st.integers(1, 3))
+    dims = tuple(data.draw(st.integers(4, 14)) for _ in range(ndim))
+    chunks = tuple(data.draw(st.integers(1, d)) for d in dims)
+    names = [f"d{i}" for i in range(ndim)]
+    dds = {
+        "dimensions": dict(zip(names, dims)),
+        "chunk-dimensions": dict(zip(names, chunks)),
+        "variables": {
+            "v": {"type": "int", "shape": names, "fill-value": -1}
+        },
+    }
+    conn = store_factory()
+    token = conn.add_version(dds)
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    oracle = np.full(dims, -1, np.int32)
+    # leave a region unwritten sometimes: fill must survive the
+    # lattice paste (absent chunks contribute nothing)
+    start = tuple(int(rng.integers(0, max(1, d // 2))) for d in dims)
+    stop = tuple(
+        int(rng.integers(s + 1, d + 1)) for s, d in zip(start, dims)
+    )
+    vals = rng.integers(0, 1000, tuple(
+        b - a for a, b in zip(start, stop)
+    ), dtype=np.int32)
+    writer.write_variable(
+        conn, token, "v", [sb.Slab(vals, sl.mk_slice(start, stop))]
+    )
+    oracle[tuple(slice(a, b) for a, b in zip(start, stop))] = vals
+    conn.finish_version(token)
+    token = reader.on_last_version(conn)
+
+    rstart = tuple(int(rng.integers(0, d)) for d in dims)
+    rstop = tuple(
+        int(rng.integers(s + 1, d + 1)) for s, d in zip(rstart, dims)
+    )
+    steps = tuple(int(rng.integers(2, 8)) for _ in dims)
+    req = sl.Slice(rstart, rstop, steps)
+
+    old = reader_mod._SMALL_READ_MAX_BYTES
+    reader_mod._SMALL_READ_MAX_BYTES = -1
+    try:
+        got = reader.get_slice(conn, token, "v", req)
+    finally:
+        reader_mod._SMALL_READ_MAX_BYTES = old
+    np.testing.assert_array_equal(
+        got.data,
+        oracle[tuple(
+            slice(a, b, t) for a, b, t in zip(rstart, rstop, steps)
+        )],
+    )
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture,
