@@ -297,6 +297,11 @@ def bench_array(spark) -> dict[str, float]:
         # and driver assembly carry 1/8 of the cells.  Ideal = well
         # under the full-scan time; at parity with it the executor
         # subsampling would be broken (box-shipping regression).
+        # Cache tier OFF (r10 review: the slices phase leaves
+        # cache_reads=True, and a block-manager-cached chunk table
+        # would bias this number fast independent of subsampling —
+        # arr_scan_full, its stated baseline, ran cold).
+        conn.cache_reads = False
         strided_runs = []
         for _ in range(2):
             _gc.collect()
@@ -312,6 +317,9 @@ def bench_array(spark) -> dict[str, float]:
             assert got.data.shape == (X // 2, Y // 2, (T + 1) // 2)
             del got
         out["arr_scan_strided_s2"] = round(min(strided_runs), 4)
+        # restore the read-tier state the delta-depth phase has always
+        # measured under (cache on, invalidated between reads)
+        conn.cache_reads = True
 
         # Delta-overlay read cost vs chain depth (store.py's
         # "compact_every" guidance wants a measured number): for depth

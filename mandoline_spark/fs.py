@@ -417,8 +417,9 @@ class MemFS:
         with self._lock:
             self._parents(path)
 
-    def rmtree(self, path: str) -> None:
-        p = self._norm(path)
+    def _purge_mem(self, p: str) -> None:
+        """Drop ``p`` and its subtree from the DICT side only (caller
+        holds the lock or doesn't care about atomicity with disk)."""
         prefix = p + os.sep
         with self._lock:
             self._files = {
@@ -429,6 +430,10 @@ class MemFS:
             self._dirs = {
                 d for d in self._dirs if d != p and not d.startswith(prefix)
             }
+
+    def rmtree(self, path: str) -> None:
+        p = self._norm(path)
+        self._purge_mem(p)
         # mirror onto disk (opt-in root only): Spark-written data files
         # under the removed catalog subtree go with it (destroy/retire
         # semantics); outside the mirror root the backend never touches
@@ -457,6 +462,11 @@ class MemFS:
                     os.remove(d)
                 os.rename(s, d)
                 if s not in self._files and s not in self._dirs:
+                    # disk-only src: rename is a REPLACE, so any stale
+                    # dict entries under dst go too (r10 review: the
+                    # disk rmtree + dict merge left phantom dict files
+                    # unioned with the new disk content)
+                    self._purge_mem(d)
                     return
             self._rename_mem(s, d, src)
 
@@ -477,6 +487,11 @@ class MemFS:
                 if k == s or k.startswith(sp)
             }
             self.rmtree(s)
+            # rename REPLACES dst: clear any existing dict subtree
+            # before the moved keys land (matches the disk mirror,
+            # which rmtree's an existing dst — dict and disk must not
+            # diverge on overwrite semantics)
+            self._purge_mem(d)
             self._files.update(moves_f)
             self._dirs.update(moves_d)
 

@@ -286,7 +286,10 @@ def cosine_topk_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    qb = lsh_bucket(queries, n_planes, seed, vec_col)
+    # norm BEFORE the probe explode: _norm is an aggregate over the
+    # embedding array, and exploding first would re-evaluate it once
+    # per probe row (79x per query at 12 planes / 2 bits — r10 review)
+    qb = with_norm(lsh_bucket(queries, n_planes, seed, vec_col), vec_col)
     if len(masks) > 1:
         qb = qb.withColumn(
             "bucket",
@@ -300,7 +303,7 @@ def cosine_topk_lsh(
             ),
         )
     cb = lsh_bucket(corpus, n_planes, seed, vec_col)
-    q = with_norm(qb, vec_col).select(
+    q = qb.select(
         F.col(id_col).alias("qid"),
         F.col("bucket"),
         F.col("_emb").alias("_qemb"),

@@ -166,12 +166,18 @@ def table_col_minmax(sf_dir: str, name: str, col: str):
 
         mins: list = []
         maxs: list = []
-        ok = False
+        ok = True
         for f in _footer_files(key[0]):
             md = pq.ParquetFile(f).metadata
-            ok = ok or md.num_row_groups > 0
             for i in range(md.num_row_groups):
                 rg = md.row_group(i)
+                if rg.num_rows == 0:
+                    # empty fragments/row groups carry no stats and no
+                    # rows — they cannot constrain the bounds (r10
+                    # review: treating them as missing stats disabled
+                    # footer bounds for any directory table holding an
+                    # empty part file, which Spark writes routinely)
+                    continue
                 stat = None
                 for ci in range(rg.num_columns):
                     c = rg.column(ci)
@@ -185,7 +191,9 @@ def table_col_minmax(sf_dir: str, name: str, col: str):
                 maxs.append(stat.max)
             if not ok:
                 break
-        _FOOTER_MINMAX[key] = (min(mins), max(maxs)) if ok else None
+        _FOOTER_MINMAX[key] = (
+            (min(mins), max(maxs)) if ok and mins else None
+        )
     return _FOOTER_MINMAX[key]
 
 

@@ -308,10 +308,23 @@ _REBALANCE_MIN_BYTES = 64 << 20
 
 # Small-read routing gate: at or below this many touched chunk bytes
 # the driver collects raw blobs and decodes in-process (no mapInPandas
-# stage, no Python-worker round trip).  A module constant so tests can
-# force the DISTRIBUTED branch on small fixtures (the strided-lattice
-# hypothesis roundtrip pins executor subsampling that way).
+# stage, no Python-worker round trip).
 _SMALL_READ_MAX_BYTES = 16 << 20
+
+
+def _route_small(touched_bytes: int, requested_bytes: int) -> bool:
+    """True when a read should take the driver-side small path: the
+    touched volume fits comfortably anyway, or clipping/subsampling
+    would strip less than half of it (the distributed decode only
+    earns its shuffle + Arrow round-trip when it strips a lot).  ONE
+    function for both the step-1 and strided gates so tests can
+    monkeypatch it to force the distributed branch on small fixtures
+    (the strided-lattice hypothesis roundtrip pins executor
+    subsampling that way)."""
+    return (
+        touched_bytes <= _SMALL_READ_MAX_BYTES
+        or 2 * requested_bytes >= touched_bytes
+    )
 
 
 def _small_read_blobs_df(
@@ -383,10 +396,7 @@ def get_slice(
         _, touched_bytes = _touched_chunks(token, var, request)
         itemsize = sb.as_dtype(md.get_type(token, var)).itemsize
         lattice_bytes = sl.num_elements(request) * itemsize
-        if (
-            touched_bytes <= _SMALL_READ_MAX_BYTES
-            or 2 * lattice_bytes >= touched_bytes
-        ):
+        if _route_small(touched_bytes, lattice_bytes):
             # small (or barely-stripping) read: box recursion, driver
             # subsample — same routing rationale as the step-1 gate
             box = sl.Slice(
@@ -451,9 +461,8 @@ def get_slice(
     # round-trip when it strips a large fraction of the touched bytes
     # (partial chunk overlap).  A full scan strips nothing — routing it
     # through mapInPandas moves the same bytes twice.
-    small = request.ndim > 0 and (
-        touched_bytes <= _SMALL_READ_MAX_BYTES
-        or 2 * requested_bytes >= touched_bytes
+    small = request.ndim > 0 and _route_small(
+        touched_bytes, requested_bytes
     )
     if small:
         # Direct chunk paste: the driver loop is the serial tail of

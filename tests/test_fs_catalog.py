@@ -354,3 +354,25 @@ def test_memfs_mirrored_rename_overwrites_existing_dst(tmp_path):
     fs.rename(str(root / "f1"), str(root / "f2"))
     assert (root / "f2").read_text() == "one"
     assert not (root / "f1").exists()
+
+    # REPLACE is total across both sides (r10 review): dict-side
+    # entries under dst must not survive a disk-side rename onto it —
+    # otherwise listings union phantom dict files with new disk content
+    src2 = root / "gen-2"
+    dst2 = root / "gen-live2"
+    (src2 / "chunks").mkdir(parents=True)
+    (src2 / "chunks" / "b.bin").write_text("disk-bytes")
+    fs.makedirs(str(dst2))
+    fs.write_text(str(dst2 / "phantom.txt"), "dict-only")
+    fs.rename(str(src2), str(dst2))
+    assert fs.listdir(str(dst2)) == ["chunks"]
+    assert not fs.exists(str(dst2 / "phantom.txt"))
+
+    # and the dict-onto-dict rename replaces too (no merge)
+    fs.makedirs(str(root / "m1"))
+    fs.write_text(str(root / "m1" / "a"), "A")
+    fs.makedirs(str(root / "m2"))
+    fs.write_text(str(root / "m2" / "stale"), "S")
+    fs.rename(str(root / "m1"), str(root / "m2"))
+    assert fs.listdir(str(root / "m2")) == ["a"]
+    assert not fs.exists(str(root / "m1"))

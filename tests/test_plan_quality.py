@@ -917,6 +917,26 @@ def test_footer_caches_track_file_identity(tmp_path):
     assert table_rows(d, "lineitem") == 3
     assert table_col_minmax(d, "lineitem", "k") == (1, 7)
 
+    # empty part files (Spark writes them routinely) must not disable
+    # the stats — they carry no rows, so they cannot constrain bounds
+    # (r10 review: the old flag conflated 'no row groups' with
+    # 'stats missing' and returned None forever)
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64())}),
+        os.path.join(dd, "p2.parquet"),
+    )
+    assert table_rows(d, "lineitem") == 3
+    assert table_col_minmax(d, "lineitem", "k") == (1, 7)
+
+    # an ALL-empty table has no bounds: None, not a crash
+    ee = os.path.join(d, "events.parquet")
+    os.mkdir(ee)
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64())}),
+        os.path.join(ee, "p0.parquet"),
+    )
+    assert table_col_minmax(d, "events", "k") is None
+
 
 def test_footer_minmax_tz_aware_takes_fallback(spark, tmp_path):
     """A UTC-adjusted (tz-aware) timestamp file's footer datetimes

@@ -254,10 +254,12 @@ def test_spark_roundtrip_random_writes(data, store_factory):
 @given(data=st.data())
 def test_strided_distributed_path_matches_numpy(data, store_factory):
     """Randomized strided reads FORCED through the distributed
-    executor-subsample path (r10): the small-read gate is lowered to
-    -1 so every read runs _pieces_df + lattice paste instead of the
-    box recursion the tiny fixtures would otherwise route to, and the
-    result must equal the numpy mirror's strided view.  Covers
+    executor-subsample path (r10): _route_small is monkeypatched to
+    always answer False — BOTH routing clauses disabled, so every
+    read runs _pieces_df + lattice paste instead of the box recursion
+    the tiny fixtures would otherwise route to (r10 review: lowering
+    only the byte constant left the strip-ratio clause live) — and
+    the result must equal the numpy mirror's strided view.  Covers
     non-aligned edge chunks, steps spanning 2..3x chunk lengths, and
     multi-dim stride mixes the deterministic plan test cannot."""
     import mandoline_spark.reader as reader_mod
@@ -301,12 +303,12 @@ def test_strided_distributed_path_matches_numpy(data, store_factory):
     steps = tuple(int(rng.integers(2, 8)) for _ in dims)
     req = sl.Slice(rstart, rstop, steps)
 
-    old = reader_mod._SMALL_READ_MAX_BYTES
-    reader_mod._SMALL_READ_MAX_BYTES = -1
+    old = reader_mod._route_small
+    reader_mod._route_small = lambda *a: False
     try:
         got = reader.get_slice(conn, token, "v", req)
     finally:
-        reader_mod._SMALL_READ_MAX_BYTES = old
+        reader_mod._route_small = old
     np.testing.assert_array_equal(
         got.data,
         oracle[tuple(
