@@ -468,6 +468,20 @@ class MemFS:
                     # unioned with the new disk content)
                     self._purge_mem(d)
                     return
+            elif (
+                (s in self._files or s in self._dirs)
+                and self._mirrored(d)
+                and os.path.lexists(d)
+            ):
+                # dict-only src: rename is a total REPLACE of dst, so a
+                # dst living only on the disk mirror goes too (r10
+                # ADVICE: the stale disk subtree survived and union
+                # listings merged old disk files with the new dict
+                # content — the mirror image of the phantom-dict bug)
+                if os.path.isdir(d) and not os.path.islink(d):
+                    shutil.rmtree(d)
+                else:
+                    os.remove(d)
             self._rename_mem(s, d, src)
 
     def _rename_mem(self, s: str, d: str, src: str) -> None:

@@ -105,11 +105,19 @@ def _footer_files(path: str) -> list[str]:
     helper aggregates over fragments exactly as a catalog would."""
     if not os.path.isdir(path):
         return [path]
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    # recurse: partitioned/nested layouts keep their fragments under
+    # key=value subdirectories — a one-level listing returned [] there,
+    # and callers summing over [] cached a silent 0 (r10 ADVICE).  A
+    # real catalog's file listing is recursive; match it.
+    out = []
+    for base, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(base, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return sorted(out)
 
 
 def _footer_key(sf_dir: str, name: str) -> tuple:
@@ -141,9 +149,17 @@ def table_rows(sf_dir: str, name: str) -> int:
     if hit is None:
         import pyarrow.parquet as pq
 
+        files = _footer_files(key[0])
+        if not files:
+            # an existing directory with no parquet fragments is a
+            # layout this helper does not understand — raise loudly
+            # (table_rows is value-bearing in q84/q94; caching 0 here
+            # would be a silent wrong answer, r10 ADVICE)
+            raise FileNotFoundError(
+                f"no parquet fragments under table path {key[0]}"
+            )
         hit = _FOOTER_ROWS[key] = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _footer_files(key[0])
+            pq.ParquetFile(f).metadata.num_rows for f in files
         )
     return hit
 

@@ -267,26 +267,30 @@ class Connection:
         such orphan can exist: its latch is named by the then-visible
         tip, so every later commit attempt fails the latch until the
         mirror appears — history cannot advance past it.  Detection is
-        count arithmetic on one listing (k commits leave k latches and
-        k mirrors); the orphan's latch is named by the newest MIRRORED
-        id (or 0 for a first commit).  The mirror write is an
-        atomic-content exclusive create, so racing repairers — or the
-        resurrected committer — collapse to one winner."""
+        by EXISTENCE, not count arithmetic: a latch named by the
+        current tip (``n<max mirrored id>.json``, or ``n0.json`` on an
+        empty history) whose child mirror is missing IS the orphan.
+        Counting latches against mirrors (the r10 shape) went blind on
+        datasets carrying pre-latch commits — mirrors without latches
+        skew the arithmetic, so a dead committer's version stayed
+        invisible to a read-only workload indefinitely (r10 ADVICE).
+        The one extra read happens only while a tip-named latch exists
+        (an in-flight commit's two-create window, or the orphan
+        itself).  The mirror write is an atomic-content exclusive
+        create, so racing repairers — or the resurrected committer —
+        collapse to one winner."""
         vids = self._mirror_ids(names)
-        n_latch = sum(
-            1
-            for fn in names
-            if fn.startswith("n") and fn.endswith(".json")
-        )
-        if n_latch <= len(vids):
+        tip_latch = f"n{max(vids) if vids else 0}.json"
+        if tip_latch not in names:
             return False
         d = self._versions_dir()
-        orphan = os.path.join(d, f"n{max(vids) if vids else 0}.json")
         try:
-            body = self.fs.read_text(orphan)
+            body = self.fs.read_text(os.path.join(d, tip_latch))
         except OSError:
             return False
         vid = md.parse_metadata(body)["version-id"]
+        if f"{vid}.json" in names:
+            return False
         self.fs.create_exclusive(os.path.join(d, f"{vid}.json"), body)
         return True
 
@@ -427,9 +431,26 @@ class Connection:
                 f"a version atop parent {parent} is already committed "
                 f"(version {vid} loses the race)"
             )
-        # the mirror: second create of the same name (a repairer racing
-        # this committer) is benign — identical content either way
-        self.fs.create_exclusive(os.path.join(d, f"{vid}.json"), body)
+        # the mirror: a second create of the same name is benign ONLY
+        # when it holds this commit's bytes (a repairer racing this
+        # committer republishes the latch body verbatim).  Any other
+        # occupant is a version-id collision — two cross-process
+        # writers committing DIFFERENT parents inside one
+        # epoch-millisecond stamp the same vid (new_version's bump
+        # counter is per-process), and before this check the second
+        # commit "succeeded" while its mirror silently carried the
+        # other writer's token (r10 ADVICE).
+        mirror = os.path.join(d, f"{vid}.json")
+        if not self.fs.create_exclusive(mirror, body):
+            try:
+                occupant = self.fs.read_text(mirror)
+            except OSError:
+                occupant = None
+            if occupant != body:
+                raise VersionConflict(
+                    f"version id {vid} already names a different commit "
+                    "(cross-process id collision); retry the commit"
+                )
         return vid
 
     # -- physical table handles ----------------------------------------------

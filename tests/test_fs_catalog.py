@@ -375,4 +375,25 @@ def test_memfs_mirrored_rename_overwrites_existing_dst(tmp_path):
     fs.write_text(str(root / "m2" / "stale"), "S")
     fs.rename(str(root / "m1"), str(root / "m2"))
     assert fs.listdir(str(root / "m2")) == ["a"]
+
+    # dict-only src onto a dst that exists ONLY on disk (r10 ADVICE):
+    # the disk subtree must be replaced too, or the union listing
+    # merges stale disk files with the new dict content — the mirror
+    # image of the phantom-dict case above
+    dsk = root / "gen-disk"
+    (dsk / "chunks").mkdir(parents=True)
+    (dsk / "chunks" / "stale.bin").write_text("stale-disk")
+    fs.makedirs(str(root / "gen-dict"))
+    fs.write_text(str(root / "gen-dict" / "fresh.txt"), "dict-bytes")
+    fs.rename(str(root / "gen-dict"), str(dsk))
+    assert fs.listdir(str(dsk)) == ["fresh.txt"]
+    assert not (dsk / "chunks").exists()
+    assert fs.read_text(str(dsk / "fresh.txt")) == "dict-bytes"
+
+    # dict-only src FILE onto a disk-only dst file replaces as well
+    (root / "dfile").write_text("stale")
+    fs.write_text(str(root / "memfile"), "fresh")
+    fs.rename(str(root / "memfile"), str(root / "dfile"))
+    assert fs.read_text(str(root / "dfile")) == "fresh"
+    assert not (root / "dfile").exists()  # stale disk side removed
     assert not fs.exists(str(root / "m1"))

@@ -938,6 +938,41 @@ def test_footer_caches_track_file_identity(tmp_path):
     assert table_col_minmax(d, "events", "k") is None
 
 
+def test_footer_rows_on_nested_and_fragmentless_layouts(tmp_path):
+    """table_rows is value-bearing (q84/q94 corpus counts), so layouts
+    the one-level listing missed must count correctly or fail loudly —
+    never cache a silent 0 (r10 ADVICE).  Partitioned tables keep
+    fragments under key=value subdirectories: the recursive listing
+    finds them, like a real catalog's file listing.  A directory with
+    NO parquet fragments raises instead of returning 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mandoline_spark.queries import table_rows
+
+    d = str(tmp_path)
+    # partitioned layout: documents.parquet/lang=en/part-0.parquet
+    dd = os.path.join(d, "documents.parquet")
+    for part, rows in (("lang=en", [1, 2, 3]), ("lang=de", [4, 5])):
+        os.makedirs(os.path.join(dd, part))
+        pq.write_table(
+            pa.table({"k": pa.array(rows)}),
+            os.path.join(dd, part, "part-0.parquet"),
+        )
+    (open(os.path.join(dd, "_SUCCESS"), "w")).close()
+    assert table_rows(d, "documents") == 5
+
+    # fragmentless directory: loud failure, not a cached 0
+    ee = os.path.join(d, "events.parquet")
+    os.makedirs(os.path.join(ee, "nested"))
+    (open(os.path.join(ee, "notes.txt"), "w")).close()
+    with pytest.raises(FileNotFoundError):
+        table_rows(d, "events")
+
+
 def test_footer_minmax_tz_aware_takes_fallback(spark, tmp_path):
     """A UTC-adjusted (tz-aware) timestamp file's footer datetimes
     truncate to UTC midnights while the Spark fallback truncates in

@@ -406,13 +406,13 @@ def test_dead_committer_orphan_is_repaired(spark, tmp_path):
 
 
 def test_orphan_latch_repair_on_mixed_history(spark, tmp_path):
-    """The count heuristic is blind when pre-latch history exists (old
-    id-named files without latches): a dead committer's orphan then
-    surfaces through the EVENT-driven path — the losing committer's
-    failed latch create repairs the winner's mirror before raising,
-    so the loser's retry rebases instead of deadlocking forever."""
+    """Existence-based orphan detection (r10 ADVICE): a latch named by
+    the current tip whose child mirror is missing IS the orphan — no
+    count arithmetic, so pre-latch history (old id-named files without
+    latches, which skewed the r10 count heuristic) cannot blind the
+    LISTING path.  A read-only workload surfaces the dead committer's
+    version on its very next listing."""
     from mandoline_spark.core import metadata as md
-    from mandoline_spark.store import VersionConflict
 
     store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=0))
     conn = store.create_dataset("ds")
@@ -428,28 +428,108 @@ def test_orphan_latch_repair_on_mixed_history(spark, tmp_path):
     assert conn.version_ids() == [old_vid]
 
     # dead committer atop old_vid: latch without mirror.  Counts are
-    # now equal (1 latch, 1 mirror) — the heuristic cannot see it.
+    # equal (1 latch, 1 mirror) — the r10 heuristic was blind here;
+    # the tip-named latch's existence is not.
     dead = conn.add_version(_tiny_spec())
     assert dead["parent"] == old_vid
     conn.fs.create_exclusive(
         os.path.join(conn.path, "versions", f"n{old_vid}.json"),
         md.generate_metadata(dict(dead)),
     )
-    assert conn.version_ids() == [old_vid]  # still blind
-
-    # a live committer of the same parent: loses the latch, which
-    # repairs the dead committer's mirror en route
-    live = conn.add_version(_tiny_spec())
-    assert live["parent"] == old_vid
-    with pytest.raises(VersionConflict):
-        conn.finish_version(live)
     assert conn.version_ids() == [dead["version-id"], old_vid]
 
-    # the retry rebases onto the repaired tip and commits
+    # a new writer rebases onto the repaired tip and commits
     retry = conn.add_version(_tiny_spec())
     assert retry["parent"] == dead["version-id"]
     v = conn.finish_version(retry)
     assert conn.version_ids() == [v, dead["version-id"], old_vid]
+
+
+def test_orphan_event_repair_under_stale_listings(spark, tmp_path):
+    """The EVENT-driven repair path: list-after-write lag hides the
+    dead committer's latch, so the listing path cannot see the orphan
+    and a live committer's parent==last pre-check passes on the stale
+    tip.  Its latch create then fails, which repairs the dead
+    committer's mirror before raising — the loser's retry rebases
+    instead of deadlocking forever."""
+    from mandoline_spark.core import metadata as md
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10))
+    conn = store.create_dataset("ds")
+    old = conn.add_version(_tiny_spec())
+    old_vid = conn.finish_version(old)
+    for _ in range(12):
+        conn.version_ids()  # drain the commit's injected lag
+    assert conn.version_ids() == [old_vid]
+
+    # dead committer atop old_vid: latch without mirror, and the latch
+    # is hidden from listings for the next 10 calls
+    dead = conn.add_version(_tiny_spec())
+    assert dead["parent"] == old_vid
+    conn.fs.create_exclusive(
+        os.path.join(conn.path, "versions", f"n{old_vid}.json"),
+        md.generate_metadata(dict(dead)),
+    )
+    assert conn.version_ids() == [old_vid]  # blind, by injected lag
+
+    # live committer of the stale tip: pre-check passes, latch fails,
+    # event repair publishes the dead committer's mirror en route
+    live = conn.add_version(_tiny_spec())
+    assert live["parent"] == old_vid
+    with pytest.raises(VersionConflict):
+        conn.finish_version(live)
+    for _ in range(12):
+        conn.version_ids()  # drain the repair's injected lag
+    assert conn.version_ids() == [dead["version-id"], old_vid]
+
+
+def test_version_id_collision_raises_not_silently_succeeds(spark, tmp_path):
+    """Cross-process version-id collision (r10 ADVICE): two writers on
+    DIFFERENT parents stamping the same epoch-millis vid (new_version's
+    bump counter is per-process).  The second committer's latch is
+    parent-named so it cannot arbitrate; before the fix its mirror
+    create silently lost to the other writer's file and the commit
+    'succeeded' while the mirror carried the other token.  Now the
+    occupied mirror is read back: foreign content raises
+    VersionConflict; identical content (a racing repairer republishing
+    THIS commit) stays benign."""
+    import json as _json
+
+    from mandoline_spark.core import metadata as md
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    vid = w1["version-id"]
+
+    # the other process's commit of the SAME vid, hidden from listings
+    # by lag so w1's parent==last pre-check still passes
+    other = dict(w1)
+    other["writer-note"] = "other-process"
+    conn.fs.create_exclusive(
+        os.path.join(conn.path, "versions", f"{vid}.json"),
+        md.generate_metadata(other),
+    )
+    with pytest.raises(VersionConflict, match="collision"):
+        conn.finish_version(w1)
+
+    # benign case: the occupant holds exactly this commit's bytes (a
+    # racing repairer) — the commit succeeds
+    store2 = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10))
+    conn2 = store2.create_dataset("ds2")
+    w2 = conn2.add_version(_tiny_spec())
+    conn2.fs.create_exclusive(
+        os.path.join(conn2.path, "versions", f"{w2['version-id']}.json"),
+        md.generate_metadata(dict(w2)),
+    )
+    assert conn2.finish_version(w2) == w2["version-id"]
+    # and the mirror really is this commit's token
+    body = conn2.fs.read_text(
+        os.path.join(conn2.path, "versions", f"{w2['version-id']}.json")
+    )
+    assert _json.loads(body)["version-id"] == w2["version-id"]
 
 
 def test_failed_ingest_invisible_under_object_store(spark, tmp_path):
