@@ -513,6 +513,50 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             times[name] = min(times.get(name, dt), dt)
 
+    # q91 on a production-shaped multi-file fact layout (the r10
+    # rowgroup probe proved the committed q91 weak mark is a
+    # one-row-group FIXTURE artifact: 0.84→0.41s on 16 part files,
+    # while byte-splitting the single file buys nothing).  The bench
+    # now carries that measurement as a committed entry so the record
+    # stops re-litigating it each round (r10 verdict #6).  Detail-only,
+    # like arr_scan_strided_s2: adding a second q91 timing to the
+    # SUMMED map would inflate the headline by pure new coverage.
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    mf_scratch = _tf.mkdtemp(prefix="bench_mf_")
+    try:
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            out = os.path.join(mf_scratch, f"{t}.parquet")
+            if t not in ("lineitem", "orders"):
+                os.symlink(src, out)
+                continue
+            os.makedirs(out)
+            tbl = _pq.read_table(src)
+            per = (tbl.num_rows + 15) // 16
+            for i in range(16):
+                frag = tbl.slice(i * per, per)
+                if frag.num_rows == 0:
+                    break
+                _pq.write_table(
+                    frag, os.path.join(out, f"part-{i:05d}.parquet")
+                )
+        mf = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(QUERIES["q91_star_join"](spark, mf_scratch))
+            dt = time.perf_counter() - t0
+            mf = dt if mf is None else min(mf, dt)
+        arr_scan_meta["q91_star_join_multifile"] = round(mf, 4)
+    finally:
+        _sh.rmtree(mf_scratch, ignore_errors=True)
+
     # Measure the local-mode per-job scheduling floor: the median of
     # five zero-data jobs with the two-stage shape every query pays
     # (a source stage, one exchange, a post-shuffle stage — but ~no

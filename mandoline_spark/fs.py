@@ -84,7 +84,16 @@ class LocalFS:
         os.makedirs(path, exist_ok=True)
 
     def rmtree(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        # also removes single FILES (marker/latch cleanup paths):
+        # shutil.rmtree alone swallows NotADirectoryError under
+        # ignore_errors and silently leaves the file in place
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
@@ -437,9 +446,15 @@ class MemFS:
         # mirror onto disk (opt-in root only): Spark-written data files
         # under the removed catalog subtree go with it (destroy/retire
         # semantics); outside the mirror root the backend never touches
-        # the real filesystem
+        # the real filesystem.  Single files too, matching LocalFS.
         if self._mirrored(p):
-            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isdir(p) and not os.path.islink(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.lexists(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def rename(self, src: str, dst: str) -> None:
         s, d = self._norm(src), self._norm(dst)

@@ -256,19 +256,24 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_probe_bits: int = 0,
+    n_probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    LSH bucket, then exact re-rank.  Trades recall for a bucket-equi
+    LSH bucket(s), then exact re-rank.  Trades recall for a bucket-equi
     join instead of a full cross product (the 100 TB shape).
 
-    ``n_probe_bits`` enables MULTI-PROBE (Lv et al., VLDB'07 shape):
+    ``n_probe_bits`` controls MULTI-PROBE (Lv et al., VLDB'07 shape):
     each query also probes every bucket within that Hamming distance
-    of its own — the r10 recall measurement
-    (BASELINE.md "ANN recall curves") showed single-bucket probing is
-    recall-unsafe as a top-1 index (0.43–0.83 recall@1), because a
-    neighbor on the far side of ONE hyperplane lands in a sibling
-    bucket.  The probe set explodes on the QUERY side only
+    of its own.  The DEFAULT is 1 (r11, was 0): the r10 recall
+    measurement (BASELINE.md "ANN recall curves") showed single-bucket
+    probing is recall-unsafe as a top-1 index (0.43–0.83 recall@1),
+    because a neighbor on the far side of ONE hyperplane lands in a
+    sibling bucket — 1 probe bit measured 0.79–0.88 recall@1 at ~2×
+    the candidate cost, 2 bits 0.93–0.98, with NO decay from 20k to
+    200k vectors.  Pass 0 explicitly for the cheapest single-bucket
+    screen (fine for near-dup GATING, where misses only admit a few
+    duplicates — functions/dedup.py uses banded signatures instead).
+    The probe set explodes on the QUERY side only
     (sum_{i<=b} C(n_planes, i) rows per query — the small, broadcast
     side); the corpus keeps one bucket per vector and never reshuffles,
     so the knob scales probe cost with queries, not corpus."""

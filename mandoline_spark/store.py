@@ -408,6 +408,18 @@ class Connection:
                 f"parent {parent} is no longer the last "
                 f"committed version ({self.last_version()})"
             )
+        # Cross-writer same-chunk reconcile: concurrent shard jobs that
+        # interleaved writes INSIDE one chunk left masked (written-box)
+        # index rows; merge them cell-correct before this version
+        # becomes visible, so committed versions always resolve to one
+        # winning blob per chunk (the invariant every read/compact/diff
+        # consumer assumes).  Pure fs-metadata no-op when no generation
+        # carries a mask marker.  Mirrors the reference's update-chunk!
+        # CAS merge (impl.clj:246-278) at commit time instead of
+        # per-chunk write time.
+        from . import writer as _writer
+
+        _writer.reconcile_version(self, token)
         d = self._versions_dir()
         body = md.generate_metadata(dict(token))
         latch = os.path.join(d, f"n{parent if parent is not None else 0}.json")
@@ -757,11 +769,16 @@ class Connection:
     def _overlay(base: DataFrame | None, delta: DataFrame) -> DataFrame:
         """Last-writer-wins merge of a delta onto a base index.  The
         delta side is O(touched chunks) so the anti-join broadcasts it;
-        the base is never shuffled."""
+        the base is never shuffled.  ``allowMissingColumns``: index
+        generations written since the cross-writer mask protocol carry
+        a ``wb`` (written-boxes) column that older generations lack —
+        a mixed-era overlay fills the missing side with null, which is
+        exactly the wholesale semantics an unmasked row has."""
         if base is None:
             return delta
         return delta.unionByName(
-            base.join(F.broadcast(delta.select("ckey")), "ckey", "left_anti")
+            base.join(F.broadcast(delta.select("ckey")), "ckey", "left_anti"),
+            allowMissingColumns=True,
         )
 
     @staticmethod
@@ -787,7 +804,11 @@ class Connection:
         stack = None
         for g, df in deltas:
             tagged = df.withColumn("_g", F.lit(g))
-            stack = tagged if stack is None else stack.unionByName(tagged)
+            stack = (
+                tagged
+                if stack is None
+                else stack.unionByName(tagged, allowMissingColumns=True)
+            )
         return Connection._overlay(base, Connection._stack_winner(stack, "_g"))
 
     @staticmethod
@@ -866,7 +887,8 @@ class Connection:
                                 F.broadcast(df.select("ckey")),
                                 "ckey",
                                 "left_anti",
-                            )
+                            ),
+                            allowMissingColumns=True,
                         )
                     break
         return df

@@ -61,6 +61,72 @@ def _ckey(coord: Sequence[int]) -> str:
     return "_".join(str(c) for c in coord)
 
 
+# Written-box mask column type: the sub-slices (absolute data
+# coordinates, step-1) a concurrency-detected delta generation actually
+# wrote inside each chunk, as a FLAT int array — boxes of 2*ndim ints
+# each (start coords then stop coords).  Null ⇔ wholesale (the row's
+# blob is the chunk's complete content relative to everything below
+# it) — the shape of every generation written before masks existed, so
+# old and new index files mix freely.  Flat ints rather than nested
+# structs deliberately: array<struct<array,array>> nested inside the
+# layer struct segfaults pyarrow's arrow_to_pandas at the mapInPandas
+# boundary (observed on pyspark 4.1 / pyarrow in this container),
+# while array<int> inside a struct is the long-proven _ps shape.
+_WB_TYPE = "array<int>"
+
+
+def _gen_masked(conn: Connection, vid: int, var: str, gen: int) -> bool:
+    """True when the index generation carries cross-writer masks (a
+    ``_MASKED`` marker beside its parquet — underscore-prefixed, so
+    Parquet readers and ``_has_parquet`` ignore it)."""
+    return conn.fs.exists(
+        os.path.join(conn.index_path(vid, var, gen), "_MASKED")
+    )
+
+
+def _norm_wb(df: DataFrame) -> DataFrame:
+    """Ensure the ``wb`` mask column exists (null = wholesale) on an
+    index generation read — pre-mask generations lack it entirely."""
+    if "wb" not in df.columns:
+        df = df.withColumn("wb", F.lit(None).cast(_WB_TYPE))
+    return df
+
+
+def _apply_layers(layers, type_name: str, chunk_slice: Slice, fill) -> Slab:
+    """Fold an ascending stack of (lyr, wb, blob) index layers into one
+    chunk slab — the cell-level merge the reference performs eagerly in
+    its per-chunk ``update-chunk!`` CAS loop (impl.clj:246-278), here
+    driven by index metadata instead: a wholesale layer (wb null)
+    REPLACES the accumulated content (its blob was merged onto
+    everything below it when written); a masked layer contributes only
+    its written boxes, preserving the cells a concurrent writer put in
+    the same chunk.  Layers may arrive as pandas/arrow structs
+    (dicts)."""
+    nd = chunk_slice.ndim
+    slab: Slab | None = None
+    for L in sorted(layers, key=lambda x: int(x["lyr"])):
+        blob = bytes(L["blob"])
+        wb = L["wb"]
+        if wb is None or nd == 0:
+            # wholesale (or 0-dim, where any write covers the cell)
+            slab = sb.from_bytes(blob, type_name, chunk_slice)
+        else:
+            if slab is None:
+                slab = sb.empty(type_name, chunk_slice, fill)
+            lay = sb.from_bytes(blob, type_name, chunk_slice, copy=False)
+            w = [int(x) for x in wb]
+            for j in range(0, len(w), 2 * nd):
+                bs = Slice(
+                    tuple(w[j : j + nd]),
+                    tuple(w[j + nd : j + 2 * nd]),
+                    tuple(1 for _ in range(nd)),
+                )
+                sb.copy_into(sb.subset(lay, bs), slab)
+    if slab is None:
+        slab = sb.empty(type_name, chunk_slice, fill)
+    return slab
+
+
 def _coord_cols(ndim: int) -> list[str]:
     return [f"c{i}" for i in range(ndim)]
 
@@ -258,30 +324,55 @@ def write_pieces(
     grid = md.get_chunk_grid_slice(token, var)
     grid_tuple = (grid.start, grid.stop, grid.step)
 
-    base_index = _base_index_df(conn, token, var)
+    # Snapshot the generations visible at BASE-READ time: the claim
+    # number this job later draws is compared against this snapshot to
+    # detect a concurrent writer.  (Claimed != expected ⇔ a generation
+    # this job's base CANNOT contain landed in between — snapshotting
+    # later, at commit, left a TOCTOU window where a generation
+    # committed during the merge job made expected == claimed while the
+    # base genuinely missed it.)
+    base_gens = conn.index_gens(vid, var)
+    expected_gen = (base_gens[-1] + 1) if base_gens else 0
+    plan = conn._local_index_plan(vid, var) or []
+    has_masks = any(_gen_masked(conn, v, var, g) for v, g in plan)
+    if has_masks and index_mode == "full":
+        # a full-mode commit's copy-forward carry resolves untouched
+        # coords wholesale (winner hash per ckey) — it would bake the
+        # masked layers' loss into the new full generation.  Merge the
+        # masked state first; the carry then reads a clean base.
+        reconcile_version(conn, token, variables=[var])
+        base_gens = conn.index_gens(vid, var)
+        expected_gen = (base_gens[-1] + 1) if base_gens else 0
+        plan = conn._local_index_plan(vid, var) or []
+        has_masks = False
     chunks = conn.chunks_df()
 
-    if base_index is not None and chunks is not None:
-        # Attach the base chunk blob to every piece row.  The pruned
-        # base-index slice is small relative to the chunk store, so
-        # AQE/broadcast keeps this off the big-table shuffle path.
-        # The blob side carries a shuffle_hash hint: its ON-DISK size
-        # (what broadcast planning sees) is the zstd-compressed
-        # footprint, so a well-compressing chunk table can slip under
-        # the auto-broadcast threshold and the planner would then
-        # materialize the DECOMPRESSED blobs as one driver-built hash
-        # relation.  Shuffled-hash keeps blob maps partition-sized.
-        base = base_index.select("ckey", F.col("chunk_hash").alias("_bhash"))
-        pieces = pieces.join(base, "ckey", "left").join(
-            chunks.select(
-                F.col("hash").alias("_bhash"), F.col("blob").alias("_base")
-            ).hint("shuffle_hash"),
-            "_bhash",
-            "left",
-        )
-    else:
-        pieces = pieces.withColumn("_bhash", F.lit(None).cast("string"))
-        pieces = pieces.withColumn("_base", F.lit(None).cast("binary"))
+    if not has_masks:
+        base_index = _base_index_df(conn, token, var)
+        if base_index is not None and chunks is not None:
+            # Attach the base chunk blob to every piece row.  The pruned
+            # base-index slice is small relative to the chunk store, so
+            # AQE/broadcast keeps this off the big-table shuffle path.
+            # The blob side carries a shuffle_hash hint: its ON-DISK size
+            # (what broadcast planning sees) is the zstd-compressed
+            # footprint, so a well-compressing chunk table can slip under
+            # the auto-broadcast threshold and the planner would then
+            # materialize the DECOMPRESSED blobs as one driver-built hash
+            # relation.  Shuffled-hash keeps blob maps partition-sized.
+            base = base_index.select(
+                "ckey", F.col("chunk_hash").alias("_bhash")
+            )
+            pieces = pieces.join(base, "ckey", "left").join(
+                chunks.select(
+                    F.col("hash").alias("_bhash"),
+                    F.col("blob").alias("_base"),
+                ).hint("shuffle_hash"),
+                "_bhash",
+                "left",
+            )
+        else:
+            pieces = pieces.withColumn("_bhash", F.lit(None).cast("string"))
+            pieces = pieces.withColumn("_base", F.lit(None).cast("binary"))
 
     out_schema = T.StructType(
         list(index_schema(ndim).fields)
@@ -295,12 +386,52 @@ def write_pieces(
     # sorted struct array (sort_array orders by ord first — ties are
     # broken deterministically by piece position, where the reference's
     # thread pool left them unordered).
-    grouped = pieces.groupBy("ckey", *ccols).agg(
-        F.sort_array(
-            F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
-        ).alias("_ps"),
-        F.first("_base").alias("_base"),
-    )
+    if not has_masks:
+        grouped = pieces.groupBy("ckey", *ccols).agg(
+            F.sort_array(
+                F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
+            ).alias("_ps"),
+            F.first("_base").alias("_base"),
+        )
+        # normalize the base to the layered representation the merge
+        # kernel consumes: one wholesale layer (the resolved winner
+        # blob) — identical cost to the old single-blob column
+        grouped = grouped.withColumn(
+            "_layers",
+            F.when(
+                F.col("_base").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("lyr"),
+                        F.lit(None).cast(_WB_TYPE).alias("wb"),
+                        F.col("_base").alias("blob"),
+                    )
+                ),
+            ),
+        ).drop("_base")
+    else:
+        # masked base: the resolved winner blob is NOT the chunk's full
+        # content (a concurrent writer's cells live in a lower layer) —
+        # attach the whole live layer stack per touched chunk and let
+        # the merge kernel fold it (the transient pre-reconcile shape;
+        # reads of committed versions never see it)
+        grouped = pieces.groupBy("ckey", *ccols).agg(
+            F.sort_array(
+                F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
+            ).alias("_ps"),
+        )
+        layers = _layered_base_grouped(
+            conn, var, plan, grouped.select("ckey"), chunks
+        )
+        if layers is not None:
+            grouped = grouped.join(layers, "ckey", "left")
+        else:
+            grouped = grouped.withColumn(
+                "_layers",
+                F.lit(None).cast(
+                    f"array<struct<lyr:int,wb:{_WB_TYPE},blob:binary>>"
+                ),
+            )
     grouped = grouped.persist()
 
     # Bulk-ingest fast path, all JVM: a chunk written by exactly one
@@ -319,7 +450,7 @@ def write_pieces(
             & (p0["pstop"][i] == (F.col(ccols[i]) + 1) * step_i)
         )
     is_fast = (
-        (F.size("_ps") == 1) & F.col("_base").isNull() & full_cover
+        (F.size("_ps") == 1) & F.col("_layers").isNull() & full_cover
     )
     fast = grouped.filter(is_fast).select(
         "ckey",
@@ -336,10 +467,10 @@ def write_pieces(
             for i in range(len(pdf)):
                 coord = tuple(int(pdf[c].iloc[i]) for c in ccols)
                 chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
-                base_blob = pdf["_base"].iloc[i]
-                if isinstance(base_blob, (bytes, bytearray)):
-                    slab = sb.from_bytes(
-                        bytes(base_blob), type_name, chunk_slice
+                layers = pdf["_layers"].iloc[i]
+                if isinstance(layers, (list, np.ndarray)) and len(layers):
+                    slab = _apply_layers(
+                        layers, type_name, chunk_slice, fill
                     )
                 else:
                     slab = sb.empty(type_name, chunk_slice, fill)
@@ -368,8 +499,22 @@ def write_pieces(
     slow = grouped.filter(~is_fast).mapInPandas(merge_batches, out_schema)
     merged = fast.unionByName(slow)
     merged = merged.persist()
+    # per-chunk written boxes (this job's piece extents), JVM-derived
+    # from the already-grouped pieces; only attached to the index when
+    # the commit detects a concurrent writer
+    wb_df = grouped.select(
+        "ckey",
+        F.flatten(
+            F.transform(
+                "_ps", lambda p: F.concat(p["pstart"], p["pstop"])
+            )
+        ).alias("_wb"),
+    )
     try:
-        _commit_merged(conn, token, var, merged, index_mode)
+        _commit_merged(
+            conn, token, var, merged, index_mode,
+            expected_gen=expected_gen, wb_df=wb_df,
+        )
     finally:
         merged.unpersist()
         grouped.unpersist()
@@ -378,6 +523,51 @@ def write_pieces(
         conn.invalidate_cache()
     if index_mode == "delta":
         _maybe_autocompact(conn, token, var, compact_every)
+
+
+def _layered_base_grouped(
+    conn: Connection,
+    var: str,
+    plan: list[tuple[int, int]],
+    touched_ckeys: DataFrame,
+    chunks: DataFrame | None,
+) -> DataFrame | None:
+    """(ckey, _layers) for every touched chunk: the live index layer
+    stack — generation application order, each with its mask and blob —
+    grouped per coordinate for the merge kernel.  Only the touched
+    ckeys' layers are fetched (semi join before the blob join).  None
+    when there are no layers to attach."""
+    if not plan or chunks is None:
+        return None
+    stack = None
+    for i, (v, g) in enumerate(plan):
+        df = _norm_wb(conn._gen_df(v, var, g)).select(
+            "ckey", "chunk_hash", "wb"
+        ).withColumn("_lyr", F.lit(i))
+        stack = (
+            df
+            if stack is None
+            else stack.unionByName(df, allowMissingColumns=True)
+        )
+    stack = stack.join(touched_ckeys.distinct(), "ckey", "left_semi")
+    # shuffle_hash on the blob side: same decompressed-broadcast guard
+    # as the unmasked base attachment above
+    blobbed = stack.join(
+        chunks.select(
+            F.col("hash").alias("chunk_hash"), "blob"
+        ).hint("shuffle_hash"),
+        "chunk_hash",
+        "inner",
+    )
+    return blobbed.groupBy("ckey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("_lyr").alias("lyr"),
+                F.col("wb").alias("wb"),
+                F.col("blob").alias("blob"),
+            )
+        ).alias("_layers")
+    )
 
 
 def _dedup_by_hash(new_chunks: DataFrame) -> DataFrame:
@@ -426,6 +616,8 @@ def _commit_merged(
     var: str,
     merged: DataFrame,
     index_mode: str,
+    expected_gen: int | None = None,
+    wb_df: DataFrame | None = None,
 ) -> str:
     """Append chunks + write the next index generation from a merged
     (ckey, coords…, chunk_hash, blob, nbytes) DataFrame.  ``merged``
@@ -478,11 +670,15 @@ def _commit_merged(
     #    new hash.  Full mode also carries every untouched base
     #    entry; delta mode leaves them to read-time overlay.
     new_index = merged.select("ckey", *ccols, "chunk_hash")
-    # Snapshot this version's own generations BEFORE reading the base:
-    # a full-mode commit is only sound if no other generation lands in
-    # between (the carry is built from exactly this snapshot).
+    # The expected generation is snapshot where the caller read its
+    # base (write_pieces passes it in — snapshotting here leaves a
+    # TOCTOU window where a concurrent generation committed during the
+    # merge job goes undetected); callers whose blobs are
+    # base-independent (aligned ingest, reconcile) leave it None and
+    # get the local snapshot.
     own_gens = conn.index_gens(vid, var)
-    expected_gen = (own_gens[-1] + 1) if own_gens else 0
+    if expected_gen is None:
+        expected_gen = (own_gens[-1] + 1) if own_gens else 0
     base_index = _base_index_df(conn, token, var)
     gen_path, gen = claim_index_gen(conn, vid, var)
     if index_mode == "full" and gen != expected_gen:
@@ -515,11 +711,32 @@ def _commit_merged(
     is_delta = index_mode == "delta" and (
         base_index is not None or gen > 0
     )
+    # Cross-writer masks: a delta commit whose claimed generation is
+    # not its base snapshot + 1 ran CONCURRENTLY with another writer —
+    # its blobs cannot contain that writer's cells, so the rows record
+    # the sub-slices this job actually wrote (``wb``).  The read-
+    # modify-write base and the commit-time reconcile merge masked
+    # layers cell-correct (the reference's update-chunk! CAS semantics,
+    # impl.clj:246-278, without per-chunk retry loops).  Unmasked rows
+    # write wb = null for a uniform generation schema.
+    record_masks = (
+        is_delta and wb_df is not None and gen != expected_gen
+    )
+    if record_masks:
+        new_index = new_index.join(
+            wb_df.withColumnRenamed("_wb", "wb"), "ckey", "left"
+        )
+    else:
+        new_index = new_index.withColumn(
+            "wb", F.lit(None).cast(_WB_TYPE)
+        )
     if base_index is not None and not is_delta:
         carried = base_index.join(
             new_index.select("ckey"), "ckey", "left_anti"
         )
-        new_index = new_index.unionByName(carried)
+        new_index = new_index.unionByName(
+            carried, allowMissingColumns=True
+        )
     if is_delta:
         # the marker goes in BEFORE the parquet append: the generation
         # becomes visible to index_gens the moment part files commit,
@@ -527,6 +744,10 @@ def _commit_merged(
         # treat it as full (underscore-prefixed, so Parquet readers
         # ignore the marker itself)
         conn.fs.write_text(os.path.join(gen_path, "_DELTA"), "")
+    if record_masks:
+        # same visibility rule as _DELTA: the mask marker must exist
+        # whenever the generation's rows are readable
+        conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
     new_index.write.mode("append").parquet(gen_path)
     return gen_path
 
@@ -568,6 +789,20 @@ def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
     exclusively (concurrent-writer safe) and stays invisible to
     readers until the part files commit; a following vacuum drops the
     superseded generations."""
+    if any(
+        _gen_masked(conn, vid, var, g)
+        for g in conn.index_gens(vid, var)
+    ):
+        # the resolved index is wholesale-per-coord: compacting over
+        # unreconciled cross-writer masks would bake the losing
+        # writer's cells out of the new full generation permanently.
+        # Committed versions are always reconciled (finish_version);
+        # this state is an in-flight version mid-multi-writer job.
+        raise ConcurrentWriteError(
+            f"v={vid} var={var} carries unreconciled cross-writer "
+            "masked generations; run writer.reconcile_version (or "
+            "commit the version, which reconciles) before compacting"
+        )
     resolved = conn.index_df(vid, var)
     if resolved is None:
         return
@@ -599,9 +834,180 @@ def _maybe_autocompact(
 ) -> None:
     every = _resolve_compact_every(conn, compact_every)
     vid = token["version-id"]
-    if every > 0 and conn.index_gens(vid, var):
+    gens = conn.index_gens(vid, var)
+    if every > 0 and gens:
+        if any(_gen_masked(conn, vid, var, g) for g in gens):
+            # unreconciled cross-writer masks: compaction would resolve
+            # wholesale and drop the losing writer's cells — the
+            # commit-time reconcile merges first, and ITS commit (or a
+            # later clean delta) re-triggers compaction if depth still
+            # warrants it
+            return
         if overlay_depth(conn, vid, var) >= every:
             materialize_full_index(conn, vid, var)
+
+
+def reconcile_version(
+    conn: Connection,
+    token: Mapping[str, Any],
+    variables: Sequence[str] | None = None,
+) -> list[str]:
+    """Merge cross-writer same-chunk writes left by concurrent shard
+    jobs (masked index generations) into cell-correct chunks — the
+    commit-time counterpart of the reference's per-chunk
+    ``update-chunk!`` CAS merge (impl.clj:246-278), which lets its
+    shuffled lots-of-processes suite interleave two processes' writes
+    INSIDE one chunk (concurrency.clj:183-189).  Concurrent writers
+    here cannot see each other mid-flight (each claims its own delta
+    generation), so the winning generation's blob lacks the losing
+    writer's cells; its recorded written-boxes (``wb``) say exactly
+    which cells it DID write, and this job folds the contested chunks'
+    layer stacks through :func:`_apply_layers` into merged blobs,
+    committed as one reconciling delta generation.
+
+    Called automatically by ``Connection.finish_version`` (so committed
+    versions always resolve wholesale-correct) and by full-mode writes
+    atop masked state.  Pure fs-metadata no-op when no generation
+    carries a ``_MASKED`` marker.  Returns the variables reconciled.
+
+    Visibility contract: every shard writer's generation must be
+    LISTABLE when this runs — the same all-writers-complete barrier
+    the reference's multi-process suite enforces before its commit.
+    On a legacy list-after-write-lagged store, a still-hidden
+    generation would be shadowed by the reconciling generation;
+    modern strongly consistent listings (and POSIX) see every
+    completed write immediately."""
+    vid = token["version-id"]
+    done: list[str] = []
+    names = (
+        list(variables)
+        if variables is not None
+        else sorted(token.get("variables", {}))
+    )
+    for var in names:
+        masked = [
+            g
+            for g in conn.index_gens(vid, var)
+            if _gen_masked(conn, vid, var, g)
+        ]
+        if masked:
+            _reconcile_var(conn, token, var, masked)
+            done.append(var)
+    return done
+
+
+def _reconcile_var(
+    conn: Connection,
+    token: Mapping[str, Any],
+    var: str,
+    masked_gens: Sequence[int],
+) -> None:
+    vid = token["version-id"]
+    ndim = len(md.get_variable_dimensions(token, var))
+    ccols = _coord_cols(ndim)
+    type_name = md.get_type(token, var)
+    fill = md.get_fill(token, var)
+    grid = md.get_chunk_grid_slice(token, var)
+    grid_tuple = (grid.start, grid.stop, grid.step)
+
+    plan = conn._local_index_plan(vid, var) or []
+    stack = None
+    for i, (v, g) in enumerate(plan):
+        df = _norm_wb(conn._gen_df(v, var, g)).select(
+            "ckey", *ccols, "chunk_hash", "wb"
+        ).withColumn("_lyr", F.lit(i))
+        stack = (
+            df
+            if stack is None
+            else stack.unionByName(df, allowMissingColumns=True)
+        )
+    if stack is None:
+        return
+
+    # contested ⇔ the WINNING layer is masked and at least one layer
+    # sits below it.  A masked row alone over fill is equivalent to its
+    # wholesale application (the writer merged onto the empty base it
+    # saw), and a wholesale winner above masked rows was itself written
+    # through the layer-aware base, so both need no merge.
+    winner = Connection._stack_winner(stack, "_lyr")
+    multi = (
+        stack.groupBy("ckey").count().filter(F.col("count") >= 2)
+    ).select("ckey")
+    contested = (
+        winner.filter(F.col("wb").isNotNull())
+        .select("ckey")
+        .join(multi, "ckey", "left_semi")
+    )
+    chunks = conn.chunks_df()
+    if chunks is None or contested.limit(1).count() == 0:
+        for g in masked_gens:
+            conn.fs.rmtree(
+                os.path.join(conn.index_path(vid, var, g), "_MASKED")
+            )
+        return
+
+    sub = stack.join(contested, "ckey", "left_semi")
+    blobbed = sub.join(
+        chunks.select(
+            F.col("hash").alias("chunk_hash"), "blob"
+        ).hint("shuffle_hash"),
+        "chunk_hash",
+        "inner",
+    )
+    grouped = blobbed.groupBy("ckey", *ccols).agg(
+        F.collect_list(
+            F.struct(
+                F.col("_lyr").alias("lyr"),
+                F.col("wb").alias("wb"),
+                F.col("blob").alias("blob"),
+            )
+        ).alias("_layers")
+    )
+
+    out_schema = T.StructType(
+        list(index_schema(ndim).fields)
+        + [
+            T.StructField("blob", T.BinaryType(), False),
+            T.StructField("nbytes", T.LongType(), False),
+        ]
+    )
+
+    def merge_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid_s = Slice(*grid_tuple)
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                coord = tuple(int(pdf[c].iloc[i]) for c in ccols)
+                chunk_slice = ck.from_chunk_coordinate(grid_s, coord)
+                slab = _apply_layers(
+                    pdf["_layers"].iloc[i], type_name, chunk_slice, fill
+                )
+                blob = sb.to_bytes(slab)
+                out.append(
+                    {
+                        "ckey": _ckey(coord),
+                        **{c: coord[k] for k, c in enumerate(ccols)},
+                        "chunk_hash": ck.generate_id(slab),
+                        "blob": blob,
+                        "nbytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    merged = grouped.mapInPandas(merge_rows, out_schema).persist()
+    try:
+        _commit_merged(conn, token, var, merged, "delta")
+    finally:
+        merged.unpersist()
+        conn.invalidate_cache()
+    # markers drop only AFTER the reconciling generation is readable:
+    # a crash in between re-runs the (idempotent) reconcile
+    for g in masked_gens:
+        conn.fs.rmtree(
+            os.path.join(conn.index_path(vid, var, g), "_MASKED")
+        )
 
 
 def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
@@ -685,6 +1091,18 @@ def ingest_aligned(
     ndim = len(md.get_variable_dimensions(token, var))
     ccols = _coord_cols(ndim)
     grid = md.get_chunk_grid_slice(token, var)
+    if index_mode == "full":
+        vid = token["version-id"]
+        if any(
+            _gen_masked(conn, v, var, g)
+            for v, g in (conn._local_index_plan(vid, var) or [])
+        ):
+            # same guard as write_pieces: a full-mode carry over
+            # unreconciled cross-writer masks would resolve the
+            # contested coords wholesale and drop the losing writer's
+            # cells (the aligned blobs themselves are base-independent,
+            # but the CARRY is not)
+            reconcile_version(conn, token, variables=[var])
 
     full_cover = F.lit(True)
     for i in range(ndim):

@@ -132,6 +132,59 @@ def test_chunk_coordinate_sets_match_enumeration_oracle():
     run()
 
 
+def test_branch_handoffs_at_st_near_c_and_npts_near_max_in():
+    """Property (hypothesis): the three value shapes the consumers'
+    contract allows — None (dense BETWEEN), tuple (exact IN), ModSet
+    (exact modular) — hand off exactly where documented, swept across
+    the two boundaries at once: st ∈ {c-1, c, c+1} (the dense↔sparse
+    edge; ModSet's exactness proof needs st > c) × npts ∈ {max_in-1,
+    max_in, max_in+1} (the IN↔ModSet literal budget).  Every shape is
+    checked against the enumeration oracle, so any future consumer of
+    the triple-render inherits the guarantee (r10 verdict stretch #7)."""
+    from hypothesis import given, settings, strategies as st_
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st_.data())
+    def run(data):
+        c = data.draw(st_.integers(2, 9))
+        dst = data.draw(st_.sampled_from([c - 1, c, c + 1]))
+        max_in = data.draw(st_.integers(3, 12))
+        npts = data.draw(
+            st_.sampled_from([max_in - 1, max_in, max_in + 1])
+        )
+        a = data.draw(st_.integers(0, 3 * c))
+        b = a + (npts - 1) * dst + 1  # exactly npts lattice points
+        s = Slice((a,), (b,), (dst,))
+        grid = Slice((0,), (c * ((b // c) + 2),), (c,))
+
+        exact = sorted({(a + k * dst) // c for k in range(npts)})
+        [(lo, hi, vals)] = ck.chunk_coordinate_sets(s, grid, max_in=max_in)
+        assert lo == exact[0] and hi == exact[-1]
+
+        if dst <= c or hi == lo:
+            # dense branch: consecutive points at most one chunk apart
+            assert vals is None
+            assert exact == list(range(lo, hi + 1))
+        elif npts > max_in:
+            # budget exceeded with st > c: the exact modular set
+            assert isinstance(vals, ck.ModSet)
+            assert list(vals) == exact and len(vals) == npts
+            probe = set(exact)
+            assert all(
+                (h in vals) == (h in probe) for h in range(lo, hi + 1)
+            )
+        else:
+            # within budget: explicit IN tuple, unless the points
+            # happen to fill the whole range (then dense again)
+            if vals is None:
+                assert exact == list(range(lo, hi + 1))
+            else:
+                assert isinstance(vals, tuple)
+                assert list(vals) == exact
+
+    run()
+
+
 def test_modset_replaces_the_between_cliff():
     """The ADVICE r9 scenario: a long sparse read (step just above the
     chunk length, thousands of points) used to fall back to the full

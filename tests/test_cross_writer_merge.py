@@ -1,0 +1,312 @@
+"""Cross-writer same-chunk cell merge — closing the one functional
+divergence from the reference (r10 verdict #1).
+
+The reference's ``update-chunk!`` CAS-retry loop
+(/root/reference/src/io/mandoline/impl.clj:246-278) lets two CONCURRENT
+writer processes interleave writes INSIDE one chunk and converge
+cell-correct; its shuffled lots-of-processes suite genuinely exercises
+this (test/concurrency.clj:183-189).  This engine's concurrent writers
+cannot see each other mid-flight (each claims its own delta
+generation), so instead a commit that detects concurrency (claimed
+generation != the generation expected from its base snapshot) records
+the sub-slices it actually wrote (``wb`` written-box masks) on its
+index rows, and the commit-time reconcile
+(:func:`mandoline_spark.writer.reconcile_version`, run by
+``finish_version``) folds contested chunks' layer stacks into merged
+blobs — same cell-level last-writer-wins result, no per-chunk CAS.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+import numpy as np
+import pytest
+
+from mandoline_spark import reader, writer
+from mandoline_spark.core import slab as sb
+from mandoline_spark.core import slice as sl
+from mandoline_spark.store import Store
+
+from tests.faults import ObjectStoreFS
+
+
+def test_apply_layers_kernel_matches_numpy_oracle():
+    """The layer-fold kernel alone, against a direct numpy mirror:
+    wholesale layers replace, masked layers contribute only their
+    boxes, application in ascending layer order."""
+    chunk = sl.mk_slice((0, 0), (4, 6))
+
+    def blob_of(arr):
+        return sb.to_bytes(sb.Slab(np.asarray(arr, dtype=np.int16), chunk))
+
+    base = np.full((4, 6), 5, dtype=np.int16)
+    # writer A (wholesale: merged onto the base it saw): col 1 = 7
+    a = base.copy()
+    a[:, 1] = 7
+    # writer B (masked: wrote cols 3 and 4, its blob's other cells are
+    # the ORIGINAL base — the cells that must NOT shadow A's col 1)
+    b = base.copy()
+    b[:, 3] = 9
+    b[:, 4] = 9
+    layers = [
+        # deliberately mis-ordered: the kernel sorts by lyr
+        {"lyr": 2, "wb": [0, 3, 4, 4, 0, 4, 4, 5], "blob": blob_of(b)},
+        {"lyr": 1, "wb": None, "blob": blob_of(a)},
+    ]
+    got = writer._apply_layers(layers, "short", chunk, -1)
+    oracle = base.copy()
+    oracle[:, 1] = 7
+    oracle[:, 3] = 9
+    oracle[:, 4] = 9
+    np.testing.assert_array_equal(got.data, oracle)
+
+    # masked layer with no wholesale layer below: starts from fill
+    got2 = writer._apply_layers(
+        [{"lyr": 0, "wb": [0, 3, 4, 4], "blob": blob_of(b)}],
+        "short",
+        chunk,
+        -1,
+    )
+    oracle2 = np.full((4, 6), -1, dtype=np.int16)
+    oracle2[:, 3] = 9
+    np.testing.assert_array_equal(got2.data, oracle2)
+
+
+def _one_chunk_conn(spark, tmp_path, lag):
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=lag))
+    conn = store.create_dataset("ds")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": 4, "y": 8},
+            "chunk-dimensions": {"x": 4, "y": 8},
+            "variables": {
+                "v": {"type": "short", "shape": ["x", "y"], "fill-value": -1}
+            },
+        }
+    )
+    return conn, tok
+
+
+def _drain(conn, n=10_100):
+    d = os.path.join(conn.path, "versions")
+    for _ in range(n):
+        conn.fs.listdir(d)
+
+
+def test_masked_commit_and_reconcile_recovers_lost_cells(spark, tmp_path):
+    """The deterministic loss scenario: writer B's generation snapshot
+    and base read run while writer A's committed generation is hidden
+    by list-after-write lag, so B's blob lacks A's cells — before this
+    round, B's newer generation won the chunk WHOLESALE and A's cells
+    silently reverted to fill.  B's claim lands on generation 1 while
+    its snapshot expected 0, so B records written-box masks; the
+    commit-time reconcile merges the stack cell-correct."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=10_000)
+    vid = tok["version-id"]
+
+    # writer A: column y=1 → 7; claims g0 == expected 0 → wholesale
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    assert not writer._gen_masked(conn, vid, "v", 0)
+
+    # writer B: column y=3 → 9; A's generation directory is still
+    # hidden from listings, so B's snapshot expects 0, its base is
+    # empty, and its claim collides up to g1 → masks recorded
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 3), (4, 4)), 9)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    assert conn.index_gens(vid, "v") == [0, 1]
+    assert writer._gen_masked(conn, vid, "v", 1)
+
+    # commit reconciles: a third (merging) generation, markers dropped
+    conn.finish_version(tok)
+    _drain(conn)  # the reconcile generation is lag-hidden too
+    assert conn.index_gens(vid, "v") == [0, 1, 2]
+    assert not any(
+        writer._gen_masked(conn, vid, "v", g) for g in (0, 1, 2)
+    )
+
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    oracle = np.full((4, 8), -1, dtype=np.int16)
+    oracle[:, 1] = 7  # A's cells survive B's same-chunk commit
+    oracle[:, 3] = 9
+    np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_layer_aware_base_merges_masked_state_on_next_write(spark, tmp_path):
+    """A THIRD writer landing sequentially on unreconciled masked state
+    must read a cell-correct base: the resolved winner blob alone lacks
+    the losing writer's cells, so the write path attaches the whole
+    live layer stack and folds it before applying its own pieces."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=10_000)
+    vid = tok["version-id"]
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 3), (4, 4)), 9)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    assert writer._gen_masked(conn, vid, "v", 1)
+
+    # sequential writer C sees BOTH generations (drained listings) and
+    # the mask: its base must contain A's col 1 AND B's col 3
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 5), (4, 6)), 3)],
+        index_mode="delta",
+    )
+    # the commit-time reconcile requires every writer's generation to
+    # be VISIBLE (the same all-writers-done contract the reference's
+    # suite barriers on); drain C's injected listing lag before commit
+    _drain(conn)
+    conn.finish_version(tok)
+    _drain(conn)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    oracle = np.full((4, 8), -1, dtype=np.int16)
+    oracle[:, 1] = 7
+    oracle[:, 3] = 9
+    oracle[:, 5] = 3
+    np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_full_mode_write_reconciles_masked_state_first(spark, tmp_path):
+    """A full-mode commit's copy-forward carry resolves untouched
+    coords wholesale — atop unreconciled masks it would bake the loss
+    in permanently, so the write path reconciles first."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=10_000)
+    vid = tok["version-id"]
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 3), (4, 4)), 9)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    # the full-mode write (reconcile + carry) runs through a STRONGLY
+    # consistent connection to the same store (resume_writer gives a
+    # LocalFS catalog on the plain path): both the auto-reconcile and
+    # the copy-forward carry require every generation to be listable,
+    # the documented visibility contract
+    from mandoline_spark.store import resume_writer
+
+    conn2, tok2 = resume_writer(spark, conn.writer_token(tok))
+    writer.write_variable(
+        conn2, tok2, "v",
+        [sb.empty("short", sl.mk_slice((0, 5), (4, 6)), 3)],
+        index_mode="full",
+    )
+    assert not any(
+        writer._gen_masked(conn2, vid, "v", g)
+        for g in conn2.index_gens(vid, "v")
+    )
+    conn2.finish_version(tok2)
+    got = reader.get_slice(
+        conn2, reader.on_last_version(conn2), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    oracle = np.full((4, 8), -1, dtype=np.int16)
+    oracle[:, 1] = 7
+    oracle[:, 3] = 9
+    oracle[:, 5] = 3
+    np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_compaction_refuses_unreconciled_masks(spark, tmp_path):
+    """materialize_full_index resolves wholesale-per-coord: over masked
+    state it must refuse loudly (autocompact silently defers) rather
+    than bake the losing writer's cells out of a full generation."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=10_000)
+    vid = tok["version-id"]
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 3), (4, 4)), 9)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    assert writer._gen_masked(conn, vid, "v", 1)
+    with pytest.raises(writer.ConcurrentWriteError, match="mask"):
+        writer.materialize_full_index(conn, vid, "v")
+    # explicit reconcile is also available standalone
+    assert writer.reconcile_version(conn, tok) == ["v"]
+    _drain(conn)
+    writer.materialize_full_index(conn, vid, "v")  # now fine
+    conn.finish_version(tok)
+    _drain(conn)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    assert got.data[0, 1] == 7 and got.data[0, 3] == 9
+
+
+def test_disjoint_chunk_writers_skip_reconcile_generation(spark, tmp_path):
+    """Masks are recorded on DETECTED concurrency even when the shards
+    happen to be chunk-disjoint; the reconcile must then recognize
+    there is nothing to merge (no coordinate has a masked winner over
+    another layer) and just drop the markers — no extra generation, no
+    merge job."""
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10_000))
+    conn = store.create_dataset("ds")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": 8},
+            "chunk-dimensions": {"x": 4},
+            "variables": {
+                "v": {"type": "short", "shape": ["x"], "fill-value": -1}
+            },
+        }
+    )
+    vid = tok["version-id"]
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0,), (2,)), 7)],
+        index_mode="delta",
+    )
+    # hidden generation → this one detects concurrency and masks, but
+    # it touches a DIFFERENT chunk
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((5,), (7,)), 9)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    assert writer._gen_masked(conn, vid, "v", 1)
+    conn.finish_version(tok)
+    _drain(conn)
+    # no reconcile generation was needed; markers are gone
+    assert conn.index_gens(vid, "v") == [0, 1]
+    assert not writer._gen_masked(conn, vid, "v", 1)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v", sl.mk_slice((0,), (8,))
+    )
+    np.testing.assert_array_equal(
+        got.data, np.array([7, 7, -1, -1, -1, 9, 9, -1], dtype=np.int16)
+    )

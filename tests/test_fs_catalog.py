@@ -78,8 +78,22 @@ def test_engine_roundtrip_on_file_uri(uri_store):
 
     stats = conn.get_stats()
     assert stats["data-size"] > 0 and stats["metadata-size"] > 0
+
+    # latch-aware destroy audit (r10 verdict stretch #8): the two
+    # commits above left parent-named latches (n0.json, n<v1>.json)
+    # beside the id-named mirrors; destroy removes the whole dataset
+    # directory, latches included — nothing survives to wedge a future
+    # dataset re-created under the same name
+    vdir = os.path.join(conn.path, "versions")
+    latches = [
+        f
+        for f in conn.fs.listdir(vdir)
+        if f.startswith("n") and f.endswith(".json")
+    ]
+    assert len(latches) == 2, latches
     uri_store.destroy_dataset("ds")
     assert uri_store.list_datasets() == []
+    assert not conn.fs.isdir(os.path.join(uri_store.root, "ds"))
 
 
 def test_commit_race_semantics_on_file_uri(uri_store):

@@ -85,6 +85,22 @@ def test_lsh_multiprobe_improves_recall_monotonically(emb):
     # query still returns a row at every knob setting
     assert r2 >= r1 >= 0
 
+    # the DEFAULT path is the recall-safe one (r11: default flipped
+    # 0 → 1 after the r10 probe labeled single-bucket top-1 unsafe at
+    # 0.43-0.83 recall@1): a caller passing no knob gets exactly the
+    # 1-bit probe set
+    got_default = {
+        r["qid"]: r["vec_id"]
+        for r in cosine_topk_lsh(q, emb, k=1, n_planes=12).collect()
+    }
+    got_1bit = {
+        r["qid"]: r["vec_id"]
+        for r in cosine_topk_lsh(
+            q, emb, k=1, n_planes=12, n_probe_bits=1
+        ).collect()
+    }
+    assert got_default == got_1bit
+
     # guard: the fan-out cap is enforced
     with pytest.raises(ValueError):
         cosine_topk_lsh(q, emb, n_probe_bits=3)

@@ -261,14 +261,14 @@ def test_four_process_distributed_write(spark, store, tmp_path):
     per-column slabs (the mis-ordered oracle).  The coordinator
     commits and the merged variable equals the numpy mosaic.
 
-    Divergence from the reference, by design: shard assignment is
-    CHUNK-ALIGNED per process.  The reference resolves two processes
-    writing into one chunk tile with a per-chunk conditional-put retry
-    loop; this engine's concurrent-writer contract is one claimed
-    delta generation per job with chunk-disjoint shards (writer.py
-    _claim_generation) — the sharding any 100 TB bulk ingest uses
-    anyway.  Within a process, overlapping shuffled slabs ARE
-    supported (slab-order last-writer-wins, writer.py:102)."""
+    This variant keeps shard assignment CHUNK-ALIGNED per process —
+    the sharding any 100 TB bulk ingest uses anyway, and the shape
+    where no cross-writer merge machinery is needed at all.  The
+    reference's harder case — two processes writing INTO ONE CHUNK
+    (its per-chunk conditional-put retry, impl.clj:246-278) — is
+    covered by test_four_process_nonaligned_shards below via
+    written-box masks + commit-time reconcile (r11; the r10-documented
+    divergence is closed)."""
     import time
 
     X, Y, CH = 14, 20, 5  # y chunk 5 divides each 5-wide shard
@@ -328,6 +328,185 @@ def test_four_process_distributed_write(spark, store, tmp_path):
     # four concurrent jobs claimed four DISTINCT delta generations
     assert len(conn.index_gens(tok["version-id"], "v")) == 4
 
+    expected = np.empty((X, Y), dtype=np.int16)
+    for lo, hi, val in shards:
+        expected[:, lo:hi] = val
+    got = reader.get_slice(
+        conn,
+        reader.on_last_version(conn),
+        "v",
+        sl.mk_slice((0, 0), (X, Y)),
+    )
+    np.testing.assert_array_equal(got.data, expected)
+
+
+# The same worker with its CATALOG ops routed through the
+# fault-injecting object store (self list-after-write lag, copy+delete
+# rename, conditional create) — the write path's generation claims and
+# mask records have to hold under S3-style semantics, not just POSIX.
+FOUR_WRITER_OBJSTORE = FOUR_WRITER.replace(
+    "conn, tok = resume_writer(spark, open(token_file).read())",
+    "conn, tok = resume_writer(spark, open(token_file).read())\n"
+    "from tests.faults import ObjectStoreFS\n"
+    "conn.fs = ObjectStoreFS(lag=4)",
+)
+
+
+def test_four_process_nonaligned_shards(spark, store, tmp_path):
+    """The reference's same-chunk cross-process case
+    (test/concurrency.clj:183-189): shard boundaries do NOT fall on the
+    chunk grid, so two different driver processes write single-column
+    slabs INTO THE SAME CHUNK — with y chunk 4 and 5-wide shards, chunk
+    y=[4,8) takes columns from the (0,5) writer AND the (5,10) writer.
+    The reference converges these through its per-chunk
+    conditional-put retry (impl.clj:246-278); this engine records
+    written-box masks on concurrency-detected delta commits and merges
+    the contested chunks cell-correct at commit
+    (writer.reconcile_version, run by finish_version).  The oracle is
+    the same numpy mosaic regardless of interleaving: whichever writer
+    claims a generation first, every cell belongs to the one writer
+    that wrote its column."""
+    import time
+
+    X, Y, CH = 14, 20, 4  # y chunk 4 does NOT divide the 5-wide shards
+    conn = store.create_dataset("four_nonaligned")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": X, "y": Y},
+            "chunk-dimensions": {"x": 7, "y": CH},
+            "variables": {
+                "v": {"type": "short", "shape": ["x", "y"], "fill-value": -3}
+            },
+        }
+    )
+    tf = tmp_path / "writer.token"
+    tf.write_text(conn.writer_token(tok))
+    script = tmp_path / "worker.py"
+    script.write_text(FOUR_WRITER)
+    go = tmp_path / "go"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+
+    shards = [(0, 5, 1), (5, 10, 2), (10, 15, 3), (15, 20, 4)]
+    rng = np.random.default_rng(23)
+    rng.shuffle(shards)
+    procs = []
+    readies = []
+    for i, (lo, hi, val) in enumerate(shards):
+        ready = tmp_path / f"ready_{i}"
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(tf), str(ready),
+                    str(go), str(lo), str(hi), str(val), str(200 + i),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+        )
+    deadline = time.time() + 240
+    while not all(r.exists() for r in readies):
+        assert time.time() < deadline, "workers never reached ready"
+        assert all(p.poll() is None for p in procs), [
+            p.communicate()[1][-2000:] for p in procs if p.poll()
+        ]
+        time.sleep(0.1)
+    go.write_text("go")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-4000:]
+        assert "done" in out
+
+    conn.finish_version(tok)
+    # four writers claimed four distinct generations; the commit may
+    # have appended a reconciling one on top (only when some claim
+    # raced another's snapshot — interleaving-dependent)
+    n_gens = len(conn.index_gens(tok["version-id"], "v"))
+    assert n_gens in (4, 5)
+
+    expected = np.empty((X, Y), dtype=np.int16)
+    for lo, hi, val in shards:
+        expected[:, lo:hi] = val
+    got = reader.get_slice(
+        conn,
+        reader.on_last_version(conn),
+        "v",
+        sl.mk_slice((0, 0), (X, Y)),
+    )
+    np.testing.assert_array_equal(got.data, expected)
+
+
+def test_four_process_nonaligned_shards_object_store(
+    spark, store, tmp_path
+):
+    """The same four-writer non-aligned stress with every WORKER's
+    catalog operations routed through the fault-injecting object store
+    (tests/faults.py: self list-after-write lag 4, copy+delete rename,
+    conditional create) — r10 verdict #5: the write path's exclusive
+    generation claims, chunk publication, and written-box mask records
+    had only ever run on POSIX-atomic backends.  Under self-lag a
+    worker cannot even list its OWN just-claimed generation, so the
+    claim-retry loop and the mask-on-claim-mismatch rule are exercised
+    harder than under POSIX; the coordinator (strong listings) commits
+    and the mosaic oracle must still hold exactly."""
+    import time
+
+    X, Y, CH = 14, 20, 4
+    conn = store.create_dataset("four_objstore")
+    tok = conn.add_version(
+        {
+            "dimensions": {"x": X, "y": Y},
+            "chunk-dimensions": {"x": 7, "y": CH},
+            "variables": {
+                "v": {"type": "short", "shape": ["x", "y"], "fill-value": -3}
+            },
+        }
+    )
+    tf = tmp_path / "writer.token"
+    tf.write_text(conn.writer_token(tok))
+    script = tmp_path / "worker.py"
+    script.write_text(FOUR_WRITER_OBJSTORE)
+    go = tmp_path / "go"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+
+    shards = [(0, 5, 1), (5, 10, 2), (10, 15, 3), (15, 20, 4)]
+    rng = np.random.default_rng(37)
+    rng.shuffle(shards)
+    procs = []
+    readies = []
+    for i, (lo, hi, val) in enumerate(shards):
+        ready = tmp_path / f"ready_{i}"
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(tf), str(ready),
+                    str(go), str(lo), str(hi), str(val), str(300 + i),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+        )
+    deadline = time.time() + 240
+    while not all(r.exists() for r in readies):
+        assert time.time() < deadline, "workers never reached ready"
+        assert all(p.poll() is None for p in procs), [
+            p.communicate()[1][-2000:] for p in procs if p.poll()
+        ]
+        time.sleep(0.1)
+    go.write_text("go")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-4000:]
+        assert "done" in out
+
+    conn.finish_version(tok)
     expected = np.empty((X, Y), dtype=np.int16)
     for lo, hi, val in shards:
         expected[:, lo:hi] = val

@@ -35,7 +35,14 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_FILES = int(os.environ.get("RG_PROBE_FILES", "16"))
 REPS = int(os.environ.get("RG_PROBE_REPS", "7"))
 REWRITE = ("lineitem", "orders", "documents")
-QUERIES = ("q91_star_join", "q15_window_lag", "q92_word_entropy")
+# r10 set: the three then-weak queries; r11 added q104 (borderline 2.2x,
+# oracle reading at the 80ms threshold) and q84 (next densest explode)
+QUERIES = tuple(
+    os.environ.get(
+        "RG_PROBE_QUERIES",
+        "q91_star_join q15_window_lag q92_word_entropy",
+    ).split()
+)
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
