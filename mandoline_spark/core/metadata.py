@@ -119,14 +119,22 @@ def inherit(child: Mapping[str, Any], parent: Mapping[str, Any]) -> dict:
 _COUNTER = [0]
 
 
-def new_version(metadata: Mapping[str, Any]) -> dict:
+def new_version(metadata: Mapping[str, Any], *, after: int | None = None) -> dict:
     """Stamp a monotonically increasing epoch-millis version id
     (dataset.clj:120-122; collision-bumped so rapid commits in tests
-    never share an id)."""
+    never share an id).  ``after`` floors the id past a committed
+    parent's: the bump counter is per-process, so without it two
+    PROCESSES committing within one epoch-millisecond (or under clock
+    skew) could stamp a child id <= its parent's — version ids must be
+    strictly increasing along the history (the tip is ``max(ids)`` and
+    time travel orders by id), and a non-advancing id would wedge the
+    parent-latch commit protocol (store.finish_version guard)."""
     token = dict(metadata)
     vid = int(time.time() * 1000)
     if vid <= _COUNTER[0]:
         vid = _COUNTER[0] + 1
+    if after is not None and vid <= after:
+        vid = after + 1
     _COUNTER[0] = vid
     token["version-id"] = vid
     return token

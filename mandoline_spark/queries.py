@@ -151,10 +151,17 @@ def table_rows(sf_dir: str, name: str) -> int:
 
         files = _footer_files(key[0])
         if not files:
-            # an existing directory with no parquet fragments is a
+            # A Spark-written EMPTY table is a directory holding only
+            # the _SUCCESS marker (zero part files) — 0 is the correct
+            # answer there.  Any other fragmentless directory is a
             # layout this helper does not understand — raise loudly
-            # (table_rows is value-bearing in q84/q94; caching 0 here
+            # (table_rows is value-bearing in q84/q94; caching 0 there
             # would be a silent wrong answer, r10 ADVICE)
+            if os.path.isdir(key[0]) and os.path.exists(
+                os.path.join(key[0], "_SUCCESS")
+            ):
+                hit = _FOOTER_ROWS[key] = 0
+                return hit
             raise FileNotFoundError(
                 f"no parquet fragments under table path {key[0]}"
             )

@@ -290,7 +290,23 @@ class Connection:
             return False
         vid = md.parse_metadata(body)["version-id"]
         if f"{vid}.json" in names:
-            return False
+            # The tip-named latch's vid is ALREADY mirrored, yet the
+            # tip did not advance past the latch's parent — only
+            # possible when vid <= parent (a version-id collision from
+            # a dead pre-floor committer; live committers are floored
+            # past their parent by metadata.new_version(after=...)).
+            # The orphan can never be repaired by republishing (the
+            # mirror name is taken) and it occupies the commit point,
+            # so every future commit would fail its latch create
+            # forever: delete it.  If the occupant matches the latch
+            # body the commit already completed and the latch is mere
+            # residue; either way removal is safe — a live collided
+            # committer deletes its own latch on abort too.
+            try:
+                self.fs.rmtree(os.path.join(d, tip_latch))
+            except OSError:
+                return False
+            return True
         self.fs.create_exclusive(os.path.join(d, f"{vid}.json"), body)
         return True
 
@@ -368,7 +384,7 @@ class Connection:
             # form.  The inherited result is then fully validated.
             token = md.inherit(dict(metadata), self.metadata(last))
             md.validate_dataset_definition(token)
-        token = md.new_version(token)
+        token = md.new_version(token, after=last)
         return token
 
     def writer_token(self, token: Mapping[str, Any]) -> str:
@@ -407,6 +423,22 @@ class Connection:
             raise VersionConflict(
                 f"parent {parent} is no longer the last "
                 f"committed version ({self.last_version()})"
+            )
+        # Version ids must strictly advance past the parent: the tip is
+        # max(ids), so committing vid <= parent would never move it —
+        # and worse, the latch this commit is about to create would be
+        # a permanently unrepairable orphan (its mirror name is already
+        # taken by the parent's own mirror), wedging every future
+        # commit.  add_version floors fresh tokens past the parent
+        # (metadata.new_version(after=...)); this guard catches tokens
+        # stamped by pre-floor code or hand-built across skewed clocks,
+        # and fails BEFORE any latch exists so a restamped retry goes
+        # through cleanly.
+        if parent is not None and vid <= parent:
+            raise VersionConflict(
+                f"version id {vid} does not advance past parent "
+                f"{parent} (cross-process same-millisecond stamp or "
+                "clock skew); restamp via add_version and retry"
             )
         # Cross-writer same-chunk reconcile: concurrent shard jobs that
         # interleaved writes INSIDE one chunk left masked (written-box)
@@ -459,6 +491,18 @@ class Connection:
             except OSError:
                 occupant = None
             if occupant != body:
+                # abort: roll the latch back first so the dataset does
+                # not wedge (a latch whose mirror name is permanently
+                # occupied by foreign bytes can never be repaired — the
+                # repairer's exclusive mirror create always fails).  A
+                # racing repairer cannot have published OUR body under
+                # this name (it is occupied), so no reader can have
+                # observed this commit as visible; deleting the latch
+                # merely reopens the commit point for a sibling.
+                try:
+                    self.fs.rmtree(latch)
+                except OSError:
+                    pass
                 raise VersionConflict(
                     f"version id {vid} already names a different commit "
                     "(cross-process id collision); retry the commit"

@@ -386,6 +386,7 @@ def write_pieces(
     # sorted struct array (sort_array orders by ord first — ties are
     # broken deterministically by piece position, where the reference's
     # thread pool left them unordered).
+    pre_join_cache = None  # masked-branch pre-join agg, unpersisted below
     if not has_masks:
         grouped = pieces.groupBy("ckey", *ccols).agg(
             F.sort_array(
@@ -415,18 +416,24 @@ def write_pieces(
         # attach the whole live layer stack per touched chunk and let
         # the merge kernel fold it (the transient pre-reconcile shape;
         # reads of committed versions never see it)
-        grouped = pieces.groupBy("ckey", *ccols).agg(
+        # persist the agg BEFORE deriving the layer stack: the stack's
+        # touched-ckey semi-join references this frame, so without the
+        # persist the piece shuffle + collect_list appears TWICE in the
+        # joined plan (once under the semi-join, once as the join's
+        # left side) and is computed twice on first materialization
+        agg = pieces.groupBy("ckey", *ccols).agg(
             F.sort_array(
                 F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
             ).alias("_ps"),
-        )
+        ).persist()
+        pre_join_cache = agg
         layers = _layered_base_grouped(
-            conn, var, plan, grouped.select("ckey"), chunks
+            conn, var, plan, agg.select("ckey"), chunks
         )
         if layers is not None:
-            grouped = grouped.join(layers, "ckey", "left")
+            grouped = agg.join(layers, "ckey", "left")
         else:
-            grouped = grouped.withColumn(
+            grouped = agg.withColumn(
                 "_layers",
                 F.lit(None).cast(
                     f"array<struct<lyr:int,wb:{_WB_TYPE},blob:binary>>"
@@ -518,6 +525,8 @@ def write_pieces(
     finally:
         merged.unpersist()
         grouped.unpersist()
+        if pre_join_cache is not None:
+            pre_join_cache.unpersist()
         # read-through caches are stale after any append (cache.clj's
         # write-back variant is deliberately not reproduced)
         conn.invalidate_cache()
@@ -789,9 +798,9 @@ def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
     exclusively (concurrent-writer safe) and stays invisible to
     readers until the part files commit; a following vacuum drops the
     superseded generations."""
+    gens_before = conn.index_gens(vid, var)
     if any(
-        _gen_masked(conn, vid, var, g)
-        for g in conn.index_gens(vid, var)
+        _gen_masked(conn, vid, var, g) for g in gens_before
     ):
         # the resolved index is wholesale-per-coord: compacting over
         # unreconciled cross-writer masks would bake the losing
@@ -806,7 +815,30 @@ def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
     resolved = conn.index_df(vid, var)
     if resolved is None:
         return
-    gen_path, _gen = claim_index_gen(conn, vid, var)
+    gen_path, gen = claim_index_gen(conn, vid, var)
+    # Check-then-act guard: the mask scan and the resolution above ran
+    # BEFORE the claim, so a concurrent shard writer committing (or
+    # claiming) a generation in that window would end up BELOW this
+    # full generation — newest-full-wins resolution would then
+    # truncate its rows (masked or not) out of every future read,
+    # silently and permanently.  The claim is the serialization point:
+    # if it is not exactly our snapshot + 1, somebody intervened —
+    # release the claim husk and fail loud (the autocompact caller
+    # just skips; a later clean write re-triggers it).
+    expected = (gens_before[-1] + 1) if gens_before else 0
+    if gen != expected:
+        try:
+            conn.fs.rmtree(gen_path)  # claim-only: no parquet yet
+        except Exception:
+            pass
+        raise ConcurrentWriteError(
+            f"concurrent index write detected while compacting "
+            f"v={vid} var={var}: expected to claim generation "
+            f"{expected} but claimed {gen}; the resolution snapshot "
+            "is stale.  Retry after in-flight writers commit (a "
+            "claim-only husk from a crashed writer can be released "
+            f"with writer.release_claim(conn, {vid}, {var!r}, <gen>))."
+        )
     resolved.write.mode("append").parquet(gen_path)
     conn.invalidate_cache()
 
@@ -844,7 +876,14 @@ def _maybe_autocompact(
             # warrants it
             return
         if overlay_depth(conn, vid, var) >= every:
-            materialize_full_index(conn, vid, var)
+            try:
+                materialize_full_index(conn, vid, var)
+            except ConcurrentWriteError:
+                # a concurrent shard writer claimed/committed between
+                # our resolution snapshot and the claim — compaction is
+                # an optimization, so skip; the next clean write (or
+                # the commit-time reconcile) re-triggers it
+                return
 
 
 def reconcile_version(

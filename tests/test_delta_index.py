@@ -449,3 +449,116 @@ def test_chunk_table_carries_hash_bloom_filter(store, spark):
     # blob column carries no filter (pure payload; nothing equality-
     # filters on it)
     assert by_col["blob"] == {False}, by_col
+
+
+def test_compact_aborts_on_concurrent_generation(store, monkeypatch):
+    """Check-then-act guard (r11 review): a generation committed by a
+    concurrent shard writer between materialize_full_index's resolution
+    snapshot and its claim would land BELOW the new full generation and
+    be truncated out of every future read — silent loss of that
+    writer's rows.  The claim is the serialization point: anything but
+    snapshot+1 aborts, releases the claim husk, and leaves the overlay
+    chain (with the late generation) intact."""
+    import shutil
+
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t1, "foo", [_slab(FULL, 1)], index_mode="delta"
+    )
+    writer.write_variable(
+        conn, t1, "foo", [_slab(TOP_LEFT, 2)], index_mode="delta"
+    )
+    vid = t1["version-id"]
+    assert conn.index_gens(vid, "foo") == [0, 1]
+
+    real_claim = writer.claim_index_gen
+    injected = {}
+
+    def inject_then_claim(c, v, var):
+        if "done" not in injected:
+            injected["done"] = True
+            # the concurrent writer's generation lands INSIDE the
+            # window — after the resolution snapshot, before the claim
+            shutil.copytree(
+                c.index_path(v, var, 1), c.index_path(v, var, 2)
+            )
+            c.invalidate_cache()
+        return real_claim(c, v, var)
+
+    monkeypatch.setattr(writer, "claim_index_gen", inject_then_claim)
+    with pytest.raises(writer.ConcurrentWriteError, match="compacting"):
+        writer.materialize_full_index(conn, vid, "foo")
+    monkeypatch.setattr(writer, "claim_index_gen", real_claim)
+
+    # the claim husk was released and the late generation survives
+    assert conn.index_gens(vid, "foo") == [0, 1, 2]
+    assert not conn.fs.exists(conn.index_path(vid, "foo", 3))
+
+    # reads resolve the full chain — nothing was truncated
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 2
+    got = reader.get_slice(conn, dict(t1), "foo", FULL).data
+    np.testing.assert_array_equal(got, want)
+
+    # a clean retry (no interleaving) compacts fine and preserves data
+    writer.materialize_full_index(conn, vid, "foo")
+    assert not conn.index_gen_is_delta(
+        vid, "foo", conn.index_gens(vid, "foo")[-1]
+    )
+    got = reader.get_slice(conn, dict(t1), "foo", FULL).data
+    np.testing.assert_array_equal(got, want)
+
+
+def test_autocompact_skips_on_concurrent_generation(store, monkeypatch):
+    """The write path's compact_every auto-trigger must SKIP (not
+    crash the write) when the compaction guard detects a concurrent
+    generation — compaction is an optimization; a later clean write
+    re-triggers it."""
+    import shutil
+
+    conn = store.create_dataset("ds")
+    t1 = conn.add_version(DDS)
+    writer.write_variable(
+        conn, t1, "foo", [_slab(FULL, 1)], index_mode="delta"
+    )
+    vid = t1["version-id"]
+
+    real_claim = writer.claim_index_gen
+    state = {"arm": False}
+
+    def inject_then_claim(c, v, var):
+        if state["arm"]:
+            state["arm"] = False
+            gens = c.index_gens(v, var)
+            # the late arrival is a DELTA duplicate of the newest
+            # generation: value-neutral for the final read assert
+            shutil.copytree(
+                c.index_path(v, var, gens[-1]),
+                c.index_path(v, var, gens[-1] + 1),
+            )
+            c.invalidate_cache()
+        return real_claim(c, v, var)
+
+    monkeypatch.setattr(writer, "claim_index_gen", inject_then_claim)
+    # compact_every=1 forces the auto-trigger on this write; arm the
+    # injection only for the compaction's claim (the write's own
+    # index-gen claim happens before _maybe_autocompact runs)
+    orig_materialize = writer.materialize_full_index
+
+    def arm_then_materialize(c, v, var):
+        state["arm"] = True
+        return orig_materialize(c, v, var)
+
+    monkeypatch.setattr(
+        writer, "materialize_full_index", arm_then_materialize
+    )
+    # must not raise: the guard trips inside, autocompact swallows it
+    writer.write_variable(
+        conn, t1, "foo", [_slab(TOP_LEFT, 3)],
+        index_mode="delta", compact_every=1,
+    )
+    want = np.ones((8, 8), dtype=np.int32)
+    want[0:4, 0:4] = 3
+    got = reader.get_slice(conn, dict(t1), "foo", FULL).data
+    np.testing.assert_array_equal(got, want)

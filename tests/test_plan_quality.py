@@ -1076,3 +1076,29 @@ def test_small_read_rebalances_by_decompressed_volume(spark, tmp_path, monkeypat
     # and the rebalanced plan still reads correctly end-to-end
     got = reader.get_slice(conn, token, "v", req)
     assert np.array_equal(got.data, np.full(256, 7, dtype=np.int32))
+
+
+def test_table_rows_empty_spark_table_is_zero(tmp_path):
+    """A Spark-written EMPTY table is a directory holding only the
+    _SUCCESS marker (zero part files): 0 is the correct count.  Any
+    other fragmentless directory still raises loudly — table_rows is
+    value-bearing in the corpus-count queries, and caching a silent 0
+    for a layout the helper does not understand was the r10 ADVICE
+    bug."""
+    import os
+
+    import pytest
+
+    from mandoline_spark.queries import table_rows
+
+    d = str(tmp_path)
+    empty = os.path.join(d, "documents.parquet")
+    os.makedirs(empty)
+    open(os.path.join(empty, "_SUCCESS"), "w").close()
+    assert table_rows(d, "documents") == 0
+
+    junk = os.path.join(d, "events.parquet")
+    os.makedirs(junk)
+    open(os.path.join(junk, "notes.txt"), "w").close()
+    with pytest.raises(FileNotFoundError):
+        table_rows(d, "events")

@@ -569,3 +569,125 @@ def test_failed_ingest_invisible_under_object_store(spark, tmp_path):
     tok = reader.on_last_version(conn)
     got = reader.get_slice(conn, tok, "v", sl.mk_slice((0,), (4,)))
     assert got.data.tolist() == [9, 9, 9, 9]
+
+
+def test_collision_abort_rolls_back_the_latch(spark, tmp_path):
+    """r11 review: the collision abort used to leave its parent-named
+    latch behind — with the mirror name permanently occupied by
+    foreign bytes no repairer could ever republish it, so every later
+    commit failed the latch create: a permanently wedged dataset.  The
+    abort now deletes its latch, so the commit point reopens and the
+    dataset keeps accepting commits."""
+    from mandoline_spark.core import metadata as md
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    vid = w1["version-id"]
+
+    # another process committed the SAME vid (different bytes), hidden
+    # from listings by lag so w1's parent==last pre-check still passes
+    other = dict(w1)
+    other["writer-note"] = "other-process"
+    conn.fs.create_exclusive(
+        os.path.join(conn.path, "versions", f"{vid}.json"),
+        md.generate_metadata(other),
+    )
+    with pytest.raises(VersionConflict, match="collision"):
+        conn.finish_version(w1)
+
+    # the aborted commit's latch is rolled back (n0: parent is None)
+    assert not conn.fs.exists(
+        os.path.join(conn.path, "versions", "n0.json")
+    )
+    # ...so once listings catch up, a rebased writer commits cleanly —
+    # before the rollback this raised VersionConflict forever
+    for _ in range(12):
+        conn.version_ids()
+    assert conn.version_ids() == [vid]  # the other process's commit
+    w2 = conn.add_version(_tiny_spec())
+    assert w2["parent"] == vid
+    v2 = conn.finish_version(w2)
+    for _ in range(12):
+        conn.version_ids()
+    assert conn.version_ids() == [v2, vid]
+
+
+def test_nonadvancing_version_id_fails_before_any_latch(spark, tmp_path):
+    """Version ids must strictly advance past the parent (the tip is
+    max(ids)).  add_version floors fresh tokens (new_version(after=)),
+    and finish_version rejects a pre-floor/hand-built token BEFORE
+    creating any latch — committing it would have wedged the dataset:
+    its latch's mirror name is the parent's own mirror, unrepairable
+    forever."""
+    from mandoline_spark.store import VersionConflict
+
+    store = Store(spark, str(tmp_path))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    v1 = conn.finish_version(w1)
+
+    w2 = conn.add_version(_tiny_spec())
+    assert w2["version-id"] > v1  # the add_version floor
+
+    stale = dict(w2)
+    stale["version-id"] = v1  # a pre-floor cross-process stamp
+    with pytest.raises(VersionConflict, match="advance"):
+        conn.finish_version(stale)
+    # no latch was created, so the properly-stamped sibling commits
+    assert not conn.fs.exists(
+        os.path.join(conn.path, "versions", f"n{v1}.json")
+    )
+    assert conn.finish_version(w2) == w2["version-id"]
+    assert conn.version_ids() == [w2["version-id"], v1]
+
+
+def test_doomed_collision_orphan_latch_is_cleared(spark, tmp_path):
+    """A pre-floor committer that died between latch and mirror whose
+    vid collides with an ALREADY-mirrored id: republish can never
+    succeed (the mirror name is taken), so the listing repairer now
+    deletes the latch instead of returning with the commit point
+    occupied forever."""
+    from mandoline_spark.core import metadata as md
+
+    store = Store(spark, str(tmp_path))
+    conn = store.create_dataset("ds")
+    w1 = conn.add_version(_tiny_spec())
+    v1 = conn.finish_version(w1)
+
+    # the dead committer's latch: tip-named (n<v1>), body stamped with
+    # v1 itself (a same-millisecond cross-process collision)
+    dead = dict(conn.add_version(_tiny_spec()))
+    dead["version-id"] = v1
+    latch = os.path.join(conn.path, "versions", f"n{v1}.json")
+    assert conn.fs.create_exclusive(latch, md.generate_metadata(dead))
+
+    # the very next listing clears the doomed orphan; history unchanged
+    assert conn.version_ids() == [v1]
+    assert not conn.fs.exists(latch)
+    # and commits atop v1 proceed — the commit point is free again
+    w2 = conn.add_version(_tiny_spec())
+    v2 = conn.finish_version(w2)
+    assert conn.version_ids() == [v2, v1]
+
+
+def test_new_version_floors_past_parent(monkeypatch):
+    """Cross-process same-millisecond stamps: a fresh process's bump
+    counter starts at 0 and its clock can sit exactly on (or behind)
+    the parent's millisecond — new_version(after=parent) must still
+    stamp strictly past the parent."""
+    from mandoline_spark.core import metadata as md
+
+    parent = 1_755_000_000_000
+    monkeypatch.setattr(md.time, "time", lambda: parent / 1000.0)
+    monkeypatch.setattr(md, "_COUNTER", [0])
+    tok = md.new_version({"dimensions": {}}, after=parent)
+    assert tok["version-id"] == parent + 1
+    # clock skew BEHIND the parent floors too
+    monkeypatch.setattr(md, "_COUNTER", [0])
+    tok2 = md.new_version({"dimensions": {}}, after=parent + 10)
+    assert tok2["version-id"] == parent + 11
+    # and the flooring keeps the per-process counter monotone
+    tok3 = md.new_version({"dimensions": {}})
+    assert tok3["version-id"] > tok2["version-id"]

@@ -40,7 +40,8 @@ REWRITE = ("lineitem", "orders", "documents")
 QUERIES = tuple(
     os.environ.get(
         "RG_PROBE_QUERIES",
-        "q91_star_join q15_window_lag q92_word_entropy",
+        "q91_star_join q15_window_lag q92_word_entropy "
+        "q104_shipping_priority q84_tfidf_top_term",
     ).split()
 )
 ALL_TABLES = (
