@@ -310,3 +310,73 @@ def test_disjoint_chunk_writers_skip_reconcile_generation(spark, tmp_path):
     np.testing.assert_array_equal(
         got.data, np.array([7, 7, -1, -1, -1, 9, 9, -1], dtype=np.int16)
     )
+
+
+# -- property: random layer stacks vs a direct numpy fold ---------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _layer_stacks(draw):
+    """1-5 layers over a 2-D chunk, each wholesale (wb=None) or masked
+    with 1-3 written boxes; returned in a shuffled presentation order
+    (the kernel must sort by lyr)."""
+    shape = (draw(st.integers(2, 5)), draw(st.integers(2, 6)))
+    n = draw(st.integers(1, 5))
+    layers = []
+    for lyr in range(n):
+        arr = draw(
+            st.lists(
+                st.integers(-99, 99),
+                min_size=shape[0] * shape[1],
+                max_size=shape[0] * shape[1],
+            )
+        )
+        if draw(st.booleans()):
+            wb = None
+        else:
+            boxes = []
+            for _ in range(draw(st.integers(1, 3))):
+                s0 = draw(st.integers(0, shape[0] - 1))
+                s1 = draw(st.integers(0, shape[1] - 1))
+                e0 = draw(st.integers(s0 + 1, shape[0]))
+                e1 = draw(st.integers(s1 + 1, shape[1]))
+                boxes.extend([s0, s1, e0, e1])
+            wb = boxes
+        layers.append((lyr, wb, arr))
+    order = draw(st.permutations(range(n)))
+    return shape, [layers[i] for i in order]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_layer_stacks())
+def test_apply_layers_random_stacks_match_numpy(case):
+    """Property pin of the layer-fold kernel (the correctness core of
+    the cross-writer mask protocol): any stack of wholesale and masked
+    layers, presented in any order, folds to the same result as a
+    direct numpy replay in ascending layer order — wholesale layers
+    replace the whole chunk, masked layers contribute exactly their
+    written boxes."""
+    shape, layers = case
+    chunk = sl.mk_slice((0, 0), shape)
+    fill = -1
+
+    stack = []
+    for lyr, wb, arr in layers:
+        a = np.asarray(arr, dtype=np.int16).reshape(shape)
+        blob = sb.to_bytes(sb.Slab(a, chunk))
+        stack.append({"lyr": lyr, "wb": wb, "blob": blob})
+
+    got = writer._apply_layers(stack, "short", chunk, fill)
+
+    oracle = np.full(shape, fill, dtype=np.int16)
+    for lyr, wb, arr in sorted(layers, key=lambda t: t[0]):
+        a = np.asarray(arr, dtype=np.int16).reshape(shape)
+        if wb is None:
+            oracle = a.copy()
+        else:
+            for b in range(0, len(wb), 4):
+                s0, s1, e0, e1 = wb[b : b + 4]
+                oracle[s0:e0, s1:e1] = a[s0:e0, s1:e1]
+    np.testing.assert_array_equal(got.data, oracle)
