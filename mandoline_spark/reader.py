@@ -208,7 +208,11 @@ def _pieces_df(
         # Only worth an exchange when the request is big enough to keep
         # every core busy — small slice reads run on their natural input
         # partitioning (the extra shuffle would dominate their runtime).
-        if target >= cores:
+        # Same volume floor as _small_read_blobs_df (r11 review: the
+        # gates had silently diverged): a many-chunk but SMALL read
+        # satisfies target >= cores yet gains nothing from an exchange.
+        _, touched_bytes = _touched_chunks(token, var, prune)
+        if target >= cores and touched_bytes > _REBALANCE_MIN_BYTES:
             joined = joined.repartition(target, *ccols)
     type_name = md.get_type(token, var)
     grid = md.get_chunk_grid_slice(token, var)
@@ -472,8 +476,8 @@ def get_slice(
         # (cProfile, 8,400 chunks).  Base chunks are stored FULL
         # chunk-grid size (fill beyond the extent — chunk.clj:27-33),
         # so a stored blob of exactly chunk-size bytes pastes as a
-        # reshaped view with three max/min clips; anything else (e.g.
-        # a future partial piece) falls back to the general slab merge.
+        # reshaped view with three max/min clips; any other size is
+        # corruption and fails loud (blobs carry no geometry).
         import numpy as np
 
         le_dtype = sb.as_dtype(type_name).newbyteorder("<")
@@ -485,12 +489,19 @@ def get_slice(
 
         def _paste(coord: tuple, buf) -> None:
             if len(buf) != chunk_nbytes:
-                chunk_slice = ck.from_chunk_coordinate(grid, coord)
-                slab = sb.from_bytes(
-                    bytes(buf), type_name, chunk_slice, copy=False
+                # A stored blob is ALWAYS the full chunk-grid slice
+                # (fill beyond the extent — chunk.clj:27-33); the bytes
+                # carry no geometry of their own, so a size mismatch
+                # cannot be merged, only reported.  (The previous
+                # "fall back to the general slab merge" here reshaped
+                # the short buffer to the full chunk shape and raised
+                # an opaque numpy error — r11 review.)
+                raise ValueError(
+                    f"chunk blob at coordinate {coord} is "
+                    f"{len(buf)} bytes; expected the full chunk size "
+                    f"{chunk_nbytes} (truncated or corrupt chunk "
+                    "store entry)"
                 )
-                sb.merge(result, sb.intersect(slab, request))
-                return
             dst, src = [], []
             for k, c, rs, re_ in zip(coord, cdims, rstart, rstop):
                 s = k * c
@@ -637,7 +648,11 @@ def cells_df(
         )
     coords = coords.select(*ccols)
 
-    idx = conn.resolve_index_df(token["version-id"], var)
+    # pruned to the request's chunk ranges (the BETWEEN predicates
+    # reach the index parquet scan) — the plain resolved index paid a
+    # full index scan per action on request-scoped cell views (r11
+    # review); the coords equi-join alone pushes nothing down
+    idx = pruned_index_df(conn, token, var, request)
     chunks = conn.chunks_df()
     if idx is not None and chunks is not None:
         joined = coords.join(idx.select(*ccols, "chunk_hash"), ccols, "left")

@@ -243,6 +243,12 @@ class Connection:
     # is not atomic under the GIL.  Guards dict bookkeeping only —
     # Spark actions and pyarrow reads run outside it.
     _cache_lock: object = field(default_factory=threading.Lock, repr=False)
+    # Invalidation epoch: bumped (under the lock) by invalidate_cache.
+    # A reader computing a memoized value captures the epoch FIRST and
+    # inserts only if it is unchanged — otherwise a writer's
+    # invalidation landing mid-compute would be undone by the insert
+    # and the stale map/DataFrame served indefinitely (r11 review).
+    _cache_epoch: int = field(default=0, repr=False)
 
     def __post_init__(self):
         if self.fs is None:
@@ -585,20 +591,31 @@ class Connection:
             reader = reader.option("recursiveFileLookup", "true")
         if not self.cache_reads:
             return reader.parquet(path)
-        if key not in self._df_cache:
-            self._df_cache[key] = reader.parquet(path).cache()
-        return self._df_cache[key]
+        with self._cache_lock:
+            hit = self._df_cache.get(key)
+            epoch = self._cache_epoch
+        if hit is not None:
+            return hit
+        df = reader.parquet(path).cache()
+        with self._cache_lock:
+            if self._cache_epoch != epoch:
+                # a writer invalidated mid-construction: serve the
+                # fresh frame once but do not re-memoize the stale one
+                return df
+            return self._df_cache.setdefault(key, df)
 
     def invalidate_cache(self) -> None:
         """Drop memoized table DataFrames and driver-side read caches
         (called after writes)."""
-        for df in self._df_cache.values():
-            df.unpersist()
-        self._df_cache.clear()
         with self._cache_lock:
+            dropped = list(self._df_cache.values())
+            self._df_cache.clear()
             self._blob_lru.clear()
             self._index_map_cache.clear()
             self._chunks_disk_bytes = None
+            self._cache_epoch += 1
+        for df in dropped:  # Spark call outside the lock
+            df.unpersist()
 
     # -- driver-side read-through caches -------------------------------------
 
@@ -686,17 +703,27 @@ class Connection:
         if not self.cache_reads:
             return None
         key = (version, var)
-        if key in self._index_map_cache:
-            return self._index_map_cache[key]
+        with self._cache_lock:
+            if key in self._index_map_cache:
+                return self._index_map_cache[key]
+            epoch = self._cache_epoch
+        value = self._compute_index_map(version, var)
+        with self._cache_lock:
+            # insert only if no invalidation landed mid-compute — a
+            # writer's invalidate_cache would otherwise be undone and
+            # the pre-write map served indefinitely (r11 review)
+            if self._cache_epoch == epoch:
+                self._index_map_cache[key] = value
+        return value
+
+    def _compute_index_map(self, version: int, var: str) -> dict | None:
         cap = self.index_map_max_entries
         if isinstance(self.fs, fsmod.LocalFS):
             local = self._local_index_map(version, var, cap)
             if local is not _SPARK_RESOLVE:
-                self._index_map_cache[key] = local
                 return local
         idx = self.resolve_index_df(version, var)
         if idx is None:
-            self._index_map_cache[key] = None
             return None
         ccols = sorted(
             (c for c in idx.columns if re.match(r"^c\d+$", c)),
@@ -712,14 +739,11 @@ class Connection:
         # bounded: ≤ (max+1) rows of ints + one 40-char hash.
         rows = idx.select(*ccols, "chunk_hash").limit(cap + 1).collect()
         if len(rows) > cap:
-            self._index_map_cache[key] = None
             return None
-        m = {
+        return {
             tuple(int(row[c]) for c in ccols): row["chunk_hash"]
             for row in rows
         }
-        self._index_map_cache[key] = m
-        return m
 
     def _local_blobs(self, hashes: list[str]) -> dict[str, bytes] | None:
         """Driver-side point fetch of chunk blobs for LOCAL stores whose
@@ -894,9 +918,12 @@ class Connection:
             # per-relation shape added ~0.3s per delta per read on the
             # 8,400-chunk perf workload)
             key = ("index-stack", version, var, tuple(deltas))
-            if self.cache_reads and key in self._df_cache:
-                stack = self._df_cache[key]
-            else:
+            with self._cache_lock:
+                stack = (
+                    self._df_cache.get(key) if self.cache_reads else None
+                )
+                epoch = self._cache_epoch
+            if stack is None:
                 stack = (
                     self.spark.read.option(
                         "basePath", self.index_path(version, var)
@@ -914,7 +941,13 @@ class Connection:
                 stack = stack.withColumn("g", F.col("g").cast("int"))
                 if self.cache_reads:
                     stack = stack.cache()
-                    self._df_cache[key] = stack
+                    with self._cache_lock:
+                        # same epoch guard as _maybe_cached: never
+                        # re-memoize across an invalidation
+                        if self._cache_epoch == epoch:
+                            stack = self._df_cache.setdefault(
+                                key, stack
+                            )
             df = self._overlay(base, self._stack_winner(stack, "g"))
         else:
             df = self._overlay_stack(

@@ -688,7 +688,22 @@ def _commit_merged(
     own_gens = conn.index_gens(vid, var)
     if expected_gen is None:
         expected_gen = (own_gens[-1] + 1) if own_gens else 0
-    base_index = _base_index_df(conn, token, var)
+    if index_mode == "full":
+        base_index = _base_index_df(conn, token, var)
+        has_base = base_index is not None
+    else:
+        # delta commits consult only base EXISTENCE (the delta-vs-
+        # promoted-full decision below); answering it from fs metadata
+        # skips the full overlay-chain relation construction
+        # (~0.3-0.5s of parquet listing/footer setup per generation)
+        # on exactly the frequent-small-commit path delta mode exists
+        # for (r11 review)
+        base_index = None
+        parent = token.get("parent")
+        has_base = bool(own_gens) or (
+            parent is not None
+            and bool(conn._local_index_plan(parent, var))
+        )
     gen_path, gen = claim_index_gen(conn, vid, var)
     if index_mode == "full" and gen != expected_gen:
         # Another writer claimed/committed a generation after our base
@@ -717,9 +732,7 @@ def _commit_merged(
     # is in flight below us — promoting to full there would make
     # newest-full-wins resolution DROP that writer's rows, so the
     # delta marker is kept and resolution overlays both.
-    is_delta = index_mode == "delta" and (
-        base_index is not None or gen > 0
-    )
+    is_delta = index_mode == "delta" and (has_base or gen > 0)
     # Cross-writer masks: a delta commit whose claimed generation is
     # not its base snapshot + 1 ran CONCURRENTLY with another writer —
     # its blobs cannot contain that writer's cells, so the rows record
@@ -770,24 +783,11 @@ def overlay_depth(conn: Connection, vid: int, var: str) -> int:
     :func:`mandoline_spark.maintenance.compact_index` /
     ``compact_every`` exist to cap (the reference keeps exactly one
     index per version — variable.clj:76-84; the overlay chain is this
-    engine's O(touched)-commit extension)."""
-    depth = 0
-    v: int | None = vid
-    while v is not None:
-        gens = conn.index_gens(v, var)
-        fulls = [
-            g for g in gens if not conn.index_gen_is_delta(v, var, g)
-        ]
-        if fulls:
-            return depth + len([g for g in gens if g >= max(fulls)])
-        depth += len(gens)
-        older = [
-            q
-            for q in conn.version_ids()
-            if q < v and conn.index_gens(q, var)
-        ]
-        v = older[0] if older else None
-    return depth
+    engine's O(touched)-commit extension).  Delegates to the catalog's
+    resolution plan so the generation-selection rules live in exactly
+    one place (a hand-rolled mirror here drifted from
+    ``_local_index_plan`` only by luck — r11 review)."""
+    return len(conn._local_index_plan(vid, var) or [])
 
 
 def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
