@@ -39,6 +39,7 @@ from .core import slab as sb
 from .core import slice as sl
 from .core.slab import Slab
 from .core.slice import Slice
+from . import fs as fsmod
 from .store import Connection
 
 
@@ -222,6 +223,95 @@ def _base_index_df(
     return None
 
 
+def _index_rows_bound(
+    conn: Connection, version: int, var: str
+) -> int | None:
+    """Upper bound on the resolved (version, var) index row count from
+    parquet FOOTERS — catalog metadata, zero Spark jobs (the same
+    footer walk the local index-map scale guard uses).  The touched
+    base rows are a subset of the resolved index, so a bound within
+    the broadcast budget proves the streamed-scan attach safe without
+    paying an exact count job.  None when unavailable (non-local fs,
+    no index anywhere)."""
+    if not isinstance(conn.fs, fsmod.LocalFS):
+        return None
+    plan = conn._local_index_plan(version, var)
+    if not plan:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    try:
+        for v, g in plan:
+            d = conn.index_path(v, var, g)
+            for fn in sorted(conn.fs.listdir(d)):
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(d, fn)
+                    ).metadata.num_rows
+    except OSError:
+        return None
+    return total
+
+
+def _bcast_budget(conn: Connection) -> int:
+    """Session broadcast budget in bytes
+    (``spark.mandoline.broadcastIndexBudget``; shared convention with
+    reader._join_blobs — an explicit broadcast bypasses
+    autoBroadcastJoinThreshold, so the bound must live with the
+    hint)."""
+    try:
+        return int(
+            conn.spark.conf.get(
+                "spark.mandoline.broadcastIndexBudget", str(256 << 20)
+            )
+        )
+    except ValueError:
+        return 256 << 20
+
+
+def _touched_base_blobs(
+    conn: Connection,
+    chunks: DataFrame,
+    base_rows: DataFrame,
+    n_rows: int,
+) -> DataFrame:
+    """(ckey, _base) blob attachment for the touched base-index rows
+    ``base_rows`` (columns: ckey, _bhash), with the chunk table
+    STREAMED rather than exchanged: within the session's broadcast
+    budget (``spark.mandoline.broadcastIndexBudget``, the read path's
+    measured ~1 KiB-per-built-row convention — reader._join_blobs) the
+    wanted-hash set and then the touched rows broadcast, so the only
+    blob bytes that cross an exchange are the touched chunks' own.
+    Before this, the read-modify-write attach shuffle-hash-joined the
+    ENTIRE chunk table per write job — a one-chunk partial write into
+    a petabyte store shuffled every blob (r11 review).  Past the
+    budget (a write touching >~256k chunks): the shuffled-hash
+    fallback, which keeps blob hash maps partition-sized — never
+    broadcast the BLOB side; its on-disk size is the zstd-compressed
+    footprint, and a "small" broadcast would materialize the
+    decompressed blobs in one driver-built relation."""
+    blob_src = chunks.select(
+        F.col("hash").alias("_bhash"), F.col("blob").alias("_base")
+    )
+    # ~1 KiB per built hash-relation row, the read path's measured
+    # convention (reader._join_blobs)
+    if n_rows * 1024 <= _bcast_budget(conn):
+        # one broadcast does prune AND attach: the streamed chunk scan
+        # probes the touched-rows hash relation, non-matching blobs
+        # never leave their scan task, matching ones pick up their
+        # ckey(s) in place.  inner: a base hash missing from the chunk
+        # store resolves to no row, and the caller's left join yields a
+        # null base — the same fill-base semantics the old left join
+        # produced
+        return blob_src.join(
+            F.broadcast(base_rows), "_bhash", "inner"
+        ).select("ckey", "_base")
+    return base_rows.join(
+        blob_src.hint("shuffle_hash"), "_bhash", "left"
+    ).select("ckey", "_base")
+
+
 def _slabs_are_aligned(
     token: Mapping[str, Any], var: str, slabs: Sequence[Slab]
 ) -> bool:
@@ -347,33 +437,6 @@ def write_pieces(
         has_masks = False
     chunks = conn.chunks_df()
 
-    if not has_masks:
-        base_index = _base_index_df(conn, token, var)
-        if base_index is not None and chunks is not None:
-            # Attach the base chunk blob to every piece row.  The pruned
-            # base-index slice is small relative to the chunk store, so
-            # AQE/broadcast keeps this off the big-table shuffle path.
-            # The blob side carries a shuffle_hash hint: its ON-DISK size
-            # (what broadcast planning sees) is the zstd-compressed
-            # footprint, so a well-compressing chunk table can slip under
-            # the auto-broadcast threshold and the planner would then
-            # materialize the DECOMPRESSED blobs as one driver-built hash
-            # relation.  Shuffled-hash keeps blob maps partition-sized.
-            base = base_index.select(
-                "ckey", F.col("chunk_hash").alias("_bhash")
-            )
-            pieces = pieces.join(base, "ckey", "left").join(
-                chunks.select(
-                    F.col("hash").alias("_bhash"),
-                    F.col("blob").alias("_base"),
-                ).hint("shuffle_hash"),
-                "_bhash",
-                "left",
-            )
-        else:
-            pieces = pieces.withColumn("_bhash", F.lit(None).cast("string"))
-            pieces = pieces.withColumn("_base", F.lit(None).cast("binary"))
-
     out_schema = T.StructType(
         list(index_schema(ndim).fields)
         + [
@@ -385,18 +448,59 @@ def write_pieces(
     # One shuffle groups each chunk's pieces; the pieces arrive as a
     # sorted struct array (sort_array orders by ord first — ties are
     # broken deterministically by piece position, where the reference's
-    # thread pool left them unordered).
-    pre_join_cache = None  # masked-branch pre-join agg, unpersisted below
+    # thread pool left them unordered).  The groupBy keys on ckey ALONE
+    # (the coordinate columns are a pure function of it, carried
+    # through first()): the downstream base/layer joins are on ckey,
+    # and keying the agg the same way lets its HashPartitioning satisfy
+    # the join requirement — no second exchange of the piece bytes.
+    # The agg is persisted BEFORE any join derives from it: the base/
+    # layer attachments semi-join its ckeys, so an unpersisted agg
+    # appears twice in the joined plan and the piece shuffle runs twice.
+    caches: list = []  # frames persisted by this call, dropped in the finally
+    agg = pieces.groupBy("ckey").agg(
+        *[F.first(c).alias(c) for c in ccols],
+        F.sort_array(
+            F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
+        ).alias("_ps"),
+    ).persist()
+    caches.append(agg)
     if not has_masks:
-        grouped = pieces.groupBy("ckey", *ccols).agg(
-            F.sort_array(
-                F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
-            ).alias("_ps"),
-            F.first("_base").alias("_base"),
-        )
+        base_index = _base_index_df(conn, token, var)
+        if base_index is not None and chunks is not None:
+            # Base blobs attach per CHUNK, after the piece shuffle: the
+            # old per-piece attach shipped each chunk's base blob once
+            # per piece through the groupBy exchange, and its blob join
+            # exchanged the ENTIRE chunk table per write job (r11
+            # review) — a one-chunk partial write into a petabyte store
+            # paid a full-table blob shuffle.  The touched-ckey
+            # semi-join plus _touched_base_blobs keep blob movement
+            # O(touched).  The count is one job over the persisted agg
+            # and front-loads the piece pipeline it would pay anyway.
+            base_rows = base_index.select(
+                "ckey", F.col("chunk_hash").alias("_bhash")
+            ).join(agg.select("ckey"), "ckey", "left_semi")
+            # size the broadcast decision from footer metadata when the
+            # bound already fits the budget (zero jobs — the common
+            # small-store / test / bench shape); only an inconclusive
+            # bound pays the exact count over the persisted agg
+            bound = _index_rows_bound(conn, vid, var)
+            n_rows = (
+                bound
+                if bound is not None
+                and bound * 1024 <= _bcast_budget(conn)
+                else agg.count()
+            )
+            based = _touched_base_blobs(
+                conn, chunks, base_rows, n_rows
+            ).persist()
+            caches.append(based)
+            grouped = agg.join(based, "ckey", "left")
+        else:
+            grouped = agg.withColumn("_base", F.lit(None).cast("binary"))
         # normalize the base to the layered representation the merge
         # kernel consumes: one wholesale layer (the resolved winner
-        # blob) — identical cost to the old single-blob column
+        # blob).  agg and based are both cached, so the join replays
+        # cheaply per action — the joined frame needs no third persist.
         grouped = grouped.withColumn(
             "_layers",
             F.when(
@@ -416,19 +520,9 @@ def write_pieces(
         # attach the whole live layer stack per touched chunk and let
         # the merge kernel fold it (the transient pre-reconcile shape;
         # reads of committed versions never see it)
-        # persist the agg BEFORE deriving the layer stack: the stack's
-        # touched-ckey semi-join references this frame, so without the
-        # persist the piece shuffle + collect_list appears TWICE in the
-        # joined plan (once under the semi-join, once as the join's
-        # left side) and is computed twice on first materialization
-        agg = pieces.groupBy("ckey", *ccols).agg(
-            F.sort_array(
-                F.collect_list(F.struct("ord", "pstart", "pstop", "data"))
-            ).alias("_ps"),
-        ).persist()
-        pre_join_cache = agg
         layers = _layered_base_grouped(
-            conn, var, plan, agg.select("ckey"), chunks
+            conn, var, plan, agg.select("ckey"), chunks,
+            n_hint=agg.count() * max(1, len(plan)),
         )
         if layers is not None:
             grouped = agg.join(layers, "ckey", "left")
@@ -439,7 +533,8 @@ def write_pieces(
                     f"array<struct<lyr:int,wb:{_WB_TYPE},blob:binary>>"
                 ),
             )
-    grouped = grouped.persist()
+        grouped = grouped.persist()
+        caches.append(grouped)
 
     # Bulk-ingest fast path, all JVM: a chunk written by exactly one
     # piece covering the whole (uncropped) chunk slice with no base to
@@ -524,9 +619,8 @@ def write_pieces(
         )
     finally:
         merged.unpersist()
-        grouped.unpersist()
-        if pre_join_cache is not None:
-            pre_join_cache.unpersist()
+        for c in caches:
+            c.unpersist()
         # read-through caches are stale after any append (cache.clj's
         # write-back variant is deliberately not reproduced)
         conn.invalidate_cache()
@@ -540,6 +634,7 @@ def _layered_base_grouped(
     plan: list[tuple[int, int]],
     touched_ckeys: DataFrame,
     chunks: DataFrame | None,
+    n_hint: int | None = None,
 ) -> DataFrame | None:
     """(ckey, _layers) for every touched chunk: the live index layer
     stack — generation application order, each with its mask and blob —
@@ -559,15 +654,21 @@ def _layered_base_grouped(
             else stack.unionByName(df, allowMissingColumns=True)
         )
     stack = stack.join(touched_ckeys.distinct(), "ckey", "left_semi")
-    # shuffle_hash on the blob side: same decompressed-broadcast guard
-    # as the unmasked base attachment above
-    blobbed = stack.join(
-        chunks.select(
-            F.col("hash").alias("chunk_hash"), "blob"
-        ).hint("shuffle_hash"),
-        "chunk_hash",
-        "inner",
-    )
+    blob_src = chunks.select(F.col("hash").alias("chunk_hash"), "blob")
+    if n_hint is not None and n_hint * 1024 <= _bcast_budget(conn):
+        # prune the chunk table to the stack's hashes before any blob
+        # bytes move (same streamed-scan discipline as
+        # _touched_base_blobs; n_hint bounds the stack's row count)
+        blob_src = blob_src.join(
+            F.broadcast(stack.select("chunk_hash").distinct()),
+            "chunk_hash",
+            "left_semi",
+        )
+    else:
+        # shuffle_hash: the decompressed-broadcast guard — never let
+        # the planner broadcast the blob side
+        blob_src = blob_src.hint("shuffle_hash")
+    blobbed = stack.join(blob_src, "chunk_hash", "inner")
     return blobbed.groupBy("ckey").agg(
         F.collect_list(
             F.struct(
@@ -978,7 +1079,8 @@ def _reconcile_var(
         .join(multi, "ckey", "left_semi")
     )
     chunks = conn.chunks_df()
-    if chunks is None or contested.limit(1).count() == 0:
+    n_contested = 0 if chunks is None else contested.count()
+    if chunks is None or n_contested == 0:
         for g in masked_gens:
             conn.fs.rmtree(
                 os.path.join(conn.index_path(vid, var, g), "_MASKED")
@@ -986,13 +1088,20 @@ def _reconcile_var(
         return
 
     sub = stack.join(contested, "ckey", "left_semi")
-    blobbed = sub.join(
-        chunks.select(
-            F.col("hash").alias("chunk_hash"), "blob"
-        ).hint("shuffle_hash"),
-        "chunk_hash",
-        "inner",
-    )
+    blob_src = chunks.select(F.col("hash").alias("chunk_hash"), "blob")
+    if n_contested * len(plan) * 1024 <= _bcast_budget(conn):
+        # stream the chunk table, move only the contested layers' blobs
+        # (same discipline as _touched_base_blobs; the full count above
+        # replaced a limit(1) probe — same job class, and it sizes this
+        # choice)
+        blob_src = blob_src.join(
+            F.broadcast(sub.select("chunk_hash").distinct()),
+            "chunk_hash",
+            "left_semi",
+        )
+    else:
+        blob_src = blob_src.hint("shuffle_hash")
+    blobbed = sub.join(blob_src, "chunk_hash", "inner")
     grouped = blobbed.groupBy("ckey", *ccols).agg(
         F.collect_list(
             F.struct(
