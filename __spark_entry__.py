@@ -31,7 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q34/q35/q81); and queries.py's footer file listing became recursive
 # with a loud fragmentless failure (q84/q94 are table_rows
 # value-bearing; q90 reads footer min/max; q15's gather gate reads
-# table_rows).
+# table_rows).  The late-r11 review passes stayed inside the same
+# blast radius: the RMW streamed-scan attach + epoch-guarded catalog
+# caches + request-pruned cells_df all route through the array
+# queries' fixture build and reads (q34/q35/q81, already in this
+# head), and the footer helpers through q84/q94/q90/q15 (ditto).
 _CHANGED_R11 = [
     "q40_ann_lsh_top1",
     "q34_array_slice",
