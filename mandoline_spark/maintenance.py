@@ -89,6 +89,30 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             if d.startswith("v="):
                 vid = int(d[2:])
                 if vid not in committed:
+                    # Strong per-key probe of the version mirror before
+                    # deleting: on a legacy list-after-write-lagged
+                    # store the versions LISTING can miss a freshly
+                    # committed version while its mirror object
+                    # answers GETs — treating it as uncommitted here
+                    # would rmtree a committed version's entire index,
+                    # and the later phases (superseded-gen retirement,
+                    # unreferenced-chunk GC) would treat its rows as
+                    # dead.  A hidden committed version means the
+                    # whole run's view is stale: abort loudly (r12,
+                    # GC-on-lagged-listings hardening).
+                    if conn.fs.exists(
+                        os.path.join(
+                            conn.path, "versions", f"{vid}.json"
+                        )
+                    ):
+                        raise RuntimeError(
+                            f"vacuum: version {vid} is committed (its "
+                            "mirror answers GETs) but missing from the "
+                            "versions listing — list-after-write lag. "
+                            "Retry after the store's listing catches "
+                            "up; collecting now would delete live "
+                            "index/chunk data."
+                        )
                     conn.fs.rmtree(os.path.join(index_root, d))
                     stats["uncommitted_versions_removed"] += 1
 
@@ -134,6 +158,18 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
                         stats["stale_claims_removed"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
+    # Completeness guard first: a lag-hidden index generation's hashes
+    # would be missing from `refs` below and its (live, committed)
+    # blobs deleted as unreferenced.  ``_CLAIM`` markers answer strong
+    # per-key GETs even on lagged stores, so counting claims against
+    # the listing per (version, var) turns that silent data loss into
+    # a loud retry-after-drain error (r12; same check the commit-time
+    # reconcile runs).
+    from .writer import check_generations_complete
+
+    for vid, token in conn.versions():
+        for var in token.get("variables", {}):
+            check_generations_complete(conn, vid, var)
     conn.invalidate_cache()
     chunks = conn.chunks_df()
     if chunks is None:

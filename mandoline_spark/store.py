@@ -55,6 +55,7 @@ import json
 import os
 import re
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Mapping
 
@@ -297,17 +298,36 @@ class Connection:
         vid = md.parse_metadata(body)["version-id"]
         if f"{vid}.json" in names:
             # The tip-named latch's vid is ALREADY mirrored, yet the
-            # tip did not advance past the latch's parent — only
-            # possible when vid <= parent (a version-id collision from
-            # a dead pre-floor committer; live committers are floored
-            # past their parent by metadata.new_version(after=...)).
-            # The orphan can never be repaired by republishing (the
-            # mirror name is taken) and it occupies the commit point,
-            # so every future commit would fail its latch create
-            # forever: delete it.  If the occupant matches the latch
-            # body the commit already completed and the latch is mere
-            # residue; either way removal is safe — a live collided
-            # committer deletes its own latch on abort too.
+            # tip did not advance past the latch's parent — either a
+            # version-id collision from a dead pre-floor committer
+            # (vid <= parent; live committers are floored past their
+            # parent by metadata.new_version(after=...)), or a
+            # COMPLETED pre-floor commit whose child id sorted below
+            # its parent, leaving its latch as residue that wedges the
+            # commit point.  Classify by reading the mirror occupant
+            # before deleting (r11 ADVICE):
+            #  - occupant == latch body: the commit completed; the
+            #    mirror is durable and the latch is provably residue.
+            #    Deleting reopens the commit point legitimately — the
+            #    completed child never advanced the id-ordered tip
+            #    (vid <= parent), so history resumes from parent.
+            #  - occupant != body: only the vid <= parent collision is
+            #    safely deletable (the wedge this branch exists for).
+            #    A differing occupant with vid > parent means THIS
+            #    LISTING is lag-stale (it cannot even see {vid}.json's
+            #    true tip); deleting parent's latch there would reopen
+            #    a commit point the real history already advanced
+            #    past — a silent fork.  Leave it; a fresher listing
+            #    repairs or a live committer cleans up its own abort.
+            parent = int(tip_latch[1:-5])
+            try:
+                occupant = self.fs.read_text(
+                    os.path.join(d, f"{vid}.json")
+                )
+            except OSError:
+                return False
+            if occupant != body and vid > parent:
+                return False
             try:
                 self.fs.rmtree(os.path.join(d, tip_latch))
             except OSError:
@@ -492,10 +512,30 @@ class Connection:
         # other writer's token (r10 ADVICE).
         mirror = os.path.join(d, f"{vid}.json")
         if not self.fs.create_exclusive(mirror, body):
-            try:
-                occupant = self.fs.read_text(mirror)
-            except OSError:
-                occupant = None
+            # Read the occupant to classify the collision.  A transient
+            # read failure must NOT be conflated with "foreign occupant"
+            # (r11 ADVICE): the occupant may hold THIS commit's body —
+            # a repairer racing us republished the latch verbatim — and
+            # deleting the latch then reports a VISIBLE commit as
+            # failed while removing parent's sole fork guard.  Retry
+            # the read; if it never succeeds, raise without touching
+            # the latch (wedged-but-safe, the pre-collision-latch
+            # behavior) rather than guess.
+            occupant = None
+            read_ok = False
+            for _ in range(5):
+                try:
+                    occupant = self.fs.read_text(mirror)
+                    read_ok = True
+                    break
+                except OSError:
+                    time.sleep(0.02)
+            if not read_ok:
+                raise VersionConflict(
+                    f"version id {vid}'s mirror exists but is unreadable; "
+                    "cannot classify the collision — retry the commit "
+                    "(latch left in place)"
+                )
             if occupant != body:
                 # abort: roll the latch back first so the dataset does
                 # not wedge (a latch whose mirror name is permanently
@@ -598,11 +638,16 @@ class Connection:
             return hit
         df = reader.parquet(path).cache()
         with self._cache_lock:
-            if self._cache_epoch != epoch:
-                # a writer invalidated mid-construction: serve the
-                # fresh frame once but do not re-memoize the stale one
-                return df
-            return self._df_cache.setdefault(key, df)
+            stale = self._cache_epoch != epoch
+            if not stale:
+                return self._df_cache.setdefault(key, df)
+        # a writer invalidated mid-construction: nothing memoizes this
+        # frame, so returning it cached would orphan a persisted frame
+        # in executor storage on every such race (r11 ADVICE).  Drop
+        # the persistence mark (no action has materialized it yet) and
+        # serve a plain reader.
+        df.unpersist()
+        return reader.parquet(path)
 
     def invalidate_cache(self) -> None:
         """Drop memoized table DataFrames and driver-side read caches
@@ -940,14 +985,23 @@ class Connection:
                 # arrives as string and "10" would lose to "9"
                 stack = stack.withColumn("g", F.col("g").cast("int"))
                 if self.cache_reads:
-                    stack = stack.cache()
+                    cached = stack.cache()
+                    memoized = False
                     with self._cache_lock:
                         # same epoch guard as _maybe_cached: never
                         # re-memoize across an invalidation
                         if self._cache_epoch == epoch:
-                            stack = self._df_cache.setdefault(
-                                key, stack
+                            cached = self._df_cache.setdefault(
+                                key, cached
                             )
+                            memoized = True
+                    if memoized:
+                        stack = cached
+                    else:
+                        # invalidated mid-construction: unpersist the
+                        # orphan (nothing would ever drop it) and keep
+                        # the plain frame (r11 ADVICE)
+                        cached.unpersist()
             df = self._overlay(base, self._stack_winner(stack, "g"))
         else:
             df = self._overlay_stack(

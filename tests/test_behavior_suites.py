@@ -616,3 +616,65 @@ def test_child_version_inherits_chunk_dimensions(store):
                 },
             }
         )
+
+
+# -- maintenance (vacuum + compact_index) across the backend matrix -----------
+# (r11 verdict stretch #8: GC and index compaction run per-backend —
+# POSIX, in-memory, Hadoop client, and object-store semantics — not
+# just the LocalFS conftest store test_maintenance.py uses.  The
+# lagged-listing GC hazards have their own loud-abort pins in
+# test_maintenance.py; these rows run the clean maintenance flow.)
+
+
+def test_maintenance_flow(store):
+    """Write two versions + a failed ingest + a stale claim + a delta
+    chain; vacuum must collect exactly the garbage, compact_index must
+    collapse the chain, and every committed read must survive both."""
+    from mandoline_spark.maintenance import compact_index, vacuum
+    from mandoline_spark.writer import claim_index_gen
+
+    spec = {
+        "dimensions": {"x": 8},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    full = sl.mk_slice((0,), (8,))
+    conn = store.create_dataset("ds")
+
+    t1 = conn.add_version(spec)
+    writer.write_variable(conn, t1, "v", [same_slab("int", full, 1)])
+    v1 = conn.finish_version(t1)
+
+    # version 2: a full base plus a 4-delta chain over one chunk
+    t2 = conn.add_version(spec)
+    writer.write_variable(conn, t2, "v", [same_slab("int", full, 2)])
+    for k in range(4):
+        writer.write_variable(
+            conn, t2, "v",
+            [same_slab("int", sl.mk_slice((0,), (4,)), 10 + k)],
+            index_mode="delta",
+        )
+    v2 = conn.finish_version(t2)
+
+    # garbage: an uncommitted ingest and a crashed writer's claim husk
+    t3 = conn.add_version(spec)
+    writer.write_variable(conn, t3, "v", [same_slab("int", full, 9)])
+    claim_index_gen(conn, v1, "v")
+
+    stats = vacuum(conn)
+    assert stats["uncommitted_versions_removed"] == 1
+    assert stats["stale_claims_removed"] == 1
+    assert stats["chunks_removed"] >= 1
+
+    compact_index(conn, v2, "v")
+    stats2 = vacuum(conn)
+    assert stats2["uncommitted_versions_removed"] == 0
+
+    got1 = reader.get_slice(conn, reader.on_version(conn, v1), "v", full)
+    np.testing.assert_array_equal(got1.data, np.full(8, 1, np.int32))
+    got2 = reader.get_slice(conn, reader.on_version(conn, v2), "v", full)
+    oracle = np.full(8, 2, np.int32)
+    oracle[:4] = 13
+    np.testing.assert_array_equal(got2.data, oracle)

@@ -258,6 +258,10 @@ def test_compaction_refuses_unreconciled_masks(spark, tmp_path):
     assert writer.reconcile_version(conn, tok) == ["v"]
     _drain(conn)
     writer.materialize_full_index(conn, vid, "v")  # now fine
+    # drain before committing: the compacted generation is lag-hidden
+    # and the commit-time completeness check (r12) refuses to commit
+    # over an unlistable claimed generation
+    _drain(conn)
     conn.finish_version(tok)
     _drain(conn)
     got = reader.get_slice(
@@ -380,3 +384,158 @@ def test_apply_layers_random_stacks_match_numpy(case):
                 s0, s1, e0, e1 = wb[b : b + 4]
                 oracle[s0:e0, s1:e1] = a[s0:e0, s1:e1]
     np.testing.assert_array_equal(got.data, oracle)
+
+
+# -- commit-time completeness check (r11 verdict #4) ---------------------------
+
+
+def test_hidden_generation_aborts_commit_loudly(spark, tmp_path):
+    """The reconcile visibility caveat, CLOSED: a committed-but-
+    lag-hidden generation makes finish_version abort with a loud
+    ConcurrentWriteError instead of letting the reconciling generation
+    silently shadow the hidden writer's cells.  After the listing
+    drains, the same commit succeeds and reads are cell-correct."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=10_000)
+    vid = tok["version-id"]
+
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    # writer B runs concurrently (A's generation still lag-hidden) and
+    # records masks; B's generation is ALSO hidden at this point
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 3), (4, 4)), 9)],
+        index_mode="delta",
+    )
+    # NO drain: the listing still hides both generations' directories,
+    # while their _CLAIM markers answer strong per-key GETs.  Without
+    # the check, reconcile would see an empty/partial stack and the
+    # commit would bake the hidden writer's cells out.
+    with pytest.raises(
+        writer.ConcurrentWriteError, match="list-after-write lag"
+    ):
+        conn.finish_version(tok)
+    # the version is still uncommitted (the abort happened before the
+    # latch) — retry after the lag drains, as the error instructs
+    assert conn.last_version() is None
+    _drain(conn)
+    conn.finish_version(tok)
+    _drain(conn)
+    got = reader.get_slice(
+        conn, reader.on_last_version(conn), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    oracle = np.full((4, 8), -1, dtype=np.int16)
+    oracle[:, 1] = 7
+    oracle[:, 3] = 9
+    np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_inflight_claim_aborts_commit_loudly(spark, tmp_path):
+    """A claimed-but-unwritten generation (writer in flight or dead)
+    blocks the commit with release_claim guidance; releasing the husk
+    unblocks it."""
+    conn, tok = _one_chunk_conn(spark, tmp_path, lag=0)
+    vid = tok["version-id"]
+    writer.write_variable(
+        conn, tok, "v",
+        [sb.empty("short", sl.mk_slice((0, 1), (4, 2)), 7)],
+        index_mode="delta",
+    )
+    # a shard writer claims g=1 and "dies" before its parquet append
+    gen_path, gen = writer.claim_index_gen(conn, vid, "v")
+    assert gen == 1
+    with pytest.raises(
+        writer.ConcurrentWriteError, match="release_claim"
+    ):
+        conn.finish_version(tok)
+    assert conn.last_version() is None
+    writer.release_claim(conn, vid, "v", gen)
+    vfin = conn.finish_version(tok)
+    got = reader.get_slice(
+        conn, reader.on_version(conn, vfin), "v",
+        sl.mk_slice((0, 0), (4, 8)),
+    )
+    oracle = np.full((4, 8), -1, dtype=np.int16)
+    oracle[:, 1] = 7
+    np.testing.assert_array_equal(got.data, oracle)
+
+
+# -- property: K writers x random stripes x random interleavings --------------
+# (r11 verdict stretch #7: the layer-fold property generalized END-TO-END
+# through claim/commit/reconcile, oracle = the numpy mosaic in global
+# write order)
+
+
+@st.composite
+def _writer_scenarios(draw):
+    """2-4 writers, each a random (possibly chunk-straddling,
+    non-aligned) box over a 6x6 extent with 3x3 chunks, plus a random
+    interleaving pattern: a drain between two writers makes the later
+    one SEE the earlier generation (a clean sequential delta); no
+    drain leaves it hidden (detected concurrency -> masks recorded)."""
+    n = draw(st.integers(2, 4))
+    boxes = []
+    for _ in range(n):
+        x0 = draw(st.integers(0, 5))
+        x1 = draw(st.integers(x0 + 1, 6))
+        y0 = draw(st.integers(0, 5))
+        y1 = draw(st.integers(y0 + 1, 6))
+        boxes.append((x0, y0, x1, y1))
+    drains = [draw(st.booleans()) for _ in range(n - 1)]
+    return boxes, drains
+
+
+@given(_writer_scenarios())
+@settings(max_examples=8, deadline=None)
+def test_multiwriter_reconcile_matches_mosaic_oracle(spark, scenario):
+    """End-to-end claim/commit/reconcile under randomized lag
+    interleavings: the committed version's full read equals the numpy
+    mosaic of the writers' boxes applied in global write order —
+    regardless of which writers saw each other (masked merge) and
+    which wrote sequentially (plain delta overlay)."""
+    import tempfile
+    import shutil
+
+    boxes, drains = scenario
+    root = tempfile.mkdtemp(prefix="mw_reconcile_")
+    try:
+        store = Store(spark, root, fs=ObjectStoreFS(lag=10_000))
+        conn = store.create_dataset("ds")
+        tok = conn.add_version(
+            {
+                "dimensions": {"x": 6, "y": 6},
+                "chunk-dimensions": {"x": 3, "y": 3},
+                "variables": {
+                    "v": {
+                        "type": "short",
+                        "shape": ["x", "y"],
+                        "fill-value": -1,
+                    }
+                },
+            }
+        )
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            writer.write_variable(
+                conn, tok, "v",
+                [sb.empty("short", sl.mk_slice((x0, y0), (x1, y1)), 10 + i)],
+                index_mode="delta",
+            )
+            if i < len(drains) and drains[i]:
+                _drain(conn)
+        _drain(conn)  # the all-writers-complete commit barrier
+        conn.finish_version(tok)
+        _drain(conn)
+        got = reader.get_slice(
+            conn, reader.on_last_version(conn), "v",
+            sl.mk_slice((0, 0), (6, 6)),
+        )
+        oracle = np.full((6, 6), -1, dtype=np.int16)
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            oracle[x0:x1, y0:y1] = 10 + i
+        np.testing.assert_array_equal(got.data, oracle)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

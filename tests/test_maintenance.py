@@ -291,3 +291,83 @@ def test_compact_every_session_conf_default(store, spark):
             assert overlay_depth(conn, t["version-id"], "foo") < 4
     finally:
         spark.conf.unset("spark.mandoline.compactEvery")
+
+
+# -- GC on lagged listings: loud aborts, never silent deletion (r12) ----------
+
+
+def _lagged_conn(spark, tmp_path):
+    from mandoline_spark.store import Store
+    from tests.faults import ObjectStoreFS
+
+    store = Store(spark, str(tmp_path), fs=ObjectStoreFS(lag=10_000))
+    return store.create_dataset("ds")
+
+
+def _drain(conn, n=10_100):
+    import os
+
+    d = os.path.join(conn.path, "versions")
+    for _ in range(n):
+        conn.fs.listdir(d)
+
+
+def test_vacuum_aborts_on_lag_hidden_version(spark, tmp_path):
+    """A committed version whose mirror is lag-hidden from the
+    versions listing must make vacuum fail loud: its index tree looks
+    uncommitted and its chunks unreferenced — deleting would destroy
+    committed data.  After the listing drains, vacuum proceeds."""
+    import pytest
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    _drain(conn)
+    v1 = conn.finish_version(t1)
+    # NO drain: the version mirror answers GETs but the listing hides
+    # it, so vacuum's committed-set is stale
+    with pytest.raises(RuntimeError, match="list-after-write lag"):
+        vacuum(conn)
+    _drain(conn)
+    stats = vacuum(conn)
+    assert stats["uncommitted_versions_removed"] == 0
+    got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
+    np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
+
+
+def test_vacuum_aborts_on_lag_hidden_generation(spark, tmp_path):
+    """A committed version with a lag-hidden index GENERATION (claimed
+    + parquet, missing from the listing) must make vacuum fail loud:
+    the hidden generation's hashes would be missing from the ref set
+    and its live blobs collected.  After the drain, vacuum keeps
+    them."""
+    import pytest
+
+    from mandoline_spark.writer import ConcurrentWriteError
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    writer.write_variable(
+        conn, t1, "foo",
+        [sb.empty("int", sl.mk_slice((0, 0), (4, 4)), 5)],
+        index_mode="delta",
+    )
+    _drain(conn)
+    v1 = conn.finish_version(t1)
+    _drain(conn)
+    # maintenance on committed versions: compact_index collapses the
+    # delta chain into a new full generation whose directory is
+    # lag-hidden at this point
+    from mandoline_spark.maintenance import compact_index
+
+    stats0 = compact_index(conn, v1, "foo")
+    assert stats0["compacted"] == 1
+    with pytest.raises(ConcurrentWriteError, match="list-after-write"):
+        vacuum(conn)
+    _drain(conn)
+    vacuum(conn)
+    got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
+    oracle = np.ones((8, 8), np.int32)
+    oracle[:4, :4] = 5
+    np.testing.assert_array_equal(got.data, oracle)

@@ -554,7 +554,11 @@ def test_failed_ingest_invisible_under_object_store(spark, tmp_path):
     )
     assert conn.version_ids() == []  # nothing committed, nothing listed
 
-    # second ingest commits; reads resolve only its version
+    # second ingest commits; reads resolve only its version.  The
+    # commit needs its own generation LISTABLE first (r12: the
+    # completeness check fails loud on a lag-hidden generation rather
+    # than publish a version whose reads return fill until the
+    # listing drains), so drain the injected lag before finishing.
     t2 = conn.add_version(_tiny_spec())
     writer.write_variable(
         conn,
@@ -562,6 +566,8 @@ def test_failed_ingest_invisible_under_object_store(spark, tmp_path):
         "v",
         [sb.Slab(np.full(4, 9, np.int32), sl.mk_slice((0,), (4,)))],
     )
+    for _ in range(4):
+        conn.version_ids()  # drain the listing lag before commit
     v2 = conn.finish_version(t2)
     for _ in range(4):
         conn.version_ids()  # drain the listing lag
