@@ -467,7 +467,9 @@ def main() -> None:
     # files).  The headline now times every query against lineitem/
     # orders split into 16 part files (other tables symlinked); the
     # old single-file numbers ride as side entries for q91/q104, the
-    # two queries whose weak marks the artifact created.
+    # two queries whose weak marks the artifact created.  events joins
+    # the split set in r12: the q90 decomposition (BASELINE.md) showed
+    # the same one-row-group serialization on the events scan.
     import shutil as _sh
     import tempfile as _tf
 
@@ -480,7 +482,7 @@ def main() -> None:
     ).split():
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(mf_dir, f"{t}.parquet")
-        if t not in ("lineitem", "orders"):
+        if t not in ("lineitem", "orders", "events"):
             os.symlink(src, dst)
             continue
         os.makedirs(dst)
@@ -681,10 +683,18 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    t0 = time.perf_counter()
-    with _TPE(8) as pool:
-        list(pool.map(_one_query, sorted(QUERIES)))
-    concurrent8_sec = round(time.perf_counter() - t0, 4)
+    # best-of-2 (r12): the one-shot throughput number carried 2-3x
+    # window noise (measured 7.5-18.8 s on identical code within one
+    # session) — the same GC/steal sensitivity the sequential loop's
+    # best-of-3 exists for, amplified by 8-way concurrency.  Both runs
+    # ride the detail record so drift stays visible as measurement.
+    conc8_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with _TPE(8) as pool:
+            list(pool.map(_one_query, sorted(QUERIES)))
+        conc8_runs.append(round(time.perf_counter() - t0, 4))
+    concurrent8_sec = min(conc8_runs)
 
     # AQE A/B (VERDICT r7 #5): the bench's AQE-off override for the
     # query-surface loop gets a committed, same-session measurement —
@@ -755,11 +765,12 @@ def main() -> None:
         "total_floor_adjusted": total_floor_adjusted,
         "build_sec_total": build_sec,
         "concurrent8_wall_sec": concurrent8_sec,
+        "concurrent8_runs": conc8_runs,
         "arr_scan_meta": arr_scan_meta,
         "aqe_ab": aqe_ab,
         "box_health": box_health,
-        "fixture": "mf16 (lineitem+orders split into 16 part files; "
-                   "other tables symlinked to the sf dir)",
+        "fixture": "mf16 (lineitem+orders+events split into 16 part "
+                   "files; other tables symlinked to the sf dir)",
         "duckdb_same_session": (
             {
                 "total": duck["total"],
