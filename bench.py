@@ -152,6 +152,43 @@ def box_health_gate(spark) -> dict:
     return health
 
 
+SPLIT_TABLES = ("lineitem", "orders", "events")
+
+
+def make_mf_fixture(sf_dir: str, n_files: int = 16) -> str:
+    """Build the canonical production-shaped bench fixture: the fact
+    tables (SPLIT_TABLES) split into ``n_files`` part files, every
+    other table symlinked.  Shared with tools/probe_fa_tail.py so the
+    probe and the bench always measure the SAME layout (r12 review:
+    a copy-pasted builder had already drifted on the events split).
+    Returns the fixture directory (caller removes it)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    mf_dir = tempfile.mkdtemp(prefix="bench_mf_")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(mf_dir, f"{t}.parquet")
+        if t not in SPLIT_TABLES:
+            os.symlink(src, dst)
+            continue
+        os.makedirs(dst)
+        tbl = pq.read_table(src)
+        per = (tbl.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            frag = tbl.slice(i * per, per)
+            if frag.num_rows == 0:
+                break
+            pq.write_table(
+                frag, os.path.join(dst, f"part-{i:05d}.parquet")
+            )
+    return mf_dir
+
+
 def bench_array(spark) -> dict[str, float]:
     """Array-store workload at the reference's OWN perf shape
     (resources/performance.json: 400x600x900 short, 30^3 chunks —
@@ -470,31 +507,15 @@ def main() -> None:
     # two queries whose weak marks the artifact created.  events joins
     # the split set in r12: the q90 decomposition (BASELINE.md) showed
     # the same one-row-group serialization on the events scan.
+    import atexit as _atexit
     import shutil as _sh
-    import tempfile as _tf
 
-    import pyarrow.parquet as _pq
-
-    mf_dir = _tf.mkdtemp(prefix="bench_mf_")
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        src = os.path.join(sf_dir, f"{t}.parquet")
-        dst = os.path.join(mf_dir, f"{t}.parquet")
-        if t not in ("lineitem", "orders", "events"):
-            os.symlink(src, dst)
-            continue
-        os.makedirs(dst)
-        tbl = _pq.read_table(src)
-        per = (tbl.num_rows + 15) // 16
-        for i in range(16):
-            frag = tbl.slice(i * per, per)
-            if frag.num_rows == 0:
-                break
-            _pq.write_table(
-                frag, os.path.join(dst, f"part-{i:05d}.parquet")
-            )
+    mf_dir = make_mf_fixture(sf_dir)
+    # cleanup on EVERY exit path — including the box-health gate's
+    # refusal (SystemExit) and mid-bench exceptions; the explicit
+    # rmtree after the DuckDB pair stays for the common path (r12
+    # review: the non-finally rmtree leaked the fixture on aborts)
+    _atexit.register(_sh.rmtree, mf_dir, ignore_errors=True)
     def run(df) -> None:
         # Execute the physical plan fully and count rows JVM-side —
         # the spark-sql-perf measurement kernel

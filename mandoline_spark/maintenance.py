@@ -80,7 +80,45 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         "stale_claims_removed": 0,
         "uncommitted_versions_removed": 0,
     }
-    committed = conn.version_ids()
+    from .store import _has_parquet
+    from .writer import check_generations_complete
+
+    # -- pre-flight: fail loud BEFORE any destructive phase -------------------
+    # (r12 review: the guards originally ran after phases (b)/(c)/(d),
+    # so a stale listing could delete the very evidence — claims,
+    # index trees — the guards needed.)
+    #
+    # (0) Tip-latch probe: the FIRST commit atop the visible tip (in
+    # flight, or committed but fully lag-hidden — mirror, latch and
+    # index tree all unlisted) always owns the durable parent-named
+    # latch n<tip>.json, which answers strong per-key GETs.  Its
+    # existence means this run's whole view of history may be stale —
+    # every later phase (uncommitted-tree deletion, superseded-gen
+    # retirement, unreferenced-chunk GC) would treat the hidden
+    # version's state as garbage.  No false positives from residue:
+    # a COMPLETED visible commit's latch is named after ITS parent,
+    # not after the tip it became.
+    committed = conn.version_ids()  # also runs the listing repairer
+    tip = committed[0] if committed else 0
+    if conn.fs.exists(os.path.join(conn.path, "versions", f"n{tip}.json")):
+        raise RuntimeError(
+            f"vacuum: a commit atop the visible tip {tip} is in flight "
+            "or committed-but-unlisted (its parent-named latch answers "
+            "GETs) — this run's view of history is incomplete.  Retry "
+            "after the commit finishes / the listing catches up; "
+            "collecting now could delete the hidden version's data."
+        )
+    # (1) Per-(version, variable) generation completeness: a lag-hidden
+    # index generation's hashes would be missing from the ref set in
+    # phase (a) and its live blobs deleted as unreferenced; the same
+    # hidden generation must also not be mistaken for a claim husk by
+    # phase (d).  Unwritten (unsealed, parquet-less) claims are NOT an
+    # abort here: on committed versions they are exactly the garbage
+    # phase (d) collects (single-maintainer contract).
+    versions = conn.versions()  # one snapshot, reused by every phase
+    for vid, token in versions:
+        for var in token.get("variables", {}):
+            check_generations_complete(conn, vid, var, allow_unwritten=True)
 
     # -- (c) uncommitted version index trees ---------------------------------
     index_root = os.path.join(conn.path, "index")
@@ -90,16 +128,10 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
                 vid = int(d[2:])
                 if vid not in committed:
                     # Strong per-key probe of the version mirror before
-                    # deleting: on a legacy list-after-write-lagged
-                    # store the versions LISTING can miss a freshly
-                    # committed version while its mirror object
-                    # answers GETs — treating it as uncommitted here
-                    # would rmtree a committed version's entire index,
-                    # and the later phases (superseded-gen retirement,
-                    # unreferenced-chunk GC) would treat its rows as
-                    # dead.  A hidden committed version means the
-                    # whole run's view is stale: abort loudly (r12,
-                    # GC-on-lagged-listings hardening).
+                    # deleting: the versions LISTING can miss a freshly
+                    # committed version while its mirror answers GETs —
+                    # treating it as uncommitted here would rmtree a
+                    # committed version's entire index.
                     if conn.fs.exists(
                         os.path.join(
                             conn.path, "versions", f"{vid}.json"
@@ -121,9 +153,7 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     # same version — deltas after the newest full gen are live (readers
     # overlay them), and every generation of a delta-only version is
     # live (it may be the base for descendants' overlays).
-    from .store import _has_parquet
-
-    for vid, token in conn.versions():
+    for vid, token in versions:
         for var in token.get("variables", {}):
             gens = conn.index_gens(vid, var)
             last_full = None
@@ -144,38 +174,36 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             # -- (d) stale claim-only generations: committed versions
             # accept no further writes (compact_index is the one
             # exception and shares vacuum's single-maintainer
-            # assumption), so a parquet-less g=* dir here is a crashed
-            # writer's abandoned claim, not an in-flight commit.
+            # assumption), so an UNSEALED parquet-less g=* dir here is
+            # a crashed writer's abandoned claim, not an in-flight
+            # commit.  A _SEALED marker proves the parquet append
+            # completed even when its keys are not listable yet — the
+            # pre-flight check above has already aborted on those, and
+            # the seal probe keeps this deletion safe against a
+            # listing that went stale since.
             base = conn.index_path(vid, var)
             if conn.fs.isdir(base):
                 for d in conn.fs.listdir(base):
                     p = os.path.join(base, d)
                     if (
                         d.startswith("g=")
+                        and not conn.fs.exists(
+                            os.path.join(p, "_SEALED")
+                        )
                         and not _has_parquet(conn.fs, p)
                     ):
                         conn.fs.rmtree(p)
                         stats["stale_claims_removed"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
-    # Completeness guard first: a lag-hidden index generation's hashes
-    # would be missing from `refs` below and its (live, committed)
-    # blobs deleted as unreferenced.  ``_CLAIM`` markers answer strong
-    # per-key GETs even on lagged stores, so counting claims against
-    # the listing per (version, var) turns that silent data loss into
-    # a loud retry-after-drain error (r12; same check the commit-time
-    # reconcile runs).
-    from .writer import check_generations_complete
-
-    for vid, token in conn.versions():
-        for var in token.get("variables", {}):
-            check_generations_complete(conn, vid, var)
+    # (completeness was guarded in pre-flight, before anything was
+    # deleted)
     conn.invalidate_cache()
     chunks = conn.chunks_df()
     if chunks is None:
         return stats
     refs = None
-    for vid, token in conn.versions():
+    for vid, token in versions:
         for var in token.get("variables", {}):
             idx = conn.index_df(vid, var)
             if idx is not None:

@@ -298,35 +298,24 @@ class Connection:
         vid = md.parse_metadata(body)["version-id"]
         if f"{vid}.json" in names:
             # The tip-named latch's vid is ALREADY mirrored, yet the
-            # tip did not advance past the latch's parent — either a
+            # tip did not advance past the latch's parent.  Because
+            # {vid}.json is in THIS listing, vid <= max(vids) = the
+            # latch's parent by construction — so this is either a
             # version-id collision from a dead pre-floor committer
-            # (vid <= parent; live committers are floored past their
-            # parent by metadata.new_version(after=...)), or a
-            # COMPLETED pre-floor commit whose child id sorted below
-            # its parent, leaving its latch as residue that wedges the
-            # commit point.  Classify by reading the mirror occupant
-            # before deleting (r11 ADVICE):
-            #  - occupant == latch body: the commit completed; the
-            #    mirror is durable and the latch is provably residue.
-            #    Deleting reopens the commit point legitimately — the
-            #    completed child never advanced the id-ordered tip
-            #    (vid <= parent), so history resumes from parent.
-            #  - occupant != body: only the vid <= parent collision is
-            #    safely deletable (the wedge this branch exists for).
-            #    A differing occupant with vid > parent means THIS
-            #    LISTING is lag-stale (it cannot even see {vid}.json's
-            #    true tip); deleting parent's latch there would reopen
-            #    a commit point the real history already advanced
-            #    past — a silent fork.  Leave it; a fresher listing
-            #    repairs or a live committer cleans up its own abort.
-            parent = int(tip_latch[1:-5])
+            # (live committers are floored past their parent by
+            # metadata.new_version(after=...)), or a COMPLETED
+            # pre-floor commit whose child id sorted below its parent,
+            # leaving its latch as residue that wedges the commit
+            # point.  Both are safely deletable — the occupying child
+            # never advanced the id-ordered tip, so reopening the
+            # commit point just lets history resume from the parent —
+            # but only delete after a SUCCESSFUL occupant read (r11
+            # ADVICE): an unreadable mirror means the collision cannot
+            # be classified at all, and a wedged-but-intact latch is
+            # recoverable where a wrongly deleted one is not.
             try:
-                occupant = self.fs.read_text(
-                    os.path.join(d, f"{vid}.json")
-                )
+                self.fs.read_text(os.path.join(d, f"{vid}.json"))
             except OSError:
-                return False
-            if occupant != body and vid > parent:
                 return False
             try:
                 self.fs.rmtree(os.path.join(d, tip_latch))
@@ -636,18 +625,25 @@ class Connection:
             epoch = self._cache_epoch
         if hit is not None:
             return hit
-        df = reader.parquet(path).cache()
+        # Build the plain frame OUTSIDE the lock (schema inference
+        # lists files), but mark it cached only under the lock and only
+        # if no invalidation landed mid-construction.  Never .cache()
+        # first and unpersist on mismatch: Spark's CacheManager matches
+        # by LOGICAL PLAN, so unpersisting our stale same-plan frame
+        # would also uncache a fresh frame another thread legitimately
+        # memoized for the same path (r12 review) — and never return a
+        # cached-but-unmemoized frame either, which nothing would ever
+        # unpersist (r11 ADVICE).
+        plain = reader.parquet(path)
         with self._cache_lock:
-            stale = self._cache_epoch != epoch
-            if not stale:
-                return self._df_cache.setdefault(key, df)
-        # a writer invalidated mid-construction: nothing memoizes this
-        # frame, so returning it cached would orphan a persisted frame
-        # in executor storage on every such race (r11 ADVICE).  Drop
-        # the persistence mark (no action has materialized it yet) and
-        # serve a plain reader.
-        df.unpersist()
-        return reader.parquet(path)
+            if self._cache_epoch != epoch:
+                return plain
+            hit = self._df_cache.get(key)
+            if hit is not None:
+                return hit
+            df = plain.cache()  # metadata-only persist mark; no I/O
+            self._df_cache[key] = df
+            return df
 
     def invalidate_cache(self) -> None:
         """Drop memoized table DataFrames and driver-side read caches
@@ -985,23 +981,23 @@ class Connection:
                 # arrives as string and "10" would lose to "9"
                 stack = stack.withColumn("g", F.col("g").cast("int"))
                 if self.cache_reads:
-                    cached = stack.cache()
-                    memoized = False
                     with self._cache_lock:
-                        # same epoch guard as _maybe_cached: never
-                        # re-memoize across an invalidation
+                        # same discipline as _maybe_cached: mark cached
+                        # only under the lock, only on an unchanged
+                        # epoch, and never unpersist a stale same-plan
+                        # frame (plan-keyed CacheManager would drop a
+                        # fresh thread's entry too, r12 review); an
+                        # invalidated-mid-construction frame stays
+                        # plain and uncached (r11 ADVICE)
                         if self._cache_epoch == epoch:
-                            cached = self._df_cache.setdefault(
-                                key, cached
+                            hit = self._df_cache.get(key)
+                            stack = (
+                                hit
+                                if hit is not None
+                                else self._df_cache.setdefault(
+                                    key, stack.cache()
+                                )
                             )
-                            memoized = True
-                    if memoized:
-                        stack = cached
-                    else:
-                        # invalidated mid-construction: unpersist the
-                        # orphan (nothing would ever drop it) and keep
-                        # the plain frame (r11 ADVICE)
-                        cached.unpersist()
             df = self._overlay(base, self._stack_winner(stack, "g"))
         else:
             df = self._overlay_stack(

@@ -888,6 +888,13 @@ def _commit_merged(
         # whenever the generation's rows are readable
         conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
     new_index.write.mode("append").parquet(gen_path)
+    # seal AFTER the append commits: a strong per-key marker proving
+    # the generation's parquet is complete.  On list-after-write-lagged
+    # stores this is what lets the completeness check (and vacuum's
+    # husk collection) distinguish "writer died mid-append" from
+    # "parquet committed but its keys are not listable yet" without
+    # trusting a listing (r12 review).
+    conn.fs.write_text(os.path.join(gen_path, "_SEALED"), "")
     return gen_path
 
 
@@ -957,6 +964,9 @@ def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
             f"with writer.release_claim(conn, {vid}, {var!r}, <gen>))."
         )
     resolved.write.mode("append").parquet(gen_path)
+    # same post-append seal as _commit_merged (strong completeness
+    # evidence for lagged-listing stores)
+    conn.fs.write_text(os.path.join(gen_path, "_SEALED"), "")
     conn.invalidate_cache()
 
 
@@ -1178,7 +1188,9 @@ def _reconcile_var(
         )
 
 
-def check_generations_complete(conn: Connection, vid: int, var: str) -> None:
+def check_generations_complete(
+    conn: Connection, vid: int, var: str, allow_unwritten: bool = False
+) -> None:
     """Positive completeness check for the commit-time reconcile (r11
     verdict #4): every index generation CLAIMED for (vid, var) must be
     visible — listed by ``index_gens`` with committed parquet — before
@@ -1192,15 +1204,22 @@ def check_generations_complete(conn: Connection, vid: int, var: str) -> None:
     (claim_index_gen walks max+1 upward on conditional-create
     failures), so the probe walks until a run of misses past the
     visible maximum; a hole can only come from an operator
-    release_claim, covered by the 3-miss slack.
+    release_claim, covered by the 3-miss slack.  The ``_SEALED``
+    marker (written by strong per-key PUT after every index parquet
+    append commits) classifies an unlisted claim even when the
+    generation's parquet KEYS are themselves lag-hidden — a listing
+    probe alone could not tell that apart from a dead writer's husk.
 
     Raises :class:`ConcurrentWriteError` when
-      - a claimed generation has committed parquet but is absent from
-        the listing: list-after-write lag — retry the commit after the
-        listing drains; or
-      - a claimed generation has NO parquet: its writer is still in
-        flight (commit barrier violated) or died mid-write — wait, or
-        ``release_claim`` after affirming the writer is dead.
+      - a claimed generation is sealed (or shows committed parquet)
+        but is absent from the listing: list-after-write lag — retry
+        after the listing drains; or
+      - a claimed generation is unsealed with no parquet: its writer
+        is still in flight (commit barrier violated) or died
+        mid-write — wait, or ``release_claim`` after affirming the
+        writer is dead.  ``allow_unwritten=True`` (vacuum: husks on
+        committed versions are collectible garbage under its
+        single-maintainer contract) skips this second class.
     """
     from .store import _has_parquet
 
@@ -1218,7 +1237,9 @@ def check_generations_complete(conn: Connection, vid: int, var: str) -> None:
         if conn.fs.exists(os.path.join(gen_path, "_CLAIM")):
             misses = 0
             if g not in vis:
-                if _has_parquet(conn.fs, gen_path):
+                if conn.fs.exists(
+                    os.path.join(gen_path, "_SEALED")
+                ) or _has_parquet(conn.fs, gen_path):
                     lag_hidden.append(g)
                 else:
                     unwritten.append(g)
@@ -1227,6 +1248,8 @@ def check_generations_complete(conn: Connection, vid: int, var: str) -> None:
             if g > limit and misses >= 3:
                 break
         g += 1
+    if allow_unwritten:
+        unwritten = []
     if lag_hidden:
         raise ConcurrentWriteError(
             f"v={vid} var={var}: claimed generation(s) {lag_hidden} "

@@ -325,8 +325,12 @@ def test_vacuum_aborts_on_lag_hidden_version(spark, tmp_path):
     _drain(conn)
     v1 = conn.finish_version(t1)
     # NO drain: the version mirror answers GETs but the listing hides
-    # it, so vacuum's committed-set is stale
-    with pytest.raises(RuntimeError, match="list-after-write lag"):
+    # it, so vacuum's committed-set is stale.  The tip-latch probe
+    # catches this FIRST (the commit's parent-named latch answers
+    # strong GETs even when the mirror, latch and index tree are all
+    # unlisted — the fully-hidden case the per-directory mirror probe
+    # alone cannot see).
+    with pytest.raises(RuntimeError, match="listing"):
         vacuum(conn)
     _drain(conn)
     stats = vacuum(conn)
@@ -371,3 +375,33 @@ def test_vacuum_aborts_on_lag_hidden_generation(spark, tmp_path):
     oracle = np.ones((8, 8), np.int32)
     oracle[:4, :4] = 5
     np.testing.assert_array_equal(got.data, oracle)
+
+
+def test_vacuum_keeps_sealed_generation_with_unlisted_parquet(spark, tmp_path):
+    """A _SEALED generation whose parquet keys are not listable is a
+    COMMITTED generation behind listing lag, not a claim husk: vacuum
+    must abort loudly instead of collecting it (the seal is the strong
+    per-key evidence that distinguishes the two — a listing probe
+    alone cannot)."""
+    import os
+
+    import pytest
+
+    from mandoline_spark.writer import ConcurrentWriteError
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    _drain(conn)
+    v1 = conn.finish_version(t1)
+    _drain(conn)
+    # simulate a committed generation whose parquet keys lag out of
+    # EVERY listing: claim + seal present (strong keys), no listable
+    # parquet at all
+    gp = conn.index_path(v1, "foo", 1)
+    conn.fs.makedirs(gp)
+    assert conn.fs.create_exclusive(os.path.join(gp, "_CLAIM"), "")
+    conn.fs.write_text(os.path.join(gp, "_SEALED"), "")
+    with pytest.raises(ConcurrentWriteError, match="list-after-write"):
+        vacuum(conn)
+    assert conn.fs.isdir(gp)  # nothing was deleted

@@ -28,9 +28,7 @@ def run(sf_dir: str, canonical: bool | None = None) -> dict:
     con.execute(f"SET threads={os.cpu_count()}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p) and not os.path.exists(
-            os.path.join(p, "_metadata")
-        ):
+        if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"

@@ -43,31 +43,16 @@ def main() -> None:
     def run(df) -> None:
         df.select("*")._jdf.queryExecution().toRdd().count()
 
-    # mf16 fixture, same construction as bench.py
+    # mf16 fixture — the bench's OWN builder, so the probe and the
+    # headline always measure the same layout
     import shutil
-    import tempfile
 
-    import pyarrow.parquet as pq
+    from bench import make_mf_fixture
 
-    mf_dir = tempfile.mkdtemp(prefix="fa_tail_mf_")
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        src = os.path.join(sf_dir, f"{t}.parquet")
-        dst = os.path.join(mf_dir, f"{t}.parquet")
-        if t not in ("lineitem", "orders"):
-            os.symlink(src, dst)
-            continue
-        os.makedirs(dst)
-        tbl = pq.read_table(src)
-        per = (tbl.num_rows + 15) // 16
-        for i in range(16):
-            frag = tbl.slice(i * per, per)
-            if frag.num_rows == 0:
-                break
-            pq.write_table(frag, os.path.join(dst, f"part-{i:05d}.parquet"))
+    mf_dir = make_mf_fixture(sf_dir)
+    import atexit
 
+    atexit.register(shutil.rmtree, mf_dir, ignore_errors=True)
     # warmup: codegen + footers on both layouts
     for d in (sf_dir, mf_dir):
         for name in QUERIES_UNDER_TEST:
@@ -147,7 +132,6 @@ def main() -> None:
             )
         con.close()
 
-    shutil.rmtree(mf_dir, ignore_errors=True)
     print(json.dumps(out, indent=1))
 
 
