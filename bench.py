@@ -161,12 +161,17 @@ def make_mf_fixture(sf_dir: str, n_files: int = 16) -> str:
     other table symlinked.  Shared with tools/probe_fa_tail.py so the
     probe and the bench always measure the SAME layout (r12 review:
     a copy-pasted builder had already drifted on the events split).
-    Returns the fixture directory (caller removes it)."""
+    Registers its own atexit cleanup right after mkdtemp, so the dir
+    is collected on EVERY exit path — including a raise mid-build
+    (missing table) and the box-health gate's SystemExit refusal."""
+    import atexit
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
 
     mf_dir = tempfile.mkdtemp(prefix="bench_mf_")
+    atexit.register(shutil.rmtree, mf_dir, ignore_errors=True)
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -507,15 +512,13 @@ def main() -> None:
     # two queries whose weak marks the artifact created.  events joins
     # the split set in r12: the q90 decomposition (BASELINE.md) showed
     # the same one-row-group serialization on the events scan.
-    import atexit as _atexit
     import shutil as _sh
 
+    # make_mf_fixture registers its own atexit cleanup, covering the
+    # box-health gate's refusal (SystemExit) and mid-bench exceptions;
+    # the explicit rmtree after the DuckDB pair frees the disk early
+    # on the common path
     mf_dir = make_mf_fixture(sf_dir)
-    # cleanup on EVERY exit path — including the box-health gate's
-    # refusal (SystemExit) and mid-bench exceptions; the explicit
-    # rmtree after the DuckDB pair stays for the common path (r12
-    # review: the non-finally rmtree leaked the fixture on aborts)
-    _atexit.register(_sh.rmtree, mf_dir, ignore_errors=True)
     def run(df) -> None:
         # Execute the physical plan fully and count rows JVM-side —
         # the spark-sql-perf measurement kernel
@@ -745,6 +748,33 @@ def main() -> None:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
         import duckdb_baseline
+
+        # Re-gate on a FRESH canary before the pair runs: the DuckDB
+        # side executes LAST, and a window can degrade mid-run (w4:
+        # entry canary 0.95, exit 2.48 — the degraded oracle side
+        # flattered the ratio just as a degraded Spark side would
+        # damn it).  Same threshold and retry budget as the opening
+        # gate; the reading rides the record.
+        thr = box_health["threshold_sec"]
+        pair_pieces = perf_pieces(spark)
+        for attempt in range(
+            max(1, int(os.environ.get("SPARK_GRAFT_CANARY_TRIES", "5")))
+        ):
+            pair_canary = round(
+                min(_gen_share_once(spark, pair_pieces) for _ in range(2)),
+                4,
+            )
+            if pair_canary <= thr:
+                break
+            print(
+                f"duckdb-pair canary degraded: {pair_canary:.2f}s > "
+                f"{thr:.2f}s; waiting",
+                file=sys.stderr,
+            )
+            time.sleep(
+                float(os.environ.get("SPARK_GRAFT_CANARY_WAIT", "20"))
+            )
+        box_health["gen_share_duckdb_pair_sec"] = pair_canary
 
         # the SAME multi-file layout the Spark side timed — the 2x
         # comparison stays same-box, same-files (r11 verdict #3)

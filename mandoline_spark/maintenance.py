@@ -98,7 +98,12 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     # version's state as garbage.  No false positives from residue:
     # a COMPLETED visible commit's latch is named after ITS parent,
     # not after the tip it became.
-    committed = conn.version_ids()  # also runs the listing repairer
+    versions = conn.versions()  # ONE snapshot (newest first) for every
+    # phase — it also runs the listing repairer; deriving `committed`
+    # from it keeps all phases on a single consistent view (r12 second
+    # review pass: a version draining into view between two separate
+    # listings tripped the phase-(c) mirror guard spuriously)
+    committed = [vid for vid, _ in versions]
     tip = committed[0] if committed else 0
     if conn.fs.exists(os.path.join(conn.path, "versions", f"n{tip}.json")):
         raise RuntimeError(
@@ -115,7 +120,6 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     # phase (d).  Unwritten (unsealed, parquet-less) claims are NOT an
     # abort here: on committed versions they are exactly the garbage
     # phase (d) collects (single-maintainer contract).
-    versions = conn.versions()  # one snapshot, reused by every phase
     for vid, token in versions:
         for var in token.get("variables", {}):
             check_generations_complete(conn, vid, var, allow_unwritten=True)
@@ -180,7 +184,16 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             # completed even when its keys are not listable yet — the
             # pre-flight check above has already aborted on those, and
             # the seal probe keeps this deletion safe against a
-            # listing that went stale since.
+            # listing that went stale since.  Residual window, by
+            # design: a writer that crashed BETWEEN the append and the
+            # seal write is deleted here even if its parquet keys were
+            # merely lagging — that write never returned success and
+            # its generation can never have been referenced by a
+            # committed version (finish_version's completeness check
+            # refuses unsealed invisible generations), so collecting
+            # it is failed-ingest semantics, not data loss; for a
+            # compaction generation the overlay chain it rewrote is
+            # still live and resolution falls back to it.
             base = conn.index_path(vid, var)
             if conn.fs.isdir(base):
                 for d in conn.fs.listdir(base):

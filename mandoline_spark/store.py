@@ -636,14 +636,19 @@ class Connection:
         # unpersist (r11 ADVICE).
         plain = reader.parquet(path)
         with self._cache_lock:
-            if self._cache_epoch != epoch:
-                return plain
-            hit = self._df_cache.get(key)
-            if hit is not None:
-                return hit
-            df = plain.cache()  # metadata-only persist mark; no I/O
-            self._df_cache[key] = df
-            return df
+            if self._cache_epoch == epoch:
+                hit = self._df_cache.get(key)
+                if hit is not None:
+                    return hit
+                df = plain.cache()  # metadata-only persist mark; no I/O
+                self._df_cache[key] = df
+                return df
+        # invalidated mid-construction: `plain`'s file-list snapshot
+        # predates the writer's invalidation — rebuild AFTER observing
+        # the bump so the frame sees the post-write file set (r12
+        # second review pass: returning `plain` served pre-write data
+        # to a reader that provably raced a completed write)
+        return reader.parquet(path)
 
     def invalidate_cache(self) -> None:
         """Drop memoized table DataFrames and driver-side read caches

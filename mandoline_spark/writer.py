@@ -1286,7 +1286,13 @@ def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
     gen_path = conn.index_path(vid, var, gen)
     if not conn.fs.isdir(gen_path):
         return
-    if _has_parquet(conn.fs, gen_path):
+    # the seal is STRONG per-key evidence the parquet append completed
+    # — on a lagged store the listing-based parquet probe alone would
+    # let a completed-but-unlisted generation be deleted as a "husk"
+    # (r12 second review pass)
+    if conn.fs.exists(
+        os.path.join(gen_path, "_SEALED")
+    ) or _has_parquet(conn.fs, gen_path):
         raise ValueError(
             f"index generation v={vid} var={var} g={gen} has committed "
             f"parquet — it is a real generation, not a stale claim"

@@ -330,7 +330,7 @@ def test_vacuum_aborts_on_lag_hidden_version(spark, tmp_path):
     # strong GETs even when the mirror, latch and index tree are all
     # unlisted — the fully-hidden case the per-directory mirror probe
     # alone cannot see).
-    with pytest.raises(RuntimeError, match="listing"):
+    with pytest.raises(RuntimeError, match="view of history is incomplete"):
         vacuum(conn)
     _drain(conn)
     stats = vacuum(conn)

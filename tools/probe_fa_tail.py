@@ -49,10 +49,7 @@ def main() -> None:
 
     from bench import make_mf_fixture
 
-    mf_dir = make_mf_fixture(sf_dir)
-    import atexit
-
-    atexit.register(shutil.rmtree, mf_dir, ignore_errors=True)
+    mf_dir = make_mf_fixture(sf_dir)  # registers its own atexit cleanup
     # warmup: codegen + footers on both layouts
     for d in (sf_dir, mf_dir):
         for name in QUERIES_UNDER_TEST:
