@@ -405,3 +405,35 @@ def test_vacuum_keeps_sealed_generation_with_unlisted_parquet(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError, match="list-after-write"):
         vacuum(conn)
     assert conn.fs.isdir(gp)  # nothing was deleted
+
+
+def test_release_claim_refuses_sealed_generation(spark, tmp_path):
+    """release_claim must treat a _SEALED generation as committed data
+    even when its parquet keys answer no listing (lagged store) — the
+    operator-unwedge path must not become the one place a completed
+    generation can still be deleted as a 'husk'."""
+    import os
+
+    import pytest
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    _drain(conn)
+    v1 = conn.finish_version(t1)
+    _drain(conn)
+    # claim + seal, parquet keys never listable (simulated completed
+    # append behind permanent listing lag)
+    gp = conn.index_path(v1, "foo", 1)
+    conn.fs.makedirs(gp)
+    assert conn.fs.create_exclusive(os.path.join(gp, "_CLAIM"), "")
+    conn.fs.write_text(os.path.join(gp, "_SEALED"), "")
+    with pytest.raises(ValueError, match="real generation"):
+        writer.release_claim(conn, v1, "foo", 1)
+    assert conn.fs.isdir(gp)
+    # an UNSEALED parquet-less claim is still releasable
+    gp2 = conn.index_path(v1, "foo", 2)
+    conn.fs.makedirs(gp2)
+    assert conn.fs.create_exclusive(os.path.join(gp2, "_CLAIM"), "")
+    writer.release_claim(conn, v1, "foo", 2)
+    assert not conn.fs.isdir(gp2)
