@@ -744,7 +744,7 @@ def _commit_merged(
     index_mode: str,
     expected_gen: int | None = None,
     wb_df: DataFrame | None = None,
-) -> str:
+) -> str | None:
     """Append chunks + write the next index generation from a merged
     (ckey, coords…, chunk_hash, blob, nbytes) DataFrame.  ``merged``
     MUST be persisted by the caller — it is consumed by two actions and
@@ -888,6 +888,18 @@ def _commit_merged(
         # whenever the generation's rows are readable
         conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
     new_index.write.mode("append").parquet(gen_path)
+    from .store import _has_parquet
+
+    if not _has_parquet(conn.fs, gen_path):
+        # empty write (zero pieces reached the index — e.g. an
+        # externally-built pieces frame that filtered to nothing):
+        # Spark's append leaves only _SUCCESS.  Sealing it would read
+        # as a lag-hidden COMMITTED generation to the completeness
+        # check — an unreleasable commit wedge — and leaving it
+        # unsealed leaves a husk for the operator.  It is OUR OWN
+        # claim with nothing in it: drop it and report no generation.
+        conn.fs.rmtree(gen_path)
+        return None
     # seal AFTER the append commits: a strong per-key marker proving
     # the generation's parquet is complete.  On list-after-write-lagged
     # stores this is what lets the completeness check (and vacuum's
@@ -1396,25 +1408,35 @@ def ingest_aligned(
         # use the generation THIS call claimed (index_gens[-1] could be
         # a concurrent shard writer's) for the self-checks below
         gen_path = _commit_merged(conn, token, var, merged, index_mode)
-        bad = obs.get.get("misaligned")
-        if bad:
-            raise ValueError(
-                f"ingest_aligned: {bad} piece(s) do not cover their "
-                "whole chunk slice; use write_pieces for partial writes"
+        if gen_path is not None:  # None ⇔ empty pieces: no-op write
+            try:
+                bad = obs.get.get("misaligned")
+            except Exception:
+                # Spark's Observation.get asserts (Py4JJavaError) when
+                # the observed job saw ZERO rows — an empty pieces
+                # frame whose append still wrote rowless part files.
+                # Zero pieces cannot be misaligned; the zero-row
+                # generation itself is a harmless no-op overlay.
+                bad = None
+            if bad:
+                raise ValueError(
+                    f"ingest_aligned: {bad} piece(s) do not cover "
+                    "their whole chunk slice; use write_pieces for "
+                    "partial writes"
+                )
+            idx = conn.spark.read.parquet(gen_path)
+            dup = (
+                idx.groupBy("ckey")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
             )
-        idx = conn.spark.read.parquet(gen_path)
-        dup = (
-            idx.groupBy("ckey")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "ingest_aligned: multiple pieces target the same chunk; "
-                "use write_pieces for overlapping writes"
-            )
+            if dup:
+                raise ValueError(
+                    "ingest_aligned: multiple pieces target the same "
+                    "chunk; use write_pieces for overlapping writes"
+                )
     except ValueError:
         # remove the violating index generation before raising: the
         # documented recovery is retrying with write_pieces under the

@@ -146,3 +146,42 @@ def test_aligned_overwrite_on_parent(store):
         oracle[tuple(slice(a, b) for a, b in zip(s.slice.start, s.slice.stop))] = s.data
     oracle[4:8, 3:6] = 42
     assert np.array_equal(_read_full(conn), oracle)
+
+
+def test_empty_pieces_is_a_noop_not_a_wedge(store, spark):
+    """An externally-built pieces frame that filtered to ZERO rows must
+    leave no index generation at all — before r12's _SEALED markers an
+    empty append left an invisible husk; sealing that husk would have
+    read as a lag-hidden committed generation and permanently wedged
+    finish_version (and release_claim refuses sealed gens)."""
+    import numpy as np
+
+    from mandoline_spark import reader, writer
+    from mandoline_spark.core import slab as sb
+    from mandoline_spark.core import slice as sl
+
+    spec = {
+        "dimensions": {"x": 8},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": -1}
+        },
+    }
+    conn = store.create_dataset("ds")
+    tok = conn.add_version(spec)
+    empty = spark.createDataFrame([], schema=writer.piece_schema(1))
+    writer.ingest_aligned(conn, tok, "v", empty)
+    # either no generation at all (rowless append left no part files,
+    # claim dropped) or a sealed zero-row generation (harmless no-op
+    # overlay) — NEVER a sealed parquet-less dir, which would wedge
+    gens = conn.index_gens(tok["version-id"], "v")
+    assert gens in ([], [0])
+    # a real write and the commit still go through cleanly
+    writer.write_variable(
+        conn, tok, "v", [sb.empty("int", sl.mk_slice((0,), (8,)), 5)]
+    )
+    vid = conn.finish_version(tok)
+    got = reader.get_slice(
+        conn, reader.on_version(conn, vid), "v", sl.mk_slice((0,), (8,))
+    )
+    np.testing.assert_array_equal(got.data, np.full(8, 5, np.int32))
