@@ -19,91 +19,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r12) —
+# Queries whose TRANSITIVE implementation changed this round (r13) —
 # the standing head-selection rule: driver evidence must be no older
 # than the code it vouches for, where "code" includes shared modules.
-# r12 changes are all in the array engine's commit/catalog path:
-# store.py (mirror-collision occupant-read retry, epoch-mismatch cache
-# orphan fixes, _repair_unmirrored occupant guard) and writer.py (the
-# commit-time generation-completeness check in reconcile_version, lazy
-# n_hint in the masked base attach) — every array query's fixture
-# build crosses finish_version and the catalog caches (q34/q35/q81).
-# queries.py itself is untouched this round.
-_CHANGED_R12 = [
+# r13 changes are again in the array engine's commit/GC path:
+# writer.py (_commit_merged's data-side emptiness Observation, the
+# _RELEASED claim tombstone + completeness-walk coverage,
+# ingest_aligned's narrowed Observation handling) and maintenance.py
+# (tombstoning + retention grace in vacuum phase (d)) — every array
+# query's fixture build crosses _commit_merged and finish_version
+# (q34/q35/q81).  queries.py itself is untouched this round.
+_CHANGED_R13 = [
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
 ]
 
-# The stale-evidence tail (VERDICT r11 next-round #1): q77's newest
-# green row is r8 (the r11 head bookkeeping miscounted it as r9), and
-# twelve queries' newest is r9.  After this window no query's
-# evidence is older than r10.
-_STALE_R8_R9 = [
-    "q69_minmax_by",
-    "q70_stats_agg",
-    "q71_bitwise_agg",
-    "q72_histogram",
-    "q73_sequence_explode",
-    "q74_regression_agg",
-    "q77_string_shaping",
-    "q78_array_set_ops",
-    "q80_length_histogram",
-    "q82_neardup_clusters",
-    "q83_dedup_cluster_keep",
-    "q101_token_length_hist",
-    "q104_shipping_priority",
+# The last r10-evidence rows (VERDICT r12 next-round #2) — after this
+# window no query's evidence is older than r11.
+_STALE_R10 = [
+    "q89_event_transitions",
+    "q91_star_join",
+    "q95_source_token_share",
+    "q96_embedding_hygiene",
+    "q97_above_nation_avg",
+    "q100_embedding_quantize",
+    "q103_sessionize_events",
+    "q105_token_budget_sample",
 ]
 
-# Backfill: the oldest 34 of the 42 r10-evidence rows, by query
-# number.  The 8 remaining r10 rows (q89, q91, q95, q96, q97, q100,
-# q103, q105) are first in line for the r13 head.
-_STALE_R10 = [
-    "q02_filter",
-    "q03_range_count",
-    "q06_join_left",
-    "q07_join_semi",
-    "q08_join_anti",
-    "q09_join_theta",
-    "q11_agg_distinct",
-    "q14_window_rank",
-    "q16_window_frame",
-    "q20_date_funcs",
-    "q21_math_funcs",
-    "q24_json_extract",
-    "q25_window_tumbling",
-    "q26_window_sliding",
-    "q27_session_window",
-    "q30_similarity_topk",
-    "q33_udf_surface",
-    "q39_embedding_neardup",
-    "q41_token_count",
-    "q42_quality_score",
-    "q43_lang_id",
-    "q44_fingerprint",
-    "q45_asof_join",
-    "q51_scalar_subquery",
-    "q54_window_navigation",
-    "q55_string_distance",
-    "q58_date_arith",
-    "q63_map_funcs",
-    "q67_hash_sample",
-    "q75_cross_join",
-    "q76_month_arith",
-    "q85_vocab_df_topk",
-    "q86_event_funnel",
-    "q87_label_cohesion",
+# Backfill: the oldest 39 of the 47 r11-evidence rows, by query
+# number.  The 8 remaining r11 rows (q88, q90, q92, q93, q94, q98,
+# q99, q102) are first in line for the r14 head.
+_STALE_R11 = [
+    "q01_scan_project",
+    "q04_join_inner",
+    "q05_join_broadcast",
+    "q10_agg_hash",
+    "q12_rollup",
+    "q13_cube",
+    "q15_window_lag",
+    "q17_topk",
+    "q18_set_intersect",
+    "q19_string_funcs",
+    "q22_case_when",
+    "q23_array_funcs",
+    "q28_approx_distinct",
+    "q29_dedup_exact",
+    "q31_text_stats",
+    "q32_multimodal",
+    "q36_minhash_neardup",
+    "q37_ngram_jaccard",
+    "q38_simhash_neardup",
+    "q40_ann_lsh_top1",
+    "q46_range_join",
+    "q47_topk_per_group",
+    "q48_union_except",
+    "q49_pivot",
+    "q50_percentiles",
+    "q52_exists_correlated",
+    "q53_lateral_explode",
+    "q56_grouping_sets",
+    "q57_filtered_agg",
+    "q59_array_hof",
+    "q60_approx_percentile",
+    "q61_unpivot",
+    "q62_string_agg",
+    "q64_regexp_extract",
+    "q65_pipeline_compose",
+    "q66_ann_ivf_top1",
+    "q68_stratified_sample",
+    "q79_dedup_keep_best",
+    "q84_tfidf_top_term",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r11 stop at
-    50).  Head = every query r12's changes transitively touch, then
-    the whole stale-evidence tail (q77's r8 row included — VERDICT
-    r11 next-round #1), then the oldest 34 r10-evidence rows — 50
-    exactly (3 + 13 + 34).  The full local parity suite
-    (tests/test_oracle_parity.py) still runs every entry."""
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r12 stop at
+    50).  Head = every query r13's changes transitively touch, then
+    the last 8 r10-evidence rows (VERDICT r12 next-round #2), then
+    the oldest 39 r11-evidence rows — 50 exactly (3 + 8 + 39).  The
+    full local parity suite (tests/test_oracle_parity.py) still runs
+    every entry."""
     import re
 
     def num(name: str) -> int:
@@ -111,7 +109,7 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R12 + _STALE_R8_R9 + _STALE_R10
+        for n in _CHANGED_R13 + _STALE_R10 + _STALE_R11
         if n in QUERIES
     ]
     assert len(head) == 50, len(head)

@@ -785,10 +785,41 @@ def main() -> None:
     # End-of-run canary: one more gen-share measurement so a
     # degradation that LANDED mid-run (after the opening gate passed)
     # is visible in the record rather than inferred from query drift.
-    box_health["gen_share_end_sec"] = round(
-        min(_gen_share_once(spark, perf_pieces(spark)) for _ in range(2)), 4
-    )
+    # r13 (r12 verdict #4): the end canary is part of record ACCEPTANCE,
+    # not just annotation — same retry budget as the opening/pair gates,
+    # and a record-mode run that still reads degraded is REFUSED (w4's
+    # flattered 0.88× — degraded DuckDB side, healthy-looking Spark
+    # side — becomes impossible to commit).  Driver runs (non-record)
+    # keep their headline but carry end_canary_ok=false for the judge.
+    thr_end = box_health["threshold_sec"]
+    end_pieces = perf_pieces(spark)
+    for attempt in range(
+        max(1, int(os.environ.get("SPARK_GRAFT_CANARY_TRIES", "5")))
+    ):
+        end_canary = round(
+            min(_gen_share_once(spark, end_pieces) for _ in range(2)), 4
+        )
+        if end_canary <= thr_end:
+            break
+        print(
+            f"end-of-run canary degraded: {end_canary:.2f}s > "
+            f"{thr_end:.2f}s; waiting",
+            file=sys.stderr,
+        )
+        time.sleep(float(os.environ.get("SPARK_GRAFT_CANARY_WAIT", "20")))
+    box_health["gen_share_end_sec"] = end_canary
+    box_health["end_canary_ok"] = end_canary <= thr_end
     _sh.rmtree(mf_dir, ignore_errors=True)
+    if (
+        os.environ.get("SPARK_GRAFT_RECORD_DETAIL") == "1"
+        and not box_health["end_canary_ok"]
+    ):
+        raise SystemExit(
+            f"bench record REFUSED: end-of-run canary {end_canary:.2f}s "
+            f"exceeds threshold {thr_end:.2f}s — the window degraded "
+            "mid-run, so the measured pair is not box-health-comparable. "
+            "Re-run in a healthy window to commit a record."
+        )
 
     total = round(sum(times.values()), 4)
     # The honest end-to-end number: measured query time PLUS the full

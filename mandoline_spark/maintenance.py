@@ -27,17 +27,27 @@ from pyspark.sql import functions as F
 from .store import Connection
 
 
-def _retire(fs, path: str, retain_seconds: float, now: float) -> bool:
+def _retire(
+    fs, path: str, retain_seconds: float, now: float,
+    tombstone: bool = False,
+) -> bool:
     """Delete ``path`` now (retention off), or mark it superseded and
     delete it only once the marker is ``retain_seconds`` old.  Returns
-    True iff the directory was removed.
+    True iff the directory was removed (or, with ``tombstone``,
+    collapsed to a ``_RELEASED`` tombstone).
 
     The grace period closes vacuum's reader race (Delta-style
     retention): a reader that resolved the old generation just before
     the pointer flip keeps reading it for the whole window instead of
     losing an rmtree race.  The clock is the marker file's recorded
     wall time — no filesystem mtime dependence, so it works identically
-    on object stores."""
+    on object stores.
+
+    ``tombstone=True`` (stale index-generation claims) collapses the
+    directory to a durable ``_RELEASED`` tombstone instead of removing
+    it, keeping the generation number a counted position for
+    ``check_generations_complete``'s contiguity walk — see
+    :func:`mandoline_spark.writer.tombstone_claim`."""
     marker = os.path.join(path, "_SUPERSEDED")
     if retain_seconds > 0:
         if not fs.exists(marker):
@@ -50,11 +60,18 @@ def _retire(fs, path: str, retain_seconds: float, now: float) -> bool:
             fs.write_text(marker, f"{now}\n")
         if now - ts < retain_seconds:
             return False
-    fs.rmtree(path)
+    if tombstone:
+        from .writer import tombstone_claim
+
+        tombstone_claim(fs, path)
+    else:
+        fs.rmtree(path)
     return True
 
 
-def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
+def vacuum(
+    conn: Connection, retain_seconds: float = 0.0, scope: str = "full"
+) -> dict:
     """Remove (a) chunk blobs unreferenced by every committed version,
     (b) superseded index generations, (c) index directories of
     uncommitted versions, and (d) stale claim-only index generations
@@ -68,7 +85,45 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     concurrent readers that resolved the old generation finish
     unharmed; a later vacuum call collects aged-out generations.  The
     default 0 deletes immediately (single-maintainer semantics,
-    matching the reference's destroy)."""
+    matching the reference's destroy).
+
+    ``scope="settled"`` is the busy-dataset mode (r12 verdict stretch
+    #7): the full mode's tip-latch probe aborts the WHOLE vacuum
+    whenever any commit is in flight — correct but total, so a dataset
+    with continuous writers can never run maintenance.  Settled scope
+    collects only garbage that is provably independent of any
+    in-flight or lag-hidden commit:
+
+    - RUNS phase (b), superseded index generations of committed
+      versions — resolution only ever consults each version's newest
+      FULL generation and later deltas, for the version itself, for
+      descendants' overlay fallback, and for an in-flight writer's
+      read-modify-write base alike, so a generation strictly below its
+      own version's newest full is dead to every present and future
+      reader (each (vid, var) listing is still guarded by the
+      strong-key completeness probe);
+    - RUNS phase (d), stale claim husks on committed versions —
+      in-flight commits write only under their own (uncommitted,
+      unenumerated) version id, and compact_index shares maintenance's
+      single-maintainer contract, so a husk here cannot belong to a
+      live writer;
+    - SKIPS phase (c) — an uncommitted index tree may be the in-flight
+      writer's working state, not a failed ingest's residue;
+    - SKIPS phase (a)'s liveness rewrite — the in-flight version's
+      already-appended chunks are referenced by no committed index yet
+      and would read as unreferenced; only superseded chunk
+      GENERATIONS from earlier full vacuums still age out (their
+      pointer flip already happened).
+
+    Failed-ingest residue and unreferenced chunks therefore persist
+    until a quiescent window allows a ``scope="full"`` run — settled
+    mode trades collection completeness for running at all under
+    continuous writers."""
+    if scope not in ("full", "settled"):
+        raise ValueError(
+            f'scope must be "full" or "settled": {scope!r}'
+        )
+    settled = scope == "settled"
     now = time.time()
     stats = {
         "chunks_kept": 0,
@@ -78,6 +133,7 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
         "chunk_gens_removed": 0,
         "chunk_gens_retained": 0,
         "stale_claims_removed": 0,
+        "stale_claims_retained": 0,
         "uncommitted_versions_removed": 0,
     }
     from .store import _has_parquet
@@ -106,13 +162,23 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
     committed = [vid for vid, _ in versions]
     tip = committed[0] if committed else 0
     if conn.fs.exists(os.path.join(conn.path, "versions", f"n{tip}.json")):
-        raise RuntimeError(
-            f"vacuum: a commit atop the visible tip {tip} is in flight "
-            "or committed-but-unlisted (its parent-named latch answers "
-            "GETs) — this run's view of history is incomplete.  Retry "
-            "after the commit finishes / the listing catches up; "
-            "collecting now could delete the hidden version's data."
-        )
+        if not settled:
+            raise RuntimeError(
+                f"vacuum: a commit atop the visible tip {tip} is in "
+                "flight or committed-but-unlisted (its parent-named "
+                "latch answers GETs) — this run's view of history is "
+                "incomplete.  Retry after the commit finishes / the "
+                "listing catches up, or run scope=\"settled\" to "
+                "collect only commit-independent garbage; collecting "
+                "everything now could delete the hidden version's data."
+            )
+        # settled scope proceeds: every phase it runs is independent
+        # of the in-flight/hidden commit by construction (see the
+        # docstring) — but a FULLY lag-hidden committed version would
+        # still poison phase (b)'s view of "the newest full
+        # generation" for ITS OWN (vid, var) pairs only, and those
+        # pairs are not enumerated here (the hidden version is not in
+        # `versions`), so nothing of its state is touched.
     # (1) Per-(version, variable) generation completeness: a lag-hidden
     # index generation's hashes would be missing from the ref set in
     # phase (a) and its live blobs deleted as unreferenced; the same
@@ -125,8 +191,10 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             check_generations_complete(conn, vid, var, allow_unwritten=True)
 
     # -- (c) uncommitted version index trees ---------------------------------
+    # (skipped in settled scope: an uncommitted tree may be the
+    # in-flight writer's working state, not failed-ingest residue)
     index_root = os.path.join(conn.path, "index")
-    if conn.fs.isdir(index_root):
+    if not settled and conn.fs.isdir(index_root):
         for d in conn.fs.listdir(index_root):
             if d.startswith("v="):
                 vid = int(d[2:])
@@ -193,24 +261,69 @@ def vacuum(conn: Connection, retain_seconds: float = 0.0) -> dict:
             # refuses unsealed invisible generations), so collecting
             # it is failed-ingest semantics, not data loss; for a
             # compaction generation the overlay chain it rewrote is
-            # still live and resolution falls back to it.
+            # still live and resolution falls back to it.  One caveat
+            # remains for CONCURRENT READERS on a lagged store:
+            # listing lag is per-client, so a reader with a FRESHER
+            # listing may have resolved that merely-lagging unsealed
+            # generation as its newest-full base and would fail
+            # mid-scan when its files vanish.  ``retain_seconds`` is
+            # the remedy (same grace the chunk/index retirement paths
+            # get): a parquet-less unsealed claim younger than the
+            # window is retained so in-flight readers drain first.
+            # With the default retain_seconds=0, vacuum on a lagged
+            # store assumes no concurrent readers — the
+            # single-maintainer contract extended to readers.
+            # Collection leaves a _RELEASED tombstone (not a bare
+            # rmtree) so the completeness walk's contiguity bound
+            # survives; already-tombstoned dirs are left alone.
             base = conn.index_path(vid, var)
             if conn.fs.isdir(base):
                 for d in conn.fs.listdir(base):
                     p = os.path.join(base, d)
                     if (
-                        d.startswith("g=")
-                        and not conn.fs.exists(
-                            os.path.join(p, "_SEALED")
-                        )
-                        and not _has_parquet(conn.fs, p)
+                        not d.startswith("g=")
+                        or conn.fs.exists(os.path.join(p, "_SEALED"))
+                        or _has_parquet(conn.fs, p)
                     ):
-                        conn.fs.rmtree(p)
+                        continue
+                    if conn.fs.exists(
+                        os.path.join(p, "_RELEASED")
+                    ) and not conn.fs.exists(os.path.join(p, "_CLAIM")):
+                        continue  # already a tombstone: keep
+                    if _retire(
+                        conn.fs, p, retain_seconds, now, tombstone=True
+                    ):
                         stats["stale_claims_removed"] += 1
+                    else:
+                        stats["stale_claims_retained"] += 1
 
     # -- (a) unreferenced chunks ----------------------------------------------
     # (completeness was guarded in pre-flight, before anything was
     # deleted)
+    if settled:
+        # The liveness rewrite is commit-DEPENDENT: an in-flight
+        # version's already-appended chunks are referenced by no
+        # committed index yet and would be collected as unreferenced.
+        # Settled scope skips it entirely — but superseded chunk
+        # GENERATIONS from earlier full vacuums still age out (their
+        # pointer flip already happened; only grace-window readers
+        # ever touch them, never an in-flight writer, whose dedup
+        # semi-join resolves through the CHUNKS pointer).
+        current = os.path.basename(conn.chunks_path().rstrip("/"))
+        for d in conn.fs.listdir(conn.path):
+            if (
+                (d == "chunks" or d.startswith("chunks.g"))
+                and d != current
+            ):
+                if _retire(
+                    conn.fs, os.path.join(conn.path, d),
+                    retain_seconds, now,
+                ):
+                    stats["chunk_gens_removed"] += 1
+                else:
+                    stats["chunk_gens_retained"] += 1
+        conn.invalidate_cache()
+        return stats
     conn.invalidate_cache()
     chunks = conn.chunks_df()
     if chunks is None:

@@ -887,10 +887,13 @@ def _commit_merged(
         # same visibility rule as _DELTA: the mask marker must exist
         # whenever the generation's rows are readable
         conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
-    new_index.write.mode("append").parquet(gen_path)
-    from .store import _has_parquet
+    from pyspark.sql import Observation
 
-    if not _has_parquet(conn.fs, gen_path):
+    written = Observation()
+    new_index.observe(
+        written, F.count(F.lit(1)).alias("rows")
+    ).write.mode("append").parquet(gen_path)
+    if not written.get["rows"]:
         # empty write (zero pieces reached the index — e.g. an
         # externally-built pieces frame that filtered to nothing):
         # Spark's append leaves only _SUCCESS.  Sealing it would read
@@ -898,6 +901,12 @@ def _commit_merged(
         # check — an unreleasable commit wedge — and leaving it
         # unsealed leaves a husk for the operator.  It is OUR OWN
         # claim with nothing in it: drop it and report no generation.
+        # Emptiness is decided from the DATA side — an Observation
+        # piggybacked on the append (zero extra jobs) — never from a
+        # post-append listing: on a list-after-write-lagged store a
+        # NON-empty generation whose keys are not listable yet would
+        # read as empty and be deleted here, turning a successful
+        # ingest into silent data loss (r12 advice).
         conn.fs.rmtree(gen_path)
         return None
     # seal AFTER the append commits: a strong per-key marker proving
@@ -1216,7 +1225,10 @@ def check_generations_complete(
     (claim_index_gen walks max+1 upward on conditional-create
     failures), so the probe walks until a run of misses past the
     visible maximum; a hole can only come from an operator
-    release_claim, covered by the 3-miss slack.  The ``_SEALED``
+    release_claim, which leaves a durable ``_RELEASED`` tombstone the
+    walk counts as a covered position — the probe's upper bound does
+    not depend on hole width (the 3-miss slack remains only as
+    belt-and-braces for pre-tombstone datasets).  The ``_SEALED``
     marker (written by strong per-key PUT after every index parquet
     append commits) classifies an unlisted claim even when the
     generation's parquet KEYS are themselves lag-hidden — a listing
@@ -1255,6 +1267,16 @@ def check_generations_complete(
                     lag_hidden.append(g)
                 else:
                     unwritten.append(g)
+        elif conn.fs.exists(os.path.join(gen_path, "_RELEASED")):
+            # released-claim tombstone (durable per-key state, like
+            # _CLAIM/_SEALED): a counted position, never a candidate
+            # generation.  Without it, >=3 contiguous operator
+            # release_claims below a still-lag-hidden sealed
+            # generation would end the walk before probing it,
+            # reopening the silent-shadowing hole (r12 advice) — with
+            # it, the probe's upper bound is independent of hole
+            # width.
+            misses = 0
         else:
             misses += 1
             if g > limit and misses >= 3:
@@ -1282,8 +1304,34 @@ def check_generations_complete(
         )
 
 
+def tombstone_claim(fs, gen_path: str) -> None:
+    """Release a claim directory by leaving a durable ``_RELEASED``
+    tombstone (strong per-key state, like ``_CLAIM``/``_SEALED``) and
+    deleting everything else.  The tombstone keeps the generation
+    number a COUNTED position for :func:`check_generations_complete`'s
+    contiguity walk — a plain rmtree would turn each released claim
+    into a miss, and a run of them below a still-lag-hidden sealed
+    generation would end the walk early (r12 advice).  Tombstone-first
+    ordering is crash-safe: a crash in between leaves both markers,
+    which the walk reads as a still-claimed husk (loud, retriable)."""
+    fs.write_text(os.path.join(gen_path, "_RELEASED"), "")
+    # the known markers are removed by NAME via strong per-key ops: on
+    # a list-after-write-lagged store a fresh _CLAIM may not be
+    # LISTABLE yet, and leaving it behind would turn the tombstone
+    # back into a still-claimed husk
+    for name in ("_CLAIM", "_DELTA", "_MASKED", "_SUPERSEDED"):
+        p = os.path.join(gen_path, name)
+        if fs.exists(p):
+            fs.rmtree(p)
+    # best-effort sweep for anything else visible (e.g. a dead
+    # writer's _temporary staging)
+    for name in fs.listdir(gen_path):
+        if name != "_RELEASED":
+            fs.rmtree(os.path.join(gen_path, name))
+
+
 def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
-    """Remove a claim-only index generation left by a writer the
+    """Release a claim-only index generation left by a writer the
     OPERATOR affirms is dead (crashed between :func:`claim_index_gen`
     and its parquet append) — the manual unwedge for full-mode commits
     blocked by :class:`ConcurrentWriteError`.  Refuses to touch a
@@ -1292,7 +1340,9 @@ def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
     re-opens the lost-update race this machinery exists to prevent —
     hence an explicit operator action, never automatic.  (Vacuum
     collects these automatically for COMMITTED versions, where no
-    writer can still be in flight.)"""
+    writer can still be in flight.)  The release leaves a durable
+    ``_RELEASED`` tombstone rather than deleting the directory — see
+    :func:`tombstone_claim`."""
     from .store import _has_parquet
 
     gen_path = conn.index_path(vid, var, gen)
@@ -1309,7 +1359,7 @@ def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
             f"index generation v={vid} var={var} g={gen} has committed "
             f"parquet — it is a real generation, not a stale claim"
         )
-    conn.fs.rmtree(gen_path)
+    tombstone_claim(conn.fs, gen_path)
 
 
 def claim_index_gen(conn: Connection, vid: int, var: str) -> tuple[str, int]:
@@ -1409,15 +1459,14 @@ def ingest_aligned(
         # a concurrent shard writer's) for the self-checks below
         gen_path = _commit_merged(conn, token, var, merged, index_mode)
         if gen_path is not None:  # None ⇔ empty pieces: no-op write
-            try:
-                bad = obs.get.get("misaligned")
-            except Exception:
-                # Spark's Observation.get asserts (Py4JJavaError) when
-                # the observed job saw ZERO rows — an empty pieces
-                # frame whose append still wrote rowless part files.
-                # Zero pieces cannot be misaligned; the zero-row
-                # generation itself is a harmless no-op overlay.
-                bad = None
+            # No exception guard here: zero observed pieces yields
+            # {"misaligned": None} (sum over no rows), not an error —
+            # verified on this Spark — so any Observation failure is a
+            # genuine bug (observation not attached, Py4J fault) and
+            # must propagate rather than silently skip the alignment
+            # validation that guards the fast path's correctness
+            # contract (r12 advice).
+            bad = obs.get.get("misaligned")
             if bad:
                 raise ValueError(
                     f"ingest_aligned: {bad} piece(s) do not cover "

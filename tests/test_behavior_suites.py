@@ -678,3 +678,73 @@ def test_maintenance_flow(store):
     oracle = np.full(8, 2, np.int32)
     oracle[:4] = 13
     np.testing.assert_array_equal(got2.data, oracle)
+
+
+def test_vacuum_settled_under_active_writer(store):
+    """r13 (r12 verdict stretch #7): scope="settled" vacuum runs WHILE
+    a writer is active — collecting committed versions' superseded
+    index generations and claim husks — and leaves the active writer's
+    uncommitted index tree and already-appended chunks untouched
+    (full scope's phase (c) would have collected that tree as
+    failed-ingest residue under its single-maintainer assumption).
+    After the writer commits, its data reads back intact and a
+    quiescent full vacuum finishes the collection.
+
+    The mid-COMMIT state (tip latch created, mirror not yet written)
+    is not constructible on a healthy-listing store: versions()'s
+    event-driven repairer completes any latched commit it can list, so
+    by the time vacuum snapshots history the version is simply
+    committed.  The latch-abort → settled-proceeds transition is
+    therefore pinned on the lagged store in test_maintenance.py, where
+    the latch answers strong GETs but evades the listing."""
+    from mandoline_spark.maintenance import vacuum
+    from mandoline_spark.writer import claim_index_gen
+
+    spec = {
+        "dimensions": {"x": 8},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": 0}
+        },
+    }
+    full = sl.mk_slice((0,), (8,))
+    conn = store.create_dataset("ds")
+
+    t1 = conn.add_version(spec)
+    writer.write_variable(conn, t1, "v", [same_slab("int", full, 1)])
+    # a second FULL generation within the version supersedes the first
+    writer.write_variable(conn, t1, "v", [same_slab("int", full, 2)])
+    v1 = conn.finish_version(t1)
+    # a crashed writer's claim husk on the committed version
+    claim_index_gen(conn, v1, "v")
+
+    # the ACTIVE writer: an uncommitted version with appended data,
+    # still writing (finish_version not yet called)
+    t2 = conn.add_version(spec)
+    writer.write_variable(conn, t2, "v", [same_slab("int", full, 9)])
+    v2 = t2["version-id"]
+
+    n_chunks_before = conn.chunks_df().count()
+    stats = vacuum(conn, scope="settled")
+    assert stats["index_gens_removed"] == 1  # v1's superseded full g=0
+    assert stats["stale_claims_removed"] == 1  # the husk on v1
+    assert stats["uncommitted_versions_removed"] == 0  # t2's tree kept
+    assert stats["chunks_removed"] == 0  # liveness rewrite skipped
+    assert conn.fs.isdir(conn.index_path(v2, "v"))
+    conn.invalidate_cache()
+    assert conn.chunks_df().count() == n_chunks_before
+
+    # the writer commits normally; its data is intact
+    vfin = conn.finish_version(t2)
+    assert vfin == v2
+    got = reader.get_slice(conn, reader.on_version(conn, v2), "v", full)
+    np.testing.assert_array_equal(got.data, np.full(8, 9, np.int32))
+
+    # quiescent full vacuum completes the collection and every
+    # committed read survives
+    stats2 = vacuum(conn)
+    assert stats2["uncommitted_versions_removed"] == 0
+    got1 = reader.get_slice(conn, reader.on_version(conn, v1), "v", full)
+    np.testing.assert_array_equal(got1.data, np.full(8, 2, np.int32))
+    got2 = reader.get_slice(conn, reader.on_version(conn, v2), "v", full)
+    np.testing.assert_array_equal(got2.data, np.full(8, 9, np.int32))

@@ -222,7 +222,13 @@ def test_vacuum_removes_stale_claims(store):
     assert conn.fs.isdir(gen_path)
     stats = vacuum(conn)
     assert stats["stale_claims_removed"] == 1
-    assert not conn.fs.isdir(gen_path)
+    # r13: collection collapses the husk to a durable _RELEASED
+    # tombstone (a counted position for the completeness walk), it no
+    # longer rmtrees the directory
+    import os as _os
+
+    assert conn.fs.exists(_os.path.join(gen_path, "_RELEASED"))
+    assert not conn.fs.exists(_os.path.join(gen_path, "_CLAIM"))
     # committed data unaffected
     got = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
     np.testing.assert_array_equal(got.data, np.ones((8, 8), np.int32))
@@ -436,4 +442,195 @@ def test_release_claim_refuses_sealed_generation(spark, tmp_path):
     conn.fs.makedirs(gp2)
     assert conn.fs.create_exclusive(os.path.join(gp2, "_CLAIM"), "")
     writer.release_claim(conn, v1, "foo", 2)
-    assert not conn.fs.isdir(gp2)
+    # the release leaves a durable _RELEASED tombstone (a counted
+    # position for check_generations_complete's contiguity walk), not
+    # a bare deletion — and the claim marker itself is gone
+    assert conn.fs.exists(os.path.join(gp2, "_RELEASED"))
+    assert not conn.fs.exists(os.path.join(gp2, "_CLAIM"))
+
+
+def test_released_claim_run_does_not_mask_hidden_generation(spark, tmp_path):
+    """r13: >=3 contiguous operator release_claims below a still
+    lag-hidden SEALED generation must not end the completeness walk
+    early — each release leaves a durable _RELEASED tombstone the walk
+    counts as a covered position, so the probe still reaches (and
+    aborts loudly on) the hidden committed generation.  Before the
+    tombstone, visible=[0] + released husks 1-4 gave four misses in a
+    row and sealed gen 5 was never probed (r12 advice)."""
+    import os
+
+    import pytest
+
+    from mandoline_spark.writer import ConcurrentWriteError
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    _drain(conn)
+    vid = t1["version-id"]
+    # four crashed shard writers: claims g=1..4, never appended;
+    # the operator affirms them dead and releases all four
+    for g in range(1, 5):
+        gp = conn.index_path(vid, "foo", g)
+        conn.fs.makedirs(gp)
+        assert conn.fs.create_exclusive(os.path.join(gp, "_CLAIM"), "")
+        writer.release_claim(conn, vid, "foo", g)
+        assert conn.fs.exists(os.path.join(gp, "_RELEASED"))
+    # a fifth writer COMMITTED (claim + seal, strong keys) but its
+    # directory keys lag out of every listing
+    gp5 = conn.index_path(vid, "foo", 5)
+    conn.fs.makedirs(gp5)
+    assert conn.fs.create_exclusive(os.path.join(gp5, "_CLAIM"), "")
+    conn.fs.write_text(os.path.join(gp5, "_SEALED"), "")
+    with pytest.raises(ConcurrentWriteError, match="list-after-write"):
+        writer.check_generations_complete(conn, vid, "foo")
+
+
+def test_nonempty_ingest_not_dropped_by_lagged_listing(spark, tmp_path):
+    """r13 (r12 advice, medium): _commit_merged decides generation
+    emptiness from the DATA side (an Observation on the append), never
+    from a post-append listing.  On a list-after-write-lagged store a
+    NON-empty freshly appended generation whose parquet keys are not
+    listable yet must be sealed and survive — the listing-based probe
+    classified it as empty, deleted it, and reported the ingest as a
+    successful no-op (silent data loss).  Spark's JVM writes bypass
+    the ObjectStoreFS lag marking, so the lag is injected at the
+    listdir the engine's own probes use."""
+    import os
+
+    from mandoline_spark.store import Store
+
+    store = Store(spark, str(tmp_path))
+    conn = store.create_dataset("ds")
+    spec = {
+        "dimensions": {"x": 8},
+        "chunk-dimensions": {"x": 4},
+        "variables": {
+            "v": {"type": "int", "shape": ["x"], "fill-value": -1}
+        },
+    }
+    tok = conn.add_version(spec)
+    idx_root = os.path.normpath(os.path.join(conn.path, "index"))
+    real_listdir = conn.fs.listdir
+
+    def lagged_listdir(path):
+        names = real_listdir(path)
+        if os.path.normpath(path).startswith(idx_root):
+            # every non-underscore key under the index tree is "not
+            # listable yet"; per-key GETs (exists/read_text) and
+            # Spark's own JVM reads stay strong
+            return [n for n in names if n.startswith(("_", "."))]
+        return names
+
+    data = np.arange(8, dtype=np.int32)
+    slabs = [
+        sb.Slab(data[:4], sl.mk_slice((0,), (4,))),
+        sb.Slab(data[4:], sl.mk_slice((4,), (8,))),
+    ]
+    rows = writer.slabs_to_piece_rows(tok, "v", slabs)
+    pieces = conn.spark.createDataFrame(
+        rows, schema=writer.piece_schema(1)
+    )
+    conn.fs.listdir = lagged_listdir
+    try:
+        writer.ingest_aligned(conn, tok, "v", pieces)
+    finally:
+        conn.fs.listdir = real_listdir
+    # the generation was sealed, not deleted as "empty"
+    gp = conn.index_path(tok["version-id"], "v", 0)
+    assert conn.fs.exists(os.path.join(gp, "_SEALED"))
+    vfin = conn.finish_version(tok)
+    conn.invalidate_cache()
+    got = reader.get_slice(
+        conn, reader.on_version(conn, vfin), "v", sl.mk_slice((0,), (8,))
+    )
+    np.testing.assert_array_equal(got.data, data)
+
+
+def test_vacuum_retains_young_unsealed_claims_for_readers(store):
+    """r13 (r12 advice): phase (d)'s residual window — an unsealed
+    generation whose parquet keys merely lag the vacuum's listing —
+    excludes concurrent readers only under retain_seconds=0.  With a
+    grace window, a parquet-less unsealed claim is RETAINED on first
+    sight (an in-flight reader with a fresher listing drains first)
+    and collected into a _RELEASED tombstone only once aged out."""
+    import os
+    import time as _time
+
+    conn = store.create_dataset("ds")
+    v1 = _write_version(conn, 1)
+    gp = conn.index_path(v1, "foo", 1)
+    conn.fs.makedirs(gp)
+    assert conn.fs.create_exclusive(os.path.join(gp, "_CLAIM"), "")
+    stats = vacuum(conn, retain_seconds=3600)
+    assert stats["stale_claims_removed"] == 0
+    assert stats["stale_claims_retained"] == 1
+    assert conn.fs.exists(os.path.join(gp, "_CLAIM"))  # untouched
+    # age the marker out and vacuum again: collected into a tombstone
+    conn.fs.write_text(
+        os.path.join(gp, "_SUPERSEDED"), f"{_time.time() - 7200}\n"
+    )
+    stats2 = vacuum(conn, retain_seconds=3600)
+    assert stats2["stale_claims_removed"] == 1
+    assert conn.fs.exists(os.path.join(gp, "_RELEASED"))
+    assert not conn.fs.exists(os.path.join(gp, "_CLAIM"))
+    # a later vacuum leaves the tombstone alone (a counted position,
+    # not garbage)
+    stats3 = vacuum(conn, retain_seconds=3600)
+    assert stats3["stale_claims_removed"] == 0
+    assert stats3["stale_claims_retained"] == 0
+    assert conn.fs.exists(os.path.join(gp, "_RELEASED"))
+
+
+def test_vacuum_settled_proceeds_on_inflight_latch(spark, tmp_path):
+    """r13 (r12 verdict stretch #7), lagged-store half: a commit atop
+    the visible tip whose parent-named latch answers strong GETs but
+    evades the listing makes full-scope vacuum abort (the whole view
+    of history may be stale) — scope="settled" proceeds and collects
+    only commit-independent garbage, leaving the in-flight version's
+    index tree and chunks untouched."""
+    import os
+
+    import pytest
+
+    from mandoline_spark.core import metadata as md
+
+    conn = _lagged_conn(spark, tmp_path)
+    t1 = conn.add_version(DDS)
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 1)])
+    _drain(conn)  # full mode needs its own generation listed
+    # second full generation supersedes the first
+    writer.write_variable(conn, t1, "foo", [sb.empty("int", FULL, 2)])
+    _drain(conn)
+    v1 = conn.finish_version(t1)
+    _drain(conn)
+
+    # the in-flight commit: data appended, latch created, mirror not
+    # yet written; nothing drained since, so the latch and the new
+    # version's whole tree evade every listing while answering GETs
+    t2 = conn.add_version(DDS)
+    writer.write_variable(conn, t2, "foo", [sb.empty("int", FULL, 9)])
+    v2 = t2["version-id"]
+    latch = os.path.join(conn.path, "versions", f"n{v1}.json")
+    assert conn.fs.create_exclusive(latch, md.generate_metadata(dict(t2)))
+
+    with pytest.raises(RuntimeError, match="settled"):
+        vacuum(conn)
+
+    stats = vacuum(conn, scope="settled")
+    assert stats["index_gens_removed"] == 1  # v1's superseded full g=0
+    assert stats["uncommitted_versions_removed"] == 0
+    assert stats["chunks_removed"] == 0
+    assert conn.fs.isdir(conn.index_path(v2, "foo"))
+
+    # the in-flight commit completes (mirror write), everything reads
+    conn.fs.write_text(
+        os.path.join(conn.path, "versions", f"{v2}.json"),
+        md.generate_metadata(dict(t2)),
+    )
+    _drain(conn)
+    conn.invalidate_cache()
+    got1 = reader.get_slice(conn, reader.on_version(conn, v1), "foo", FULL)
+    np.testing.assert_array_equal(got1.data, np.full((8, 8), 2, np.int32))
+    got2 = reader.get_slice(conn, reader.on_version(conn, v2), "foo", FULL)
+    np.testing.assert_array_equal(got2.data, np.full((8, 8), 9, np.int32))

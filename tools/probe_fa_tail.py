@@ -8,7 +8,8 @@ floor is the fixed constant the floor-adjusted total subtracts only
 ONCE per query), and the same-session DuckDB time — so each query's
 gap decomposes into (job constants) + (plan cost) explicitly.
 
-Usage: python tools/probe_fa_tail.py [sf_dir]
+Usage: python tools/probe_fa_tail.py [sf_dir] [query_name ...]
+(query names default to the r11 set that first got the treatment)
 """
 from __future__ import annotations
 
@@ -29,6 +30,9 @@ QUERIES_UNDER_TEST = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    global QUERIES_UNDER_TEST
+    if len(sys.argv) > 2:
+        QUERIES_UNDER_TEST = sys.argv[2:]
 
     from mandoline_spark.queries import ORACLES, QUERIES
     from mandoline_spark.sources.session import get_spark
