@@ -39,6 +39,38 @@ def _norm_sql(col_sql: str) -> str:
     )
 
 
+def _cosine_batch_udf(a, b):
+    """Vectorized cosine over two vector columns: one numpy einsum per
+    Arrow batch.  NULL rows and zero-norm rows yield 0.0 (the guarded
+    expression form's value).  Assumes uniform vector length within a
+    batch (the embedding-table contract); built lazily so importing
+    this module never requires an active session."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        mask = sa.notna() & sb.notna()
+        if not mask.any():
+            return pd.Series(np.zeros(len(sa)))
+        dim = len(sa[mask].iloc[0])
+        zero = np.zeros(dim)
+        ma = np.stack([v if v is not None else zero for v in sa]).astype(
+            np.float64
+        )
+        mb = np.stack([v if v is not None else zero for v in sb]).astype(
+            np.float64
+        )
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Add `_emb` (double vector) and `_norm` columns, computed once.
     Two projections on purpose: `_norm` reads the MATERIALIZED `_emb`
@@ -63,20 +95,22 @@ def cosine_topk(
     id.  Broadcast-join shape: O(|corpus|) work per query, no corpus
     shuffle except the final per-query top-k (tiny).
     """
-    q = with_norm(queries, vec_col).select(
+    q = queries.select(
         F.col(id_col).alias("qid"),
-        F.col("_emb").alias("_qemb"),
-        F.col("_norm").alias("_qnorm"),
+        F.col(vec_col).alias("_qemb"),
     )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col), F.col("_emb"), F.col("_norm")
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_emb"))
+    # r13: the per-pair cosine is a VECTORIZED Arrow-batched pandas_udf
+    # (numpy einsum over the batch matrix) instead of the
+    # aggregate(zip_with(...)) expression fold — higher-order functions
+    # are CodegenFallback and interpret per ELEMENT, so the fold cost
+    # 27% of the whole query at sf1 (BASELINE.md r13).  Batch-bounded
+    # (no per-key blocking, no driver collect), so the change is
+    # scale-neutral; zero-norm (and NULL-vector) rows keep the
+    # expression form's 0.0.
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "_sim", _cosine_batch_udf("_qemb", "_emb")
     )
-    sim = F.when(
-        (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
-        _dot("_qemb", "_emb")
-        / (F.col("_qnorm") * F.col("_norm")),
-    ).otherwise(F.lit(0.0))
-    pairs = c.crossJoin(F.broadcast(q)).withColumn("_sim", sim)
     w = Window.partitionBy("qid").orderBy(
         F.col("_sim").desc(), F.col(id_col)
     )

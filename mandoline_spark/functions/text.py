@@ -23,13 +23,17 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def word_count(text: Column) -> Column:
-    """Whitespace token count.  Empty / whitespace-only text counts 0
-    (``split('', ..)`` yields ``['']`` — without the filter an empty
-    doc would count as one word, defeating ``word_count == 0``
-    screens and giving empty docs a nonzero quality length term)."""
-    return F.size(
-        F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
-    )
+    """Whitespace token count: the number of ``\\S+`` runs, counted
+    directly by ``regexp_count`` — no token-array materialization.
+    Exactly equivalent to the r12 split+filter form (split on ``\\s+``
+    of the trimmed text yields one element per non-space run, and the
+    ``!= ''`` filter discarded the empty artifacts for empty /
+    whitespace-only docs, which ``regexp_count`` never produces), and
+    measured ~35% cheaper per corpus pass at sf0.1 — one regex scan
+    per row vs split-allocate-filter-size (r13; the win is
+    per-row, so it holds at any scale).  Empty / whitespace-only text
+    counts 0; NULL stays NULL."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def token_count(text: Column) -> Column:
@@ -43,11 +47,23 @@ def punct_ratio(text: Column) -> Column:
     /0 raises DIVIDE_BY_ZERO and kills the job on one empty row); NULL
     text stays NULL (ADVICE r4: an unguarded coalesce scored a missing
     document as perfectly clean in standalone quality screens)."""
-    stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+    # Count the punctuation chars via translate-delete: strip every
+    # alphanumeric/whitespace char (an explicit 68-char list — the
+    # complement of the oracle's [^A-Za-z0-9\s] class, with \s spelled
+    # out as Java regex defines it) and measure what is left.
+    # translate is a flat per-char table lookup; measured 4.6x faster
+    # than regexp_count of the negated class and ~5x faster than the
+    # r12 regexp_replace+length-diff form at sf1 (BASELINE.md r13),
+    # value-identical on every fixture (pinned by the oracle-parity
+    # suite, whose DuckDB mirror keeps the regex form).
+    _ALNUM_WS = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789 \t\n\x0b\x0c\r"
+    )
     return F.when(
         text.isNotNull(),
         F.coalesce(
-            (F.length(text) - F.length(stripped))
+            F.length(F.translate(text, _ALNUM_WS, ""))
             / F.nullif(F.length(text), F.lit(0)),
             F.lit(0.0),
         ),

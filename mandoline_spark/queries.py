@@ -2808,26 +2808,43 @@ def q90(spark, sf):
 def q91(spark, sf):
     """Star-schema join (TPC-H Q5 core): the fact table joins three
     dimensions; customer→nation broadcast, lineitem→orders as the one
-    big shuffle — the plan shape Catalyst's join reordering + AQE
-    should produce, pinned by the declared result.  (A shuffle_hash
-    hint on the orders side was measured r8: 0.87s vs SMJ's 0.63s at
-    sf0.1 — the per-partition hash build loses to the sort; SMJ
-    stands.)"""
+    big shuffle, pinned by the declared result.
+
+    r13 plan change — PARTIAL AGGREGATION BELOW THE JOIN: every final
+    aggregate (sum of extprice*(1-disc), count) distributes over a
+    refinement by l_orderkey, and the final group keys (n_name, year)
+    are functionally dependent on the ORDERS side alone — so lineitem
+    is pre-aggregated by l_orderkey BEFORE the join.  Catalyst has no
+    eager-aggregation rule, so the rewrite is declared in the plan.
+    The partial agg runs MAP-SIDE before its exchange, cutting the
+    shuffled fact rows ~4x (lines per order) and making the big join
+    1:1 instead of 1:N; measured at sf1 it took the query from
+    1.0 s to ~0.5 s against DuckDB's 0.13 s (BASELINE.md r13).  At
+    100 TB the same rewrite cuts the dominant fact shuffle by the
+    order-fanout factor regardless of cluster size.  The orders side
+    keeps the shuffle_hash hint: SMJ's two sorts are the next data
+    term once the fact side shrinks (r8 measured SMJ ahead at sf0.1
+    by 0.24 s of tiny-input constants; sf1 reverses it by 25-35%);
+    the per-partition hash build on the smaller input is bounded by
+    shuffle-partition sizing and AQE still re-plans around it."""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
     n = load(spark, sf, "nation")
+    li_pre = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        ),
+        F.count("*").alias("_n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_pre.join(o.hint("shuffle_hash"), li_pre.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("y"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("rev"),
-            F.count("*").alias("n"),
+            F.round(F.sum("_rev"), 2).alias("rev"),
+            F.sum("_n").alias("n"),
         )
         # bounded output by construction (|nations| x |years|) → gather
         # sort, not a range-sampled distributed sort
@@ -3539,4 +3556,111 @@ def q105(spark, sf):
             F.sum("words").cast("bigint").alias("kept_words"),
         )
         .transform(psort, "source")
+    )
+
+
+# -- q106: streaming session windows with driver-visible evidence --------------
+# (r12 verdict stretch #8: the streaming operators were pytest-pinned
+# only; this runs the REAL streaming path — file source, watermark,
+# session_window state store, availableNow trigger — and returns the
+# memory sink's content, so the driver's DuckDB oracle check covers a
+# Structured Streaming execution end to end.)
+
+_Q106_MEMO: dict = {}
+_Q106_SEQ = iter(range(1, 1 << 30))
+
+
+@_q(
+    "q106_streaming_sessions",
+    # Batch-SQL twin of the watermarked streaming session_window in
+    # append mode: gap-based islands (>= gap starts a new session —
+    # windows are [ts, ts+gap)), restricted to sessions the FINAL
+    # watermark finalized (session end <= max event time - delay; the
+    # availableNow trigger's closing no-data batch evicts exactly
+    # those).  Timestamps compare as epoch microseconds so neither
+    # engine's timestamp formatting is load-bearing.
+    """WITH d AS (SELECT user_id, ts, value,
+       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 10 MINUTE
+            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       THEN 1 ELSE 0 END AS new_s FROM events),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+SELECT user_id,
+       epoch_us(min(ts)) AS ss_us,
+       epoch_us(max(ts) + INTERVAL 10 MINUTE) AS se_us,
+       count(*) AS n_events,
+       round(sum(value), 3) AS s
+FROM s GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 10 MINUTE
+       <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+ORDER BY user_id, ss_us""",
+)
+def q106(spark, sf):
+    """Streaming gap sessionization replayed over the events fixture:
+    the file-source stream (4 part files, 2 per micro-batch) flows
+    through the watermarked ``session_window`` aggregation
+    (streaming/ops.py session_counts) under an availableNow trigger in
+    append mode; the memory sink holds every session the watermark
+    finalized.  Batch-equivalence of exactly this shape is pinned at
+    fixture scale in tests/test_streaming.py; here the equivalence is
+    driver-checked against the islands-form SQL oracle.  The streaming
+    run is memoized per (session, corpus): it is INGEST, not query —
+    re-running the returned DataFrame scans the sink (bench counts the
+    pipeline cost in build_sec, like the q34/q35 array fixtures)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    key = (id(spark), _os.path.abspath(sf))
+    table = _Q106_MEMO.get(key)
+    if table is None:
+        tmp = _tempfile.mkdtemp(prefix="mandoline_q106_")
+        try:
+            src = _os.path.join(tmp, "src")
+            # round the fixture's TIMESTAMP(NANOS) through one Spark
+            # write so the stream source reads Spark-native micros
+            # (same precision the oracle's epoch_us sees)
+            load_events(spark, sf).repartition(4).write.parquet(src)
+            # ONE data batch (max_files_per_trigger >= file count) +
+            # the availableNow trigger's closing no-data batch that
+            # finalizes the watermark.  The replayed files are
+            # event-time INTERLEAVED (repartition is random), so a
+            # multi-batch replay would drop most of a later batch as
+            # late data once the first batch's max event time moves
+            # the watermark — measured: max_files_per_trigger=1 over
+            # 4 files emits 498 of 978 sessions plus 6 spurious
+            # partials.  Single-batch processing is the
+            # batch-equivalent-by-construction configuration (the
+            # cross-micro-batch ORDERED replay semantics are pinned
+            # separately in tests/test_streaming.py).
+            stream = read_events_stream(
+                spark, src, max_files_per_trigger=64
+            )
+            agg = session_counts(
+                stream, gap="10 minutes", watermark="30 minutes"
+            )
+            table = f"q106_sessions_{next(_Q106_SEQ)}"
+            run_available_now(
+                agg, table, "append", _os.path.join(tmp, "ck")
+            )
+            _Q106_MEMO[key] = table
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("ss_us"),
+            F.unix_micros("session_end").alias("se_us"),
+            "n_events",
+            "s",
+        )
+        .transform(psort, "user_id", "ss_us")
     )
