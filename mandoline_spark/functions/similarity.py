@@ -88,29 +88,49 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` rows for each ``queries`` row.
 
     Returns (qid, <id_col>, sim) with per-query rank ≤ k, ties broken by
     id.  Broadcast-join shape: O(|corpus|) work per query, no corpus
     shuffle except the final per-query top-k (tiny).
-    """
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("_qemb"),
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_emb"))
-    # r13: the per-pair cosine is a VECTORIZED Arrow-batched pandas_udf
-    # (numpy einsum over the batch matrix) instead of the
-    # aggregate(zip_with(...)) expression fold — higher-order functions
-    # are CodegenFallback and interpret per ELEMENT, so the fold cost
-    # 27% of the whole query at sf1 (BASELINE.md r13).  Batch-bounded
-    # (no per-key blocking, no driver collect), so the change is
-    # scale-neutral; zero-norm (and NULL-vector) rows keep the
-    # expression form's 0.0.
-    pairs = c.crossJoin(F.broadcast(q)).withColumn(
-        "_sim", _cosine_batch_udf("_qemb", "_emb")
-    )
+
+    ``vectorized=True`` computes the per-pair cosine in a numpy-einsum
+    Arrow-batched pandas_udf instead of the JVM aggregate(zip_with())
+    fold.  The crossover is real and measured (BASELINE.md r13): HOFs
+    are CodegenFallback (interpreted per ELEMENT), so the vectorized
+    kernel won 27% on a 20k-vector corpus in a clean window — but the
+    Python-worker round trip costs a fixed ~0.4-0.5 s that DOMINATES
+    small pair counts (2k vectors x 5 queries regressed 0.26→0.68 s in
+    two full-bench windows).  Default stays JVM-side; flip it when
+    |queries| x |corpus| is large enough to amortize (the operator
+    cannot see the pair count without spending a job).  Values are
+    identical either way (zero-norm and NULL rows yield 0.0)."""
+    if vectorized:
+        q = queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("_qemb"),
+        )
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("_emb"))
+        pairs = c.crossJoin(F.broadcast(q)).withColumn(
+            "_sim", _cosine_batch_udf("_qemb", "_emb")
+        )
+    else:
+        q = with_norm(queries, vec_col).select(
+            F.col(id_col).alias("qid"),
+            F.col("_emb").alias("_qemb"),
+            F.col("_norm").alias("_qnorm"),
+        )
+        c = with_norm(corpus, vec_col).select(
+            F.col(id_col), F.col("_emb"), F.col("_norm")
+        )
+        sim = F.when(
+            (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
+            _dot("_qemb", "_emb")
+            / (F.col("_qnorm") * F.col("_norm")),
+        ).otherwise(F.lit(0.0))
+        pairs = c.crossJoin(F.broadcast(q)).withColumn("_sim", sim)
     w = Window.partitionBy("qid").orderBy(
         F.col("_sim").desc(), F.col(id_col)
     )
