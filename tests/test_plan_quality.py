@@ -1102,3 +1102,21 @@ def test_table_rows_empty_spark_table_is_zero(tmp_path):
     open(os.path.join(junk, "notes.txt"), "w").close()
     with pytest.raises(FileNotFoundError):
         table_rows(d, "events")
+
+
+def test_q91_partial_agg_sits_below_the_join(spark):
+    """r13: q91's lineitem side must be pre-aggregated by l_orderkey
+    BEFORE the orders join (partial aggregation below the join — the
+    rewrite that cuts the dominant fact shuffle by the order fanout;
+    Catalyst has no eager-aggregation rule, so only the declared plan
+    guarantees it), and the fact join must be the hinted shuffled-hash
+    join, not a sort-merge (the two sorts are the next data term at
+    scale, BASELINE.md r13)."""
+    q = QUERIES["q91_star_join"](spark, SF)
+    plan = explain_str(q)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the pre-join aggregate is keyed by l_orderkey and its partial
+    # (map-side) half runs directly over the lineitem scan
+    assert "Keys [1]: [l_orderkey" in plan, plan
+    assert "partial_sum((l_extendedprice" in plan, plan
