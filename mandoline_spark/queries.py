@@ -98,6 +98,38 @@ def psort(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+# Exact-decimal revenue term, r14 (VERDICT r13 #1/#2).  The fixture's
+# prices and discounts are cent-quantized, so extprice*(1-disc) is an
+# exact 4-dp decimal — and some GROUP sums land exactly on the half-cent
+# boundary (4/175 q91 groups and 185/12,969 q104 order sums at sf0.01,
+# e.g. NATION_12/1999 = 19766258.9250).  round(sum(double), 2) on those
+# groups is decided by float accumulation ORDER, so any plan rewrite or
+# thread-count change re-rolls the coin (that's exactly how the r13
+# partial-agg rewrite flipped q91's driver hash while staying inside the
+# old parity suite's 1e-9 tolerance).  Accumulating in exact decimal on
+# BOTH the Spark and oracle side makes round(,2) deterministic under ANY
+# plan shape; the rounded decimal is cast back to double (both engines
+# perform the same correctly-rounded decimal->double conversion, so the
+# stringified hash matches bit-for-bit).  Cost: decimal sum is a
+# Tungsten built-in; at 100 TB the accuracy is plan-independent by
+# construction instead of by fixture accident.
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(5,4)))"
+)
+
+
+def rev_dec():
+    """Spark twin of :data:`REV_SQL` — see the comment above.  The
+    double->decimal casts are unambiguous: a float64 is a dyadic
+    rational, never exactly halfway between two 4-dp decimals, so both
+    engines recover the identical quantized value."""
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(5,4)")
+    )
+
+
 def _footer_files(path: str) -> list[str]:
     """The parquet files behind a table path: the file itself, or — a
     Spark-written table is a DIRECTORY of part files — its fragments.
@@ -453,7 +485,7 @@ def q09(spark, sf):
 @_q(
     "q10_agg_hash",
     "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
-    "round(sum(l_extendedprice*(1-l_discount)),2) AS rev, count(*) AS c "
+    f"CAST(round(sum({REV_SQL}),2) AS DOUBLE) AS rev, count(*) AS c "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus "
     "ORDER BY l_returnflag, l_linestatus",
 )
@@ -463,9 +495,11 @@ def q10(spark, sf):
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sq"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("rev"),
+            # exact-decimal accumulation (see rev_dec): q10's 6 group
+            # sums were audited >=0.01 cents off any boundary at sf0.01
+            # (VERDICT r13), but the revenue class is decimal everywhere
+            # so safety is by construction, not fixture accident
+            F.round(F.sum(rev_dec()), 2).cast("double").alias("rev"),
             F.count("*").alias("c"),
         )
         .transform(psort, "l_returnflag", "l_linestatus")
@@ -863,8 +897,11 @@ def q29(spark, sf):
     "q30_similarity_topk",
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
     "q AS (SELECT vec_id, emb FROM e WHERE vec_id < 5) "
+    # `+ 0` normalizes IEEE -0.0 to +0.0 (r14): DuckDB's round keeps
+    # the sign of a tiny negative, Spark's round (BigDecimal) never
+    # yields -0.0 — the driver hashes "-0.0" != "0.0"
     "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
-    "round(list_cosine_similarity(q.emb, e.emb), 6) AS sim "
+    "round(list_cosine_similarity(q.emb, e.emb), 6) + 0 AS sim "
     "FROM q CROSS JOIN e "
     "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
     "list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 10 "
@@ -1530,8 +1567,11 @@ def q52(spark, sf):
 
 @_q(
     "q53_lateral_explode",
+    # `+ 0` maps -0.0 to +0.0 (see q30's oracle note): a tiny negative
+    # embedding element rounds to DuckDB -0.0 but Spark 0.0 — caught by
+    # the r14 exact-string parity suite at sf0.001
     "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
-    "round(unnest(embedding), 4) AS val "
+    "round(unnest(embedding), 4) + 0 AS val "
     "FROM embeddings WHERE vec_id < 32 ORDER BY vec_id, pos",
 )
 def q53(spark, sf):
@@ -2007,8 +2047,9 @@ def q69(spark, sf):
 @_q(
     "q70_stats_agg",
     "SELECT l_returnflag, "
-    "round(corr(l_quantity, l_extendedprice), 4) AS r, "
-    "round(covar_samp(l_quantity, l_extendedprice), 2) AS cv, "
+    # `+ 0` on the signable stats (see q30's oracle note on -0.0)
+    "round(corr(l_quantity, l_extendedprice), 4) + 0 AS r, "
+    "round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cv, "
     "round(stddev_samp(l_quantity), 4) AS sd, "
     "round(var_samp(l_quantity), 4) AS vr "
     "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
@@ -2548,7 +2589,8 @@ u AS (SELECT label, i, emb[i] AS v
 m AS (SELECT label, i, avg(v) AS av FROM u GROUP BY 1, 2),
 c AS (SELECT label, array_agg(av ORDER BY i) AS cent FROM m GROUP BY 1)
 SELECT e.label,
-       round(avg(list_cosine_similarity(e.emb, c.cent)), 6) AS cohesion,
+       round(avg(list_cosine_similarity(e.emb, c.cent)), 6) + 0
+           AS cohesion,
        count(*) AS n
 FROM e JOIN c USING (label) GROUP BY e.label ORDER BY e.label""",
 )
@@ -2680,7 +2722,7 @@ ff AS (SELECT g.user_id, g.d,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
               ) AS v
        FROM grid g LEFT JOIN daily USING (user_id, d))
-SELECT user_id, d, round(v, 6) AS v FROM ff ORDER BY user_id, d""",
+SELECT user_id, d, round(v, 6) + 0 AS v FROM ff ORDER BY user_id, d""",
 )
 def q90(spark, sf):
     """Time-series resampling with forward fill: every (user, day) grid
@@ -2798,7 +2840,7 @@ def q90(spark, sf):
 @_q(
     "q91_star_join",
     "SELECT n_name, year(o_orderdate) AS y, "
-    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev, "
+    f"CAST(round(sum({REV_SQL}), 2) AS DOUBLE) AS rev, "
     "count(*) AS n "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "JOIN customer ON o_custkey = c_custkey "
@@ -2831,10 +2873,13 @@ def q91(spark, sf):
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
     n = load(spark, sf, "nation")
+    # r14: the partial sums accumulate in exact decimal (see rev_dec) —
+    # 4 of the 175 final groups at sf0.01 are exact half-cent rounding
+    # ties, so the float version's round(,2) was decided by whatever
+    # summation order the plan happened to produce (the r13 rewrite
+    # flipped one).  The plan shape is unchanged and stays pinned.
     li_pre = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "_rev"
-        ),
+        F.sum(rev_dec()).alias("_rev"),
         F.count("*").alias("_n"),
     )
     return (
@@ -2843,7 +2888,7 @@ def q91(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("y"))
         .agg(
-            F.round(F.sum("_rev"), 2).alias("rev"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("rev"),
             F.sum("_n").alias("n"),
         )
         # bounded output by construction (|nations| x |years|) → gather
@@ -2862,7 +2907,8 @@ f AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
 n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total
       FROM f GROUP BY doc_id)
 SELECT f.doc_id,
-       round(-sum((c * 1.0 / total) * ln(c * 1.0 / total)), 6) AS entropy
+       round(-sum((c * 1.0 / total) * ln(c * 1.0 / total)), 6) + 0
+           AS entropy
 FROM f JOIN n USING (doc_id) GROUP BY f.doc_id ORDER BY f.doc_id""",
 )
 def q92(spark, sf):
@@ -3463,8 +3509,8 @@ def q103(spark, sf):
 
 @_q(
     "q104_shipping_priority",
-    """SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""SELECT l_orderkey,
+       CAST(round(sum({REV_SQL}), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -3498,11 +3544,12 @@ def q104(spark, sf):
         li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # exact-decimal accumulation (see rev_dec): 185 of this query's
+        # 12,969 per-order sums at sf0.01 are exact half-cent ties —
+        # the float version passed only because none reached the top-10,
+        # and its ORDER BY revenue DESC makes rank flips possible too
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            F.round(F.sum(rev_dec()), 2).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         # orderBy + limit → TakeOrderedAndProject (see q17); the

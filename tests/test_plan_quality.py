@@ -1119,4 +1119,9 @@ def test_q91_partial_agg_sits_below_the_join(spark):
     # the pre-join aggregate is keyed by l_orderkey and its partial
     # (map-side) half runs directly over the lineitem scan
     assert "Keys [1]: [l_orderkey" in plan, plan
-    assert "partial_sum((l_extendedprice" in plan, plan
+    # r14: the partial sum accumulates in exact decimal (the half-cent
+    # rounding-tie fix, queries.py rev_dec) — pin that too, so a future
+    # "simplification" back to float sums fails here, not in the
+    # driver's hash
+    assert "partial_sum((cast(l_extendedprice" in plan, plan
+    assert "as decimal(18,4)" in plan, plan

@@ -1,0 +1,151 @@
+"""Rounding-tie safety audit (r14, VERDICT r13 #2).
+
+The fixture's prices/discounts are cent-quantized doubles, so a sum of
+``l_extendedprice * (1 - l_discount)`` is an exact 4-dp decimal — and
+some group sums land EXACTLY on the half-cent boundary (4/175 q91
+groups, 185/12,969 q104 per-order sums at sf0.01).  ``round(sum(
+double), 2)`` on such a group is decided by float accumulation order:
+any plan rewrite, thread-count change, or AQE re-plan re-rolls the
+coin against the driver's exact-string hash.  r13's q91 failure was
+exactly this.
+
+The repo's chosen fix is *decimal arithmetic everywhere a rounded sum
+can tie* (queries.rev_dec / REV_SQL).  This module keeps that choice
+enforced:
+
+1. a static audit over every declared oracle — any ``round(sum(expr))``
+   whose summand is a PRODUCT (the only way the exact sum gains more
+   decimal places than its operands, creating ties at the rounding
+   target) must accumulate in DECIMAL;
+2. a fixture-property pin — the half-cent ties are still present in the
+   sf0.01 data (so the decimal path stays load-bearing, not vestigial);
+3. an engine-agreement pin — Spark and DuckDB round decimal half-cent
+   ties identically (HALF_UP / away-from-zero; revenues are positive).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+from mandoline_spark.queries import ORACLES, REV_SQL
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _resolve(sql):
+    return sql() if callable(sql) else sql
+
+
+def _round_sum_args(sql: str):
+    """Yield the balanced-paren argument of every round(sum(...), k)."""
+    for m in re.finditer(r"round\s*\(\s*sum\s*\(", sql, re.IGNORECASE):
+        depth, start = 1, m.end()
+        for i in range(start, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    yield sql[start:i]
+                    break
+
+
+def test_rounded_product_sums_accumulate_in_decimal():
+    """Static audit: a rounded SUM of a product must be decimal.
+
+    A product of k-dp quantized values carries 2k decimal places, so
+    its exact group sum can land on the round-target boundary; sums of
+    UNmultiplied quantized columns (o_totalprice at 2 dp rounded at 2,
+    the events `value` at 2 dp rounded at 3) cannot — their exact sums
+    sit a full half-unit from any boundary, far beyond float error.
+    Hence the rule: `round(sum(a * b ...))` requires DECIMAL casts.
+    """
+    os.environ.setdefault("MANDOLINE_TEST_SF", "/root/testdata/sf0.001")
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        for arg in _round_sum_args(_resolve(sql)):
+            # strip casts' type args before looking for a product; a
+            # '*' inside DECIMAL(18,4) etc. can't occur, but `1.0 *`
+            # scaling of already-decimal terms is fine if DECIMAL is
+            # declared on the operands
+            if "*" in arg and "decimal" not in arg.lower():
+                # division-only rescaling (e.g. c*1.0/total in entropy
+                # terms) produces irrationals, not boundary-exact
+                # decimals: rounding those can't tie EXACTLY, so only
+                # flag products of raw table columns
+                if re.search(r"[a-z]_\w+\s*\*|\*\s*\(1\s*-", arg):
+                    offenders.append((name, arg.strip()))
+    assert not offenders, (
+        "rounded float product-sums (rounding-tie-fragile; use REV_SQL/"
+        f"rev_dec-style DECIMAL accumulation): {offenders}"
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.01 fixture not present"
+)
+def test_half_cent_ties_still_present_in_fixture():
+    """Fixture pin: the boundary ties the decimal path exists for are
+    real at sf0.01 — q91's judged tie group and q104's tie count.  If a
+    regenerated fixture drops them, this documents the (reduced) risk
+    rather than silently passing on luck."""
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01}/{t}.parquet')"
+        )
+    # exact 8-dp decimal sums; a half-cent tie is one ending in 50
+    # at the 3rd/4th decimal with zeros beyond
+    ties = con.execute(
+        f"""
+        WITH g AS (
+          SELECT n_name, year(o_orderdate) AS y, sum({REV_SQL}) AS rev
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, y)
+        SELECT count(*) FROM g
+        WHERE (rev * 1000) = floor(rev * 1000) AND
+              (rev * 1000) % 10 = 5
+        """
+    ).fetchone()[0]
+    assert ties >= 1, "q91's half-cent tie groups vanished from sf0.01"
+    # the judge-verified example group
+    val = con.execute(
+        f"""
+        SELECT sum({REV_SQL})
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_12' AND year(o_orderdate) = 1999
+        """
+    ).fetchone()[0]
+    assert str(val).startswith("19766258.925"), val
+
+
+def test_spark_and_duckdb_round_decimal_ties_identically(spark):
+    """Engine-agreement pin: both engines round a decimal half-cent tie
+    HALF_UP (away from zero; the fixture's revenues are positive), so
+    `round(decimal, 2)` is a safe cross-engine contract."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cases = ["19766258.9250", "11710082.6950", "0.0050", "2.6750"]
+    duck = duckdb.connect()
+    for s in cases:
+        exp = float(
+            Decimal(s).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        d = duck.execute(
+            f"SELECT CAST(round(CAST('{s}' AS DECIMAL(18,4)), 2) "
+            "AS DOUBLE)"
+        ).fetchone()[0]
+        sp = spark.sql(
+            f"SELECT CAST(round(CAST('{s}' AS DECIMAL(18,4)), 2) "
+            "AS DOUBLE)"
+        ).collect()[0][0]
+        assert repr(d) == repr(sp) == repr(exp), (s, d, sp, exp)
