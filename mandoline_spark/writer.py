@@ -828,7 +828,13 @@ def _commit_merged(
         # newest-full-wins resolution, silently dropping whichever
         # writer's rows sort older.  Release the claim and fail loud.
         try:
-            conn.fs.rmtree(gen_path)  # claim-only: no parquet yet
+            # tombstone, not rmtree (r13 advice): the dropped claim must
+            # stay a COUNTED position for check_generations_complete's
+            # contiguity walk — >=3 contiguous bare-rmtree holes above
+            # the visible max could end the walk before a lag-hidden
+            # sealed generation, the same silent-shadowing hole
+            # release_claim/vacuum already close
+            tombstone_claim(conn.fs, gen_path)
         except Exception:
             pass  # a stale claim-only gen dir is vacuumable garbage
         raise ConcurrentWriteError(
@@ -906,8 +912,12 @@ def _commit_merged(
         # post-append listing: on a list-after-write-lagged store a
         # NON-empty generation whose keys are not listable yet would
         # read as empty and be deleted here, turning a successful
-        # ingest into silent data loss (r12 advice).
-        conn.fs.rmtree(gen_path)
+        # ingest into silent data loss (r12 advice).  The drop is a
+        # tombstone, not an rmtree, so the abandoned claim remains a
+        # counted position for the completeness walk (r13 advice);
+        # claim_index_gen reclaims tombstoned slots, so the number is
+        # not burned.
+        tombstone_claim(conn.fs, gen_path)
         return None
     # seal AFTER the append commits: a strong per-key marker proving
     # the generation's parquet is complete.  On list-after-write-lagged
@@ -973,7 +983,9 @@ def materialize_full_index(conn: Connection, vid: int, var: str) -> None:
     expected = (gens_before[-1] + 1) if gens_before else 0
     if gen != expected:
         try:
-            conn.fs.rmtree(gen_path)  # claim-only: no parquet yet
+            # tombstone, not rmtree — counted position (see the
+            # full-mode race release above; r13 advice)
+            tombstone_claim(conn.fs, gen_path)
         except Exception:
             pass
         raise ConcurrentWriteError(
@@ -1378,6 +1390,15 @@ def claim_index_gen(conn: Connection, vid: int, var: str) -> tuple[str, int]:
         if conn.fs.create_exclusive(
             os.path.join(gen_path, "_CLAIM"), ""
         ):
+            # reclaiming a tombstoned slot (a released claim is a
+            # counted-but-reusable position): clear the stale
+            # _RELEASED with a strong per-key delete so a LIVE
+            # generation never carries release state (r13 advice —
+            # benign today because the walk reads _CLAIM before
+            # _RELEASED, but marker state must stay canonical)
+            rel = os.path.join(gen_path, "_RELEASED")
+            if conn.fs.exists(rel):
+                conn.fs.rmtree(rel)
             return gen_path, cand
         cand += 1  # claimed by a concurrent writer; take the next
     raise RuntimeError(
@@ -1494,9 +1515,12 @@ def ingest_aligned(
         # read-modify-write base — a nondeterministic merge that
         # commits without error.  The appended blobs stay (orphaned,
         # vacuumable) — the version is uncommitted so readers never
-        # see them (failed-ingest invisibility).
+        # see them (failed-ingest invisibility).  Tombstoned, not
+        # rmtree'd: the violating generation's number stays a counted
+        # position for the completeness walk (r13 advice); the sweep
+        # inside tombstone_claim removes its parquet.
         if gen_path is not None:
-            conn.fs.rmtree(gen_path)
+            tombstone_claim(conn.fs, gen_path)
         raise
     finally:
         merged.unpersist()

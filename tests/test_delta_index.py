@@ -491,9 +491,14 @@ def test_compact_aborts_on_concurrent_generation(store, monkeypatch):
         writer.materialize_full_index(conn, vid, "foo")
     monkeypatch.setattr(writer, "claim_index_gen", real_claim)
 
-    # the claim husk was released and the late generation survives
+    # the claim husk was released and the late generation survives.
+    # r14: the release is a TOMBSTONE, not an rmtree — the abandoned
+    # slot keeps a _RELEASED marker (a counted position for the
+    # completeness walk, r13 advice) and stays invisible to index_gens
     assert conn.index_gens(vid, "foo") == [0, 1, 2]
-    assert not conn.fs.exists(conn.index_path(vid, "foo", 3))
+    husk = conn.index_path(vid, "foo", 3)
+    assert conn.fs.exists(os.path.join(husk, "_RELEASED"))
+    assert not conn.fs.exists(os.path.join(husk, "_CLAIM"))
 
     # reads resolve the full chain — nothing was truncated
     want = np.ones((8, 8), dtype=np.int32)
