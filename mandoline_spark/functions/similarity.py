@@ -106,7 +106,13 @@ def cosine_topk(
     two full-bench windows).  Default stays JVM-side; flip it when
     |queries| x |corpus| is large enough to amortize (the operator
     cannot see the pair count without spending a job).  Values are
-    identical either way (zero-norm and NULL rows yield 0.0)."""
+    bit-level-APPROXIMATE across the two paths, not identical:
+    einsum's summation order differs from the sequential fold, so a
+    sim can differ in the last ulps and a ``round_to``/rank decision
+    near a boundary can diverge (tests/test_similarity_ann.py pins
+    rank-set equality and <=1e-12 sim agreement on the fixture,
+    including the NULL/zero-norm rows, which yield 0.0 on both
+    paths)."""
     if vectorized:
         q = queries.select(
             F.col(id_col).alias("qid"),

@@ -118,12 +118,36 @@ def vacuum(
     Failed-ingest residue and unreferenced chunks therefore persist
     until a quiescent window allows a ``scope="full"`` run — settled
     mode trades collection completeness for running at all under
-    continuous writers."""
+    continuous writers.
+
+    Settled mode should run with a NONZERO ``retain_seconds`` (r13
+    advice): its premise is concurrent readers and writers, and with
+    the 0 default phase (b) and the settled chunk-generation sweep
+    delete superseded generations IMMEDIATELY — a concurrent reader
+    that resolved the old generation before the sweep (or an in-flight
+    writer whose read-modify-write base was resolved before a
+    compaction) loses files mid-scan.  The same caveat previously
+    documented for phase (d) claims applies to every settled-mode
+    deletion; a grace window longer than the longest running
+    read/commit makes them all safe.  ``vacuum`` warns rather than
+    raises on ``scope="settled", retain_seconds=0`` because a
+    quiesced-by-convention operator (readers drained, writers paused)
+    is still a legitimate immediate-collection caller."""
     if scope not in ("full", "settled"):
         raise ValueError(
             f'scope must be "full" or "settled": {scope!r}'
         )
     settled = scope == "settled"
+    if settled and retain_seconds <= 0:
+        import warnings
+
+        warnings.warn(
+            'vacuum(scope="settled") with retain_seconds=0 deletes '
+            "superseded generations immediately; concurrent readers "
+            "(settled mode's premise) can lose files mid-scan.  Set "
+            "retain_seconds above the longest running read/commit.",
+            stacklevel=2,
+        )
     now = time.time()
     stats = {
         "chunks_kept": 0,

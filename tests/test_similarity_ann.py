@@ -165,3 +165,57 @@ def test_ann_top1_prefers_self_over_exact_duplicate(emb, spark):
     ):
         top = fn(q, corpus, k=1, **kw).collect()
         assert [(r["qid"], r["vec_id"]) for r in top] == [(5, 5)], fn.__name__
+
+
+def test_vectorized_cosine_parity_with_jvm_fold(spark, emb):
+    """r14 (r13 advice): the vectorized=True einsum path must agree
+    with the default JVM aggregate-fold — same (qid, id) rank sets,
+    sims bit-approximate (einsum's summation order differs from the
+    sequential fold, so agreement is to FP association, not bits; the
+    operator docstring says so).  NULL and zero-norm rows are part of
+    the contract: both paths yield sim 0.0 for them."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]
+    )
+    crafted = spark.createDataFrame(
+        [
+            (10_001, None, 0),               # NULL vector
+            (10_002, [0.0] * dim, 0),        # zero norm
+        ],
+        schema,
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(
+        crafted
+    )
+    q = corpus.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") > 10_000)
+    )
+    # round_to=None: compare the raw doubles with a tolerance instead
+    # of betting a rounded value never straddles a boundary
+    jvm = cosine_topk(q, corpus, k=5, round_to=None).collect()
+    vec = cosine_topk(
+        q, corpus, k=5, round_to=None, vectorized=True
+    ).collect()
+    assert [(r.qid, r.vec_id) for r in jvm] == [
+        (r.qid, r.vec_id) for r in vec
+    ]
+    for a, b in zip(jvm, vec):
+        assert abs(a.sim - b.sim) <= 1e-12, (a, b)
+    # the crafted NULL/zero-norm queries match nothing meaningfully:
+    # every pair sim is exactly 0.0 on both paths
+    for rows in (jvm, vec):
+        degenerate = [r for r in rows if r.qid > 10_000]
+        assert degenerate and all(r.sim == 0.0 for r in degenerate)
