@@ -3616,17 +3616,16 @@ def q105(spark, sf):
 _Q106_MEMO: dict = {}
 _Q106_SEQ = iter(range(1, 1 << 30))
 
-
-@_q(
-    "q106_streaming_sessions",
-    # Batch-SQL twin of the watermarked streaming session_window in
-    # append mode: gap-based islands (>= gap starts a new session —
-    # windows are [ts, ts+gap)), restricted to sessions the FINAL
-    # watermark finalized (session end <= max event time - delay; the
-    # availableNow trigger's closing no-data batch evicts exactly
-    # those).  Timestamps compare as epoch microseconds so neither
-    # engine's timestamp formatting is load-bearing.
-    """WITH d AS (SELECT user_id, ts, value,
+# Batch-SQL twin of the watermarked streaming session_window in
+# append mode: gap-based islands (>= gap starts a new session —
+# windows are [ts, ts+gap)), restricted to sessions the FINAL
+# watermark finalized (session end <= max event time - delay; the
+# availableNow trigger's closing no-data batch evicts exactly
+# those).  Timestamps compare as epoch microseconds so neither
+# engine's timestamp formatting is load-bearing.  Shared by q106
+# (single data batch) and q107 (event-time-ordered multi-batch) —
+# the two replays must produce the SAME finalized sessions.
+_STREAM_SESSIONS_ORACLE = """WITH d AS (SELECT user_id, ts, value,
        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                  >= INTERVAL 10 MINUTE
             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -3641,8 +3640,10 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid
 HAVING max(ts) + INTERVAL 10 MINUTE
        <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
-ORDER BY user_id, ss_us""",
-)
+ORDER BY user_id, ss_us"""
+
+
+@_q("q106_streaming_sessions", _STREAM_SESSIONS_ORACLE)
 def q106(spark, sf):
     """Streaming gap sessionization replayed over the events fixture:
     the file-source stream (4 part files, 2 per micro-batch) flows
@@ -3694,6 +3695,86 @@ def q106(spark, sf):
                 stream, gap="10 minutes", watermark="30 minutes"
             )
             table = f"q106_sessions_{next(_Q106_SEQ)}"
+            run_available_now(
+                agg, table, "append", _os.path.join(tmp, "ck")
+            )
+            _Q106_MEMO[key] = table
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("ss_us"),
+            F.unix_micros("session_end").alias("se_us"),
+            "n_events",
+            "s",
+        )
+        .transform(psort, "user_id", "ss_us")
+    )
+
+
+@_q("q107_streaming_sessions_multibatch", _STREAM_SESSIONS_ORACLE)
+def q107(spark, sf):
+    """q106's session pipeline replayed as a TRUE multi-micro-batch
+    stream (r13 verdict stretch #8): ``maxFilesPerTrigger=1`` over
+    four files RANGE-PARTITIONED BY EVENT TIME, so every micro-batch's
+    events are >= the previous batch's max event time.  That is the
+    configuration under which cross-micro-batch watermark behavior —
+    the watermark advancing between batches, finalized session state
+    being emitted and EVICTED while later batches still arrive — runs
+    under driver-visible oracle evidence instead of pytest-only pins.
+
+    Why ordering is the whole trick: q106 documents (measured) that an
+    event-time-INTERLEAVED multi-batch replay drops most of a later
+    batch as late data once the first batch's max event time moves the
+    watermark (498/978 sessions + 6 spurious partials).  With
+    time-ordered files no event is ever below the watermark (min of
+    batch k+1 >= max of batch k > watermark_k), so the 1-file-per-
+    trigger replay is batch-equivalent BY CONSTRUCTION and must match
+    the same islands-form SQL oracle as the single-batch run.  File
+    order is forced, not assumed: the file source processes oldest
+    modification time first, so each range file's mtime is set to its
+    range rank before the stream starts."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    key = (id(spark), _os.path.abspath(sf), "multibatch")
+    table = _Q106_MEMO.get(key)
+    if table is None:
+        tmp = _tempfile.mkdtemp(prefix="mandoline_q107_")
+        try:
+            src = _os.path.join(tmp, "src")
+            # one range exchange: part-0000i holds the i-th event-time
+            # range (contiguous, non-overlapping); the write also
+            # rounds the fixture's TIMESTAMP(NANOS) to Spark micros,
+            # the precision the oracle's epoch_us compares at
+            (
+                load_events(spark, sf)
+                .repartitionByRange(4, "ts")
+                .sortWithinPartitions("ts")
+                .write.parquet(src)
+            )
+            parts = sorted(
+                p for p in _os.listdir(src) if p.startswith("part-")
+            )
+            for i, p in enumerate(parts):
+                t = 1_000_000_000 + i  # any strictly increasing mtimes
+                _os.utime(_os.path.join(src, p), (t, t))
+            stream = read_events_stream(
+                spark, src, max_files_per_trigger=1
+            )
+            agg = session_counts(
+                stream, gap="10 minutes", watermark="30 minutes"
+            )
+            table = f"q107_sessions_{next(_Q106_SEQ)}"
             run_available_now(
                 agg, table, "append", _os.path.join(tmp, "ck")
             )

@@ -673,3 +673,57 @@ def test_neardup_gate_stream_both_modes(spark, tmp_path):
     run_available_now(flagged, "gate_flag", "append", str(tmp_path / "ck2"))
     got_flagged = {r.doc_id for r in spark.table("gate_flag").collect()}
     assert got_flagged == expect_flagged
+
+
+def test_ordered_multibatch_replay_evicts_across_batches(spark, tmp_path):
+    """r14 (q107's contract): with event-time-ORDERED files and
+    maxFilesPerTrigger=1, the watermark advances between micro-batches
+    and finalized sessions are emitted BEFORE the closing no-data
+    batch — cross-micro-batch eviction, not one big flush — and the
+    final result equals the single-batch run."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(0, "2024-01-01 10:00:00", user=1),
+         _ev(1, "2024-01-01 10:05:00", user=1)],
+        [_ev(2, "2024-01-01 13:00:00", user=2)],
+        [_ev(3, "2024-01-01 16:00:00", user=3)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_events_file(str(src / f"f{i}.parquet"), rows, now - 30 + i)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    agg = session_counts(stream, gap="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ordered_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3, [p["numInputRows"] for p in progress]
+    # eviction happened mid-stream: some batch BEFORE the last
+    # data/no-data batch already wrote finalized sessions to the sink
+    out_by_batch = [p["sink"].get("numOutputRows", 0) for p in progress]
+    assert sum(out_by_batch[:-1]) >= 1, out_by_batch
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.table("ordered_mb").collect()
+    }
+    # single-batch reference: same data, one trigger
+    stream1 = read_events_stream(spark, str(src), max_files_per_trigger=8)
+    agg1 = session_counts(stream1, gap="10 minutes", watermark="30 minutes")
+    run_available_now(agg1, "ordered_sb", "append", str(tmp_path / "ck_sb"))
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.table("ordered_sb").collect()
+    }
+    assert got == want
+    # the 16:00 tail event is above the final watermark: finalized
+    # sessions are exactly users 1 and 2
+    assert set(u for u, _ in got) == {1, 2}
