@@ -726,6 +726,7 @@ def main() -> None:
     # per mode, both modes interleaved into the same JVM state.
     aqe_sample = [n for i, n in enumerate(sorted(QUERIES)) if i % 5 == 0]
     aqe_ab: dict = {"n_queries": len(aqe_sample)}
+    aqe_per: dict[str, dict] = {}
     for mode, label in (("false", "off_sec"), ("true", "on_sec")):
         spark.conf.set("spark.sql.adaptive.enabled", mode)
         per: dict[str, float] = {}
@@ -736,6 +737,13 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 per[name] = min(per.get(name, dt), dt)
         aqe_ab[label] = round(sum(per.values()), 4)
+        for name, dt in per.items():
+            aqe_per.setdefault(name, {})[label[:-4]] = round(dt, 4)
+    # per-query deltas ride the record (r13 verdict #7): the off/on
+    # TOTAL flipped sign between r12 and r13 records, and only the
+    # per-query view says whether that is a real plan regression or a
+    # few re-optimization-cycle constants moving in window noise
+    aqe_ab["per_query"] = aqe_per
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # Same-session DuckDB pair (VERDICT r7 #5): the oracle baseline is
