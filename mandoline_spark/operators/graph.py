@@ -46,6 +46,16 @@ def connected_components(
     the 100 TB deployment path); when None, executor-local
     checkpoints (single-job local runs).  Results are identical.
 
+    AQE note (r14, measured): with spark.sql.adaptive.enabled the
+    engine materializes and RE-OPTIMIZES every round's exchanges — a
+    query-stage cycle per iteration that added ~40% to the q83
+    curation pipeline at sf0.1 (BASELINE.md "AQE A/B flip") while
+    changing nothing (the loop's partitioning is already fixed by the
+    pre-partitioned edge cache + ReuseExchange).  On a session where
+    AQE is the default, disable it around the iteration
+    (``spark.conf.set("spark.sql.adaptive.enabled", "false")``) —
+    per-round plans here are statically right by construction.
+
     Block freeing is per-handle: each round unpersists the PREVIOUS
     round's checkpoint through that checkpoint's own RDD (the
     ``LogicalRDD`` the eager checkpoint planted at the root of the

@@ -82,9 +82,21 @@ def main() -> None:
 
     mf_dir = make_mf_fixture(sf1_dir)
 
+    # scheduling floor (same kernel as bench.py/probe_fa_tail) — the
+    # per-JOB constant the fa decomposition subtracts
+    from pyspark.sql import functions as F
+
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run(spark.range(8).groupBy((F.col("id") % 2).alias("k")).count())
+        floors.append(time.perf_counter() - t0)
+    floor = sorted(floors)[2]
+
     out: dict = {
         "metric": "bounded_sf1_record",
         "sf_dir": sf1_dir,
+        "sched_floor_sec": round(floor, 4),
         "box_health": health,
         "queries": {},
     }
@@ -108,7 +120,11 @@ def main() -> None:
             sc.setJobGroup("", "")
             if best is None or dt < best:
                 best = dt
-        out["queries"][name] = {"spark_sec": round(best, 4), "jobs": jobs}
+        out["queries"][name] = {
+            "spark_sec": round(best, 4),
+            "jobs": jobs,
+            "fa_all_jobs": round(best - jobs * floor, 4),
+        }
 
     # same-session DuckDB on the same mf16 files
     try:
