@@ -44,6 +44,7 @@ _CHANGED_R14 = [
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
+    "q33_udf_surface",  # exact integer-cent UDF + decimal oracle (r14)
 ]
 
 # The 13 queries whose newest driver evidence is r11 (VERDICT r13
@@ -63,7 +64,7 @@ _STALE_R11 = [
     "q102_length_outliers",
 ]
 
-# Backfill: the oldest 26 of the r12-evidence rows, by query number.
+# Backfill: the oldest 25 of the r12-evidence rows, by query number.
 # The remaining r12/r13 rows rotate into the r15 head.
 _STALE_R12 = [
     "q02_filter",
@@ -81,7 +82,6 @@ _STALE_R12 = [
     "q25_window_tumbling",
     "q26_window_sliding",
     "q27_session_window",
-    "q33_udf_surface",
     "q39_embedding_neardup",
     "q43_lang_id",
     "q44_fingerprint",
@@ -103,7 +103,7 @@ def _driver_order() -> list[str]:
     normalizations, the three array queries over the r14 writer/GC
     hardening), then the
     11 remaining r11-evidence rows (VERDICT r13 next-round #4), then
-    the oldest 26 r12-evidence rows — 50 exactly (13 + 11 + 26).
+    the oldest 25 r12-evidence rows — 50 exactly (14 + 11 + 25).
     After this window no query's evidence is older than r12.  The
     full local parity suite (tests/test_oracle_parity.py) still runs
     every entry, now with the driver's exact-string float compare."""

@@ -956,7 +956,7 @@ def q32(spark, sf):
 
 @_q(
     "q33_udf_surface",
-    "SELECT l_orderkey, round(l_extendedprice*(1-l_discount),2) AS net "
+    f"SELECT l_orderkey, CAST(round({REV_SQL}, 2) AS DOUBLE) AS net "
     "FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
 )
 def q33(spark, sf):
@@ -966,9 +966,21 @@ def q33(spark, sf):
 
     @pandas_udf("double")
     def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        # SQL round() is half-away-from-zero; pandas .round is half-even
-        net = price * (1 - discount)
-        return np.floor(net * 100 + 0.5) / 100
+        # r14: exact integer-cent arithmetic, the per-ROW member of the
+        # rev_dec class.  The previous float path (floor(net*100+0.5))
+        # agreed with the oracle's float round() on all 151 half-cent-
+        # exact rows at sf0.01 only by floating-point accident — three
+        # rounding semantics (Spark round, DuckDB round, floor+0.5)
+        # coexisted on values sitting exactly ON the boundary.  Integer
+        # cents x discount basis points is exact (<=1e11, well inside
+        # int64), and (x + 50) // 100 is decimal HALF_UP for the
+        # positive domain — bit-identical to the decimal oracle under
+        # any batch split.  Still a vectorized Arrow kernel, which is
+        # the surface this query exists to exercise.
+        cents = np.rint(price.to_numpy() * 100).astype(np.int64)
+        dbp = np.rint(discount.to_numpy() * 10000).astype(np.int64)
+        net6 = cents * (10000 - dbp)  # exact net at scale 10^6
+        return pd.Series(((net6 + 5000) // 10000) / 100.0)
 
     li = load(spark, sf, "lineitem")
     return (

@@ -16,7 +16,11 @@ enforced:
 1. a static audit over every declared oracle — any ``round(sum(expr))``
    whose summand is a PRODUCT (the only way the exact sum gains more
    decimal places than its operands, creating ties at the rounding
-   target) must accumulate in DECIMAL;
+   target) must accumulate in DECIMAL; the per-ROW member of the class
+   (q33's net) uses the same decimal oracle with an exact integer-cent
+   Arrow kernel on the Spark side — its 151 half-cent-exact rows at
+   sf0.01 agreed across three float rounding semantics only by
+   accident until r14;
 2. a fixture-property pin — the half-cent ties are still present in the
    sf0.01 data (so the decimal path stays load-bearing, not vestigial);
 3. an engine-agreement pin — Spark and DuckDB round decimal half-cent
