@@ -1515,12 +1515,19 @@ def ingest_aligned(
         # read-modify-write base — a nondeterministic merge that
         # commits without error.  The appended blobs stay (orphaned,
         # vacuumable) — the version is uncommitted so readers never
-        # see them (failed-ingest invisibility).  Tombstoned, not
-        # rmtree'd: the violating generation's number stays a counted
-        # position for the completeness walk (r13 advice); the sweep
-        # inside tombstone_claim removes its parquet.
+        # see them (failed-ingest invisibility).  This generation has
+        # REAL parquet, so it dies by the strong rmtree FIRST —
+        # tombstone_claim's listdir sweep can miss freshly-appended,
+        # not-yet-listable part files on a lagged store, and a
+        # lag-resurrected generation with duplicate ckeys is worse
+        # than a walk hole (r14 self-review) — then the dir is
+        # re-created as a counted _RELEASED position (r13 advice).  A
+        # crash between the steps leaves a bare hole: exactly the
+        # pre-r14 behavior, never worse.
         if gen_path is not None:
-            tombstone_claim(conn.fs, gen_path)
+            conn.fs.rmtree(gen_path)
+            conn.fs.makedirs(gen_path)
+            conn.fs.write_text(os.path.join(gen_path, "_RELEASED"), "")
         raise
     finally:
         merged.unpersist()

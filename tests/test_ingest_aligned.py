@@ -185,3 +185,48 @@ def test_empty_pieces_is_a_noop_not_a_wedge(store, spark):
         conn, reader.on_version(conn, vid), "v", sl.mk_slice((0,), (8,))
     )
     np.testing.assert_array_equal(got.data, np.full(8, 5, np.int32))
+
+
+def test_violating_generation_hard_deleted_then_tombstoned(store):
+    """r14 self-review: the cleanup of a precondition-violating aligned
+    ingest must (a) destroy the generation's PARQUET with the strong
+    rmtree — a listdir-based tombstone sweep can miss freshly-appended,
+    not-yet-listable part files on a lagged store, and a
+    lag-resurrected generation with duplicate ckeys would become the
+    documented write_pieces retry's read-modify-write base — and
+    (b) re-create the slot as a counted _RELEASED position so the
+    completeness walk's upper bound stays hole-independent.  The
+    documented recovery (write_pieces under the SAME token) must then
+    work and reclaim the slot."""
+    import os
+
+    from mandoline_spark.store import _has_parquet
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    one = sb.Slab(np.ones((4, 3), np.int32), sl.mk_slice((0, 0), (4, 3)))
+    rows = writer.slabs_to_piece_rows(token, "v", [one, one])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    with pytest.raises(ValueError, match="same chunk"):
+        writer.ingest_aligned(conn, token, "v", pieces)
+    vid = token["version-id"]
+    gen_path = conn.index_path(vid, "v", 0)
+    assert conn.fs.exists(os.path.join(gen_path, "_RELEASED"))
+    assert not conn.fs.exists(os.path.join(gen_path, "_CLAIM"))
+    assert not _has_parquet(conn.fs, gen_path)
+    conn.invalidate_cache()
+    assert conn.index_gens(vid, "v") == []
+    # retry with the general path under the same token: reclaims the
+    # tombstoned slot (clearing its stale _RELEASED) and commits
+    rows2 = writer.slabs_to_piece_rows(token, "v", [one])
+    pieces2 = conn.spark.createDataFrame(
+        rows2, schema=writer.piece_schema(2)
+    )
+    writer.write_pieces(conn, token, "v", pieces2)
+    conn.invalidate_cache()
+    assert conn.index_gens(vid, "v") == [0]
+    assert not conn.fs.exists(os.path.join(gen_path, "_RELEASED"))
+    got = reader.get_slice(
+        conn, dict(token), "v", sl.mk_slice((0, 0), (4, 3))
+    ).data
+    np.testing.assert_array_equal(got, np.ones((4, 3), np.int32))
