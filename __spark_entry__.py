@@ -19,94 +19,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q10_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose TRANSITIVE implementation changed this round (r14) —
+# Queries whose TRANSITIVE implementation changed this round (r15) —
 # the standing head-selection rule: driver evidence must be no older
 # than the code it vouches for, where "code" includes shared modules
-# and ORACLE strings (the driver hashes both sides).  r14 changes:
-# q10/q91/q104 accumulate revenue in exact decimal on both sides (the
-# r13 hash-tie fix — q91 keeps its pinned pre-agg plan);
-# q30/q53/q70/q87/q90/q92 normalize IEEE -0.0 in their oracles (DuckDB
-# round keeps the sign, Spark round never does — found by the r14
-# exact-string parity suite); q34/q35/q81 sit over the r14 writer/GC
-# work (tombstoned self-drop claim sites, _RELEASED cleanup on
-# reclaim, settled-vacuum grace warning).
-_CHANGED_R14 = [
-    "q107_streaming_sessions_multibatch",  # NEW r14 (r13 stretch #8)
-    "q10_agg_hash",
-    "q91_star_join",
-    "q104_shipping_priority",
-    "q30_similarity_topk",
-    "q53_lateral_explode",
-    "q70_stats_agg",
-    "q87_label_cohesion",
-    "q90_resample_ffill",
-    "q92_word_entropy",
+# and ORACLE strings (the driver hashes both sides).  r15 changes:
+# q108/q109 are NEW (VERDICT r14 #4 — the streaming exact-dedup gate
+# and the stream-stream interval join, replayed multi-micro-batch with
+# batch SQL oracles); q33's integer-cent kernel now ENFORCES its
+# positive-domain premise (r14 advice); q34/q35/q81 sit over the r15
+# writer hardening (tombstone_claim deletes _CLAIM last, ingest_aligned
+# best-effort cleanup).
+_CHANGED_R15 = [
+    "q108_streaming_dedup_gate",
+    "q109_streaming_interval_join",
+    "q33_udf_surface",
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
-    "q33_udf_surface",  # exact integer-cent UDF + decimal oracle (r14)
 ]
 
-# The 13 queries whose newest driver evidence is r11 (VERDICT r13
-# next-round #4), minus q90/q92 which moved into the r14-touched set
-# above — after this window no query's evidence is older than r12.
-_STALE_R11 = [
-    "q64_regexp_extract",
-    "q66_ann_ivf_top1",
-    "q68_stratified_sample",
-    "q79_dedup_keep_best",
-    "q84_tfidf_top_term",
-    "q88_bow_dup_groups",
-    "q93_boilerplate_prefix_groups",
-    "q94_rare_token_docs",
-    "q98_contamination_screen",
-    "q99_repetition_screen",
-    "q102_length_outliers",
-]
-
-# Backfill: the oldest 25 of the r12-evidence rows, by query number.
-# The remaining r12/r13 rows rotate into the r15 head.
+# The 14 queries whose newest driver evidence is r12 (VERDICT r14 #2,
+# queued since r14) — after this window no evidence is older than r13.
 _STALE_R12 = [
-    "q02_filter",
-    "q03_range_count",
-    "q06_join_left",
-    "q07_join_semi",
-    "q08_join_anti",
-    "q09_join_theta",
-    "q11_agg_distinct",
-    "q14_window_rank",
-    "q16_window_frame",
-    "q20_date_funcs",
-    "q21_math_funcs",
-    "q24_json_extract",
-    "q25_window_tumbling",
-    "q26_window_sliding",
-    "q27_session_window",
-    "q39_embedding_neardup",
-    "q43_lang_id",
-    "q44_fingerprint",
-    "q45_asof_join",
-    "q51_scalar_subquery",
-    "q54_window_navigation",
-    "q55_string_distance",
-    "q58_date_arith",
-    "q63_map_funcs",
-    "q67_hash_sample",
+    "q69_minmax_by",
+    "q71_bitwise_agg",
+    "q72_histogram",
+    "q73_sequence_explode",
+    "q74_regression_agg",
+    "q75_cross_join",
+    "q76_month_arith",
+    "q77_string_shaping",
+    "q78_array_set_ops",
+    "q82_neardup_clusters",
+    "q83_dedup_cluster_keep",
+    "q85_vocab_df_topk",
+    "q86_event_funnel",
+    "q101_token_length_hist",
+]
+
+# Backfill: the 30 lowest-numbered of the 43 r13-evidence rows; the
+# remaining 13 (q60/q61/q62/q65/q80/q89/q95/q96/q97/q100/q103/q105/
+# q106) rotate into the r16 head.
+_STALE_R13 = [
+    "q01_scan_project",
+    "q04_join_inner",
+    "q05_join_broadcast",
+    "q12_rollup",
+    "q13_cube",
+    "q15_window_lag",
+    "q17_topk",
+    "q18_set_intersect",
+    "q19_string_funcs",
+    "q22_case_when",
+    "q23_array_funcs",
+    "q28_approx_distinct",
+    "q29_dedup_exact",
+    "q31_text_stats",
+    "q32_multimodal",
+    "q36_minhash_neardup",
+    "q37_ngram_jaccard",
+    "q38_simhash_neardup",
+    "q40_ann_lsh_top1",
+    "q41_token_count",
+    "q42_quality_score",
+    "q46_range_join",
+    "q47_topk_per_group",
+    "q48_union_except",
+    "q49_pivot",
+    "q50_percentiles",
+    "q52_exists_correlated",
+    "q56_grouping_sets",
+    "q57_filtered_agg",
+    "q59_array_hof",
 ]
 
 
 def _driver_order() -> list[str]:
     """Registration order for the driver's oracle check, which covers
-    only the FIRST 50 entries (observed: CORRECTNESS_r01–r13 stop at
-    50).  Head = every query r14's changes transitively touch (the new
-    multi-batch q107, the decimal-revenue trio, the six -0.0 oracle
-    normalizations, the three array queries over the r14 writer/GC
-    hardening), then the
-    11 remaining r11-evidence rows (VERDICT r13 next-round #4), then
-    the oldest 25 r12-evidence rows — 50 exactly (14 + 11 + 25).
-    After this window no query's evidence is older than r12.  The
-    full local parity suite (tests/test_oracle_parity.py) still runs
-    every entry, now with the driver's exact-string float compare."""
+    only the FIRST 50 entries (observed: CORRECTNESS_r01-r14 stop at
+    50).  Head = every query r15's changes transitively touch (the two
+    NEW streaming-replay queries, the q33 domain assertion, the three
+    array queries over the writer hardening), then the 14 remaining
+    r12-evidence rows (queued since r14), then the 30 oldest
+    r13-evidence rows — 50 exactly (6 + 14 + 30).  After this window
+    no query's evidence is older than r13.  The full local parity
+    suite (tests/test_oracle_parity.py) still runs every entry with
+    the driver's exact-string float compare."""
     import re
 
     def num(name: str) -> int:
@@ -114,7 +112,7 @@ def _driver_order() -> list[str]:
 
     head = [
         n
-        for n in _CHANGED_R14 + _STALE_R11 + _STALE_R12
+        for n in _CHANGED_R15 + _STALE_R12 + _STALE_R13
         if n in QUERIES
     ]
     assert len(head) == 50, len(head)

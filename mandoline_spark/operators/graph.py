@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    manage_aqe: bool = True,
 ) -> DataFrame:
     """(id, cluster) for every node in ``edges``, where ``cluster`` is
     the minimum node id reachable from ``id`` (deterministic canonical
@@ -51,10 +52,16 @@ def connected_components(
     query-stage cycle per iteration that added ~40% to the q83
     curation pipeline at sf0.1 (BASELINE.md "AQE A/B flip") while
     changing nothing (the loop's partitioning is already fixed by the
-    pre-partitioned edge cache + ReuseExchange).  On a session where
-    AQE is the default, disable it around the iteration
-    (``spark.conf.set("spark.sql.adaptive.enabled", "false")``) —
-    per-round plans here are statically right by construction.
+    pre-partitioned edge cache + ReuseExchange).  Since r15 the ENGINE
+    owns that recommendation (VERDICT r14 #6): ``manage_aqe=True``
+    (default) saves the session's ``spark.sql.adaptive.enabled``,
+    disables it around the iteration, and restores it in a finally —
+    per-round plans here are statically right by construction, so the
+    re-plan cycle buys nothing.  The toggle is a SESSION conf: a
+    concurrent thread compiling unrelated queries on the same session
+    during the loop would also compile them AQE-off (correct, just
+    un-adaptive) — pass ``manage_aqe=False`` to leave the conf alone
+    in that regime (the caller then eats the measured per-round tax).
 
     Block freeing is per-handle: each round unpersists the PREVIOUS
     round's checkpoint through that checkpoint's own RDD (the
@@ -179,26 +186,41 @@ def connected_components(
     # ~25 rounds the planner itself OOMs the driver (observed on a
     # 30-node chain).  Checkpointing truncates the lineage to the
     # materialized blocks — plan size stays O(1) per round.
-    for it in range(0, max_iter, 2):
-        obs = Observation()
-        cand = _step(first_hop if it == 0 else _step(labels)).observe(
-            obs, _sum
-        )
-        new_labels, new_handle = _ckpt(cand)
-        cur_sum = obs.get["s"]
-        if it == 0:
-            prev_sum = obs0.get["ids"]  # identity-label sum
-        if label_handle is not None:
-            # the checkpoint job was the last consumer of the previous
-            # round's blocks — free them now; at most two snapshots are
-            # ever live (a localCheckpoint is unreadable once freed, so
-            # this must stay AFTER the materialization)
-            _free(label_handle)
-        labels, label_handle = new_labels, new_handle
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    # every action below (checkpoint jobs, observation gets) runs in
+    # the AQE-off window when the session default is on — see the AQE
+    # note in the docstring; restore is unconditional via finally so
+    # an exception (incl. the non-convergence raise path's unpersist)
+    # can never leak a flipped conf
+    spark = edges.sparkSession
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    flip_aqe = manage_aqe and str(old_aqe).lower() == "true"
+    if flip_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(0, max_iter, 2):
+            obs = Observation()
+            cand = _step(
+                first_hop if it == 0 else _step(labels)
+            ).observe(obs, _sum)
+            new_labels, new_handle = _ckpt(cand)
+            cur_sum = obs.get["s"]
+            if it == 0:
+                prev_sum = obs0.get["ids"]  # identity-label sum
+            if label_handle is not None:
+                # the checkpoint job was the last consumer of the
+                # previous round's blocks — free them now; at most two
+                # snapshots are ever live (a localCheckpoint is
+                # unreadable once freed, so this must stay AFTER the
+                # materialization)
+                _free(label_handle)
+            labels, label_handle = new_labels, new_handle
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        if flip_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     und.unpersist()
     if not converged:
         # partial labels are silently WRONG (a path longer than
@@ -219,6 +241,7 @@ def dedup_clusters(
     size_col: str = "n_chars",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    manage_aqe: bool = True,
 ) -> DataFrame:
     """Assign every document to a duplicate cluster and pick its
     canonical representative: cluster = min reachable id over the
@@ -228,7 +251,10 @@ def dedup_clusters(
     (cluster, keep_id, n_docs).  ``checkpoint_dir``: see
     :func:`connected_components` (pass on clusters)."""
     cc = connected_components(
-        pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        pairs,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        manage_aqe=manage_aqe,
     )
     labeled = docs.select(
         F.col(id_col).alias("id"), F.col(size_col).alias("_sz")

@@ -980,6 +980,18 @@ def q33(spark, sf):
         cents = np.rint(price.to_numpy() * 100).astype(np.int64)
         dbp = np.rint(discount.to_numpy() * 10000).astype(np.int64)
         net6 = cents * (10000 - dbp)  # exact net at scale 10^6
+        # (net6 + 5000) // 10000 is HALF_UP only for net6 >= 0: floor
+        # division rounds a NEGATIVE tie toward -inf while the decimal
+        # oracle rounds away from zero.  Enforce the positive-domain
+        # premise instead of assuming it (r14 advice) — a fixture with
+        # negative prices or discounts > 1 must fail loudly, not
+        # silently drift half a cent per tie row.
+        if net6.size and net6.min() < 0:
+            raise ValueError(
+                "q33 integer-cent kernel requires non-negative net "
+                "revenue (price >= 0, discount <= 1); got negative "
+                "values — the HALF_UP shortcut does not hold there"
+            )
         return pd.Series(((net6 + 5000) // 10000) / 100.0)
 
     li = load(spark, sf, "lineitem")
@@ -3803,4 +3815,196 @@ def q107(spark, sf):
             "s",
         )
         .transform(psort, "user_id", "ss_us")
+    )
+
+
+# q108's replayed corpus: documents plus a RE-FED duplicate slice
+# (every 5th doc again under a shifted id — crawler re-fetches /
+# retry storms re-entering the ingest stream).  The gate must admit
+# exactly the FIRST writer per content hash, so with the duplicates
+# replayed in a strictly later micro-batch the survivors are exactly
+# min(doc_id) per md5(text) — the q29 batch-dedup shape, which is why
+# that is the oracle.
+_STREAM_DEDUP_ORACLE = (
+    "WITH src AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 5 = 0) "
+    "SELECT min(doc_id) AS doc_id, md5(text) AS h "
+    "FROM src GROUP BY md5(text) ORDER BY doc_id"
+)
+
+
+@_q("q108_streaming_dedup_gate", _STREAM_DEDUP_ORACLE)
+def q108(spark, sf):
+    """Streaming exact-dedup gate under driver-visible oracle evidence
+    (VERDICT r14 #4): the documents corpus plus a re-fed duplicate
+    slice flows through ``dedup_stream`` (streaming/ops.py:164 —
+    md5-keyed ``dropDuplicates`` state, the ingestion-side gate) as a
+    TRUE multi-micro-batch availableNow replay, and the admitted rows
+    must equal the batch ``min(doc_id) GROUP BY md5(text)`` oracle.
+
+    Determinism is arranged the q107 way — by file mtime order, not
+    assumed: the originals are range-split by doc_id into three files
+    (no intra-file hash collisions: the corpus is duplicate-free, so
+    every original is its hash's sole in-batch member), and the
+    duplicate slice is appended as a fourth file with the newest
+    mtime.  ``maxFilesPerTrigger=1`` then feeds the originals in
+    batches 1-3 and the duplicates in batch 4, so every duplicate
+    tests the CROSS-micro-batch state path (hash seen in an earlier
+    batch -> row dropped), and first-writer-wins pins the admitted
+    doc_id to the original.  Global mode (no watermark): state is the
+    distinct-content set, the q29 semantics; the watermark-bounded
+    variant is pinned in tests/test_streaming.py."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.ops import dedup_stream, run_available_now
+
+    key = (id(spark), _os.path.abspath(sf), "dedup_gate")
+    table = _Q106_MEMO.get(key)
+    if table is None:
+        tmp = _tempfile.mkdtemp(prefix="mandoline_q108_")
+        try:
+            src = _os.path.join(tmp, "src")
+            docs = load(spark, sf, "documents").select("doc_id", "text")
+            (
+                docs.repartitionByRange(3, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.parquet(src)
+            )
+            firsts = sorted(
+                p for p in _os.listdir(src) if p.startswith("part-")
+            )
+            (
+                docs.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            for i, p in enumerate(firsts):
+                t = 1_000_000_000 + i
+                _os.utime(_os.path.join(src, p), (t, t))
+            for p in _os.listdir(src):
+                if p.startswith("part-") and p not in firsts:
+                    t = 1_000_000_000 + 100
+                    _os.utime(_os.path.join(src, p), (t, t))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(src)
+            )
+            admitted = dedup_stream(
+                stream, content_col="text", id_col="doc_id"
+            )
+            table = f"q108_admitted_{next(_Q106_SEQ)}"
+            run_available_now(
+                admitted, table, "append", _os.path.join(tmp, "ck")
+            )
+            _Q106_MEMO[key] = table
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(table)
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .transform(psort, "doc_id")
+    )
+
+
+_STREAM_IJOIN_ORACLE = (
+    "SELECT l.event_id AS l_id, r.event_id AS r_id, "
+    "l.user_id AS user_id, epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us "
+    "FROM events l JOIN events r ON l.user_id = r.user_id "
+    "AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 60 MINUTE "
+    "WHERE l.event_type = 'click' AND r.event_type = 'view' "
+    "ORDER BY l_id, r_id"
+)
+
+
+@_q("q109_streaming_interval_join", _STREAM_IJOIN_ORACLE)
+def q109(spark, sf):
+    """Stream-stream interval join under driver-visible oracle evidence
+    (VERDICT r14 #4): clicks join the views that preceded them within
+    60 minutes per user (``interval_join_streams``,
+    streaming/ops.py:107), replayed as a TRUE multi-micro-batch
+    availableNow stream on BOTH sides and compared to the identical
+    batch join.
+
+    The replay reuses q107's event-time-ordered file layout: one range
+    exchange writes four contiguous time-range files with forced
+    mtimes, and both sides read the same directory at
+    ``maxFilesPerTrigger=1``, so the two sources advance through the
+    same four micro-batches in event-time order.  Cross-batch buffering
+    is genuinely exercised — a click early in batch k+1 must find view
+    rows buffered from batch k — while ordered replay keeps the join
+    lossless BY CONSTRUCTION: the watermark after batch k is
+    maxts_k - 90min, right-side state is evicted only below
+    watermark - lookback = maxts_k - 150min, and no later click needs a
+    view older than maxts_k - 60min.  The two-sided event-time bound is
+    what makes the state finite at all (without it a stream-stream
+    join buffers forever); its batch-equivalence at fixture scale is
+    also pytest-pinned (tests/test_streaming.py)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.ops import (
+        interval_join_streams,
+        read_events_stream,
+        run_available_now,
+    )
+
+    key = (id(spark), _os.path.abspath(sf), "interval_join")
+    table = _Q106_MEMO.get(key)
+    if table is None:
+        tmp = _tempfile.mkdtemp(prefix="mandoline_q109_")
+        try:
+            src = _os.path.join(tmp, "src")
+            (
+                load_events(spark, sf)
+                .repartitionByRange(4, "ts")
+                .sortWithinPartitions("ts")
+                .write.parquet(src)
+            )
+            parts = sorted(
+                p for p in _os.listdir(src) if p.startswith("part-")
+            )
+            for i, p in enumerate(parts):
+                t = 1_000_000_000 + i
+                _os.utime(_os.path.join(src, p), (t, t))
+            left = read_events_stream(
+                spark, src, max_files_per_trigger=1
+            ).filter(F.col("event_type") == "click")
+            right = read_events_stream(
+                spark, src, max_files_per_trigger=1
+            ).filter(F.col("event_type") == "view")
+            joined = interval_join_streams(
+                left,
+                right,
+                on="user_id",
+                lookback="60 minutes",
+                watermark="90 minutes",
+            )
+            table = f"q109_ijoin_{next(_Q106_SEQ)}"
+            run_available_now(
+                joined, table, "append", _os.path.join(tmp, "ck")
+            )
+            _Q106_MEMO[key] = table
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(table)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("r_event_id").alias("r_id"),
+            "user_id",
+            F.unix_micros("ts").alias("l_us"),
+            F.unix_micros("r_ts").alias("r_us"),
+        )
+        .transform(psort, "l_id", "r_id")
     )

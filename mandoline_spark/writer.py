@@ -1325,21 +1325,35 @@ def tombstone_claim(fs, gen_path: str) -> None:
     into a miss, and a run of them below a still-lag-hidden sealed
     generation would end the walk early (r12 advice).  Tombstone-first
     ordering is crash-safe: a crash in between leaves both markers,
-    which the walk reads as a still-claimed husk (loud, retriable)."""
+    which the walk reads as a still-claimed husk (loud, retriable).
+
+    Ordering invariant (r14 advice): ``_CLAIM`` is deleted LAST.  A
+    reclaimer (:func:`claim_index_gen`) can only enter this slot once
+    ``create_exclusive("_CLAIM")`` succeeds, i.e. once the old marker
+    is gone — deleting it first (the pre-r15 order) opened a window
+    where the reclaimer's fresh ``_CLAIM`` and early files were still
+    being swept by THIS releaser, leaving the generation
+    double-claimable (the lost-update the marker protocol exists to
+    prevent).  With ``_CLAIM``-last, the sweep runs while the slot is
+    still exclusively ours; a crash mid-sweep leaves ``_CLAIM`` +
+    ``_RELEASED``, which the walk reads as a claimed husk."""
     fs.write_text(os.path.join(gen_path, "_RELEASED"), "")
-    # the known markers are removed by NAME via strong per-key ops: on
-    # a list-after-write-lagged store a fresh _CLAIM may not be
-    # LISTABLE yet, and leaving it behind would turn the tombstone
-    # back into a still-claimed husk
-    for name in ("_CLAIM", "_DELTA", "_MASKED", "_SUPERSEDED"):
+    # non-claim markers are removed by NAME via strong per-key ops: on
+    # a list-after-write-lagged store they may not be LISTABLE yet,
+    # and leaving one behind would corrupt the tombstone's state
+    for name in ("_DELTA", "_MASKED", "_SUPERSEDED"):
         p = os.path.join(gen_path, name)
         if fs.exists(p):
             fs.rmtree(p)
     # best-effort sweep for anything else visible (e.g. a dead
-    # writer's _temporary staging)
+    # writer's _temporary staging) — _CLAIM stays until the very end
     for name in fs.listdir(gen_path):
-        if name != "_RELEASED":
+        if name not in ("_RELEASED", "_CLAIM"):
             fs.rmtree(os.path.join(gen_path, name))
+    # only now open the slot to reclaimers
+    p = os.path.join(gen_path, "_CLAIM")
+    if fs.exists(p):
+        fs.rmtree(p)
 
 
 def release_claim(conn: Connection, vid: int, var: str, gen: int) -> None:
@@ -1523,11 +1537,24 @@ def ingest_aligned(
         # than a walk hole (r14 self-review) — then the dir is
         # re-created as a counted _RELEASED position (r13 advice).  A
         # crash between the steps leaves a bare hole: exactly the
-        # pre-r14 behavior, never worse.
+        # pre-r14 behavior, never worse.  The recreate is BEST-EFFORT
+        # (r14 advice): an IO failure here must not shadow the
+        # documented ValueError the retry path catches, and if a
+        # concurrent claimant already grabbed the freed slot (fresh
+        # _CLAIM), stamping _RELEASED into their live generation would
+        # corrupt its marker state — skip it and leave the hole.
         if gen_path is not None:
             conn.fs.rmtree(gen_path)
-            conn.fs.makedirs(gen_path)
-            conn.fs.write_text(os.path.join(gen_path, "_RELEASED"), "")
+            try:
+                conn.fs.makedirs(gen_path)
+                if not conn.fs.exists(
+                    os.path.join(gen_path, "_CLAIM")
+                ):
+                    conn.fs.write_text(
+                        os.path.join(gen_path, "_RELEASED"), ""
+                    )
+            except Exception:
+                pass  # bare hole == pre-r14 behavior, never worse
         raise
     finally:
         merged.unpersist()

@@ -311,3 +311,80 @@ def test_commit_race_barrier_one_winner(store):
     assert t2["parent"] == wins[0][1]
     v2 = conn.finish_version(t2)
     assert conn.version_ids() == [v2, wins[0][1]]
+
+
+class _ReclaimOnClaimDelete:
+    """fs proxy: the instant ``_CLAIM`` is deleted, a concurrent
+    claimant (simulated inline) re-claims the slot and writes an early
+    part file — the exact race window from the r14 advice on
+    tombstone_claim.  Everything else delegates to the real fs."""
+
+    def __init__(self, fs, gen_path):
+        self._fs = fs
+        self._gen_path = gen_path
+        self.reclaimed = False
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def rmtree(self, path):
+        import os
+
+        self._fs.rmtree(path)
+        if path == os.path.join(self._gen_path, "_CLAIM"):
+            assert self._fs.create_exclusive(path, "reclaimer")
+            self._fs.write_text(
+                os.path.join(self._gen_path, "part-00000.parquet"),
+                "reclaimer-data",
+            )
+            self.reclaimed = True
+
+
+def test_tombstone_claim_cannot_sweep_a_reclaimer(store):
+    """r14 advice (medium): tombstone_claim must delete ``_CLAIM``
+    LAST.  A reclaimer can enter the slot the moment the old marker is
+    gone; under the pre-r15 order (marker deleted first, listdir sweep
+    after) the releaser's sweep would delete the reclaimer's fresh
+    ``_CLAIM`` and early files, leaving the generation double-claimable
+    — the lost-update the marker protocol exists to prevent.  With
+    ``_CLAIM``-last the releaser touches nothing after the delete, so
+    the reclaimer's state survives verbatim."""
+    import os
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    vid = token["version-id"]
+    gen_path, gen = writer.claim_index_gen(conn, vid, "foo")
+    # a dead writer's leftovers the sweep must still collect
+    conn.fs.write_text(os.path.join(gen_path, "_DELTA"), "")
+    conn.fs.makedirs(os.path.join(gen_path, "_temporary"))
+
+    proxy = _ReclaimOnClaimDelete(conn.fs, gen_path)
+    writer.tombstone_claim(proxy, gen_path)
+
+    assert proxy.reclaimed
+    # the reclaimer's claim and data are intact...
+    left = set(conn.fs.listdir(gen_path))
+    assert "_CLAIM" in left and "part-00000.parquet" in left, left
+    assert (
+        conn.fs.read_text(os.path.join(gen_path, "part-00000.parquet"))
+        == "reclaimer-data"
+    )
+    # ...and the releaser's sweep still collected the husk's markers
+    assert "_DELTA" not in left and "_temporary" not in left, left
+
+
+def test_tombstone_claim_without_contention_leaves_only_released(store):
+    """The uncontended path is unchanged by the r15 reorder: a released
+    husk collapses to exactly {_RELEASED}, a counted-but-reclaimable
+    position for the contiguity walk."""
+    import os
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(DDS)
+    gen_path, _ = writer.claim_index_gen(
+        conn, token["version-id"], "foo"
+    )
+    conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
+    writer.tombstone_claim(conn.fs, gen_path)
+    assert conn.fs.listdir(gen_path) == ["_RELEASED"]

@@ -230,3 +230,128 @@ def test_violating_generation_hard_deleted_then_tombstoned(store):
         conn, dict(token), "v", sl.mk_slice((0, 0), (4, 3))
     ).data
     np.testing.assert_array_equal(got, np.ones((4, 3), np.int32))
+
+
+class _FailRecreateFS:
+    """fs proxy: the recreate step of ingest_aligned's failure cleanup
+    dies (crash-injection for the rmtree->makedirs->_RELEASED
+    sequence).  Delegates everything else."""
+
+    def __init__(self, fs, gen_path):
+        self._fs = fs
+        self._gen_path = gen_path
+        self._armed = False  # only AFTER the cleanup's rmtree
+        self.tripped = False
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def rmtree(self, path):
+        self._fs.rmtree(path)
+        if path == self._gen_path:
+            self._armed = True
+
+    def makedirs(self, path):
+        if path == self._gen_path and self._armed:
+            # the post-rmtree RECREATE of the violating slot
+            self.tripped = True
+            raise OSError("injected: store died during cleanup")
+        self._fs.makedirs(path)
+
+
+def test_cleanup_crash_leaves_bare_hole_and_retry_recovers(store):
+    """r14 advice (low) + VERDICT r14 #8: ingest_aligned's failure
+    cleanup is best-effort — an IO failure in the recreate must NOT
+    shadow the documented ValueError the retry path catches, and the
+    resulting bare hole (rmtree done, recreate dead) must be handled no
+    worse than pre-r14: the same-token write_pieces retry still claims
+    the slot and commits."""
+    import os
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    one = sb.Slab(np.ones((4, 3), np.int32), sl.mk_slice((0, 0), (4, 3)))
+    rows = writer.slabs_to_piece_rows(token, "v", [one, one])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    vid = token["version-id"]
+    gen_path = conn.index_path(vid, "v", 0)
+    real_fs = conn.fs
+    conn.fs = _FailRecreateFS(real_fs, gen_path)
+    try:
+        # the ORIGINAL ValueError, not the injected OSError
+        with pytest.raises(ValueError, match="same chunk"):
+            writer.ingest_aligned(conn, token, "v", pieces)
+        assert conn.fs.tripped
+    finally:
+        conn.fs = real_fs
+    # bare hole: the slot is gone entirely (pre-r14 cleanup shape)
+    assert not conn.fs.exists(gen_path)
+    conn.invalidate_cache()
+    assert conn.index_gens(vid, "v") == []
+    # recovery contract unchanged: retry via write_pieces, commit, read
+    rows2 = writer.slabs_to_piece_rows(token, "v", [one])
+    pieces2 = conn.spark.createDataFrame(
+        rows2, schema=writer.piece_schema(2)
+    )
+    writer.write_pieces(conn, token, "v", pieces2)
+    conn.finish_version(token)
+    got = reader.get_slice(
+        conn, dict(token), "v", sl.mk_slice((0, 0), (4, 3))
+    ).data
+    np.testing.assert_array_equal(got, np.ones((4, 3), np.int32))
+
+
+class _ReclaimOnRmtreeFS:
+    """fs proxy: a concurrent claimant grabs the violating slot the
+    instant the cleanup's rmtree frees it — the r14-advice race where
+    stamping _RELEASED afterwards would corrupt a LIVE generation."""
+
+    def __init__(self, fs, gen_path):
+        self._fs = fs
+        self._gen_path = gen_path
+        self.reclaimed = False
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def rmtree(self, path):
+        self._fs.rmtree(path)
+        if path == self._gen_path:
+            import os
+
+            self._fs.makedirs(path)
+            assert self._fs.create_exclusive(
+                os.path.join(path, "_CLAIM"), "reclaimer"
+            )
+            self.reclaimed = True
+
+
+def test_cleanup_skips_released_when_slot_reclaimed(store):
+    """If a concurrent claimant takes the freed slot between the
+    cleanup's rmtree and its _RELEASED stamp, the stamp must be
+    SKIPPED: a live claimed generation must never carry release state
+    (r14 advice, low)."""
+    import os
+
+    conn = store.create_dataset("ds")
+    token = conn.add_version(SPEC)
+    one = sb.Slab(np.ones((4, 3), np.int32), sl.mk_slice((0, 0), (4, 3)))
+    rows = writer.slabs_to_piece_rows(token, "v", [one, one])
+    pieces = conn.spark.createDataFrame(rows, schema=writer.piece_schema(2))
+    vid = token["version-id"]
+    gen_path = conn.index_path(vid, "v", 0)
+    real_fs = conn.fs
+    conn.fs = _ReclaimOnRmtreeFS(real_fs, gen_path)
+    try:
+        with pytest.raises(ValueError, match="same chunk"):
+            writer.ingest_aligned(conn, token, "v", pieces)
+        assert conn.fs.reclaimed
+    finally:
+        conn.fs = real_fs
+    # the reclaimer's live claim is untouched and carries NO _RELEASED
+    assert conn.fs.exists(os.path.join(gen_path, "_CLAIM"))
+    assert not conn.fs.exists(os.path.join(gen_path, "_RELEASED"))
+    assert (
+        conn.fs.read_text(os.path.join(gen_path, "_CLAIM"))
+        == "reclaimer"
+    )

@@ -44,6 +44,45 @@ def _resolve(sql):
     return sql() if callable(sql) else sql
 
 
+def _mask_decimal_casts(expr: str) -> str:
+    """Replace every ``CAST(... AS DECIMAL(p,s))`` subtree (innermost
+    first) with the atom ``DECTERM`` so the product audit sees only
+    what still accumulates in FLOAT.  The pre-r15 audit suppressed on
+    a bare ``'decimal' in arg`` substring, which let a half-converted
+    summand like ``CAST(a AS DECIMAL(18,4)) * b_double`` — still a
+    float accumulation — pass the tie-fragility check (r14 advice).
+    Non-decimal casts keep their body visible for the audit."""
+    pat = re.compile(r"cast\s*\(", re.IGNORECASE)
+    changed = True
+    while changed:
+        changed = False
+        for m in pat.finditer(expr):
+            depth = 1
+            for i in range(m.end(), len(expr)):
+                if expr[i] == "(":
+                    depth += 1
+                elif expr[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        body = expr[m.end() : i]
+                        if pat.search(body):
+                            break  # not innermost — resolve inner first
+                        if re.search(
+                            r"as\s+decimal\s*\(\s*\d+\s*,\s*\d+\s*\)\s*$",
+                            body,
+                            re.IGNORECASE,
+                        ):
+                            repl = " DECTERM "
+                        else:
+                            repl = " (" + body + ") "
+                        expr = expr[: m.start()] + repl + expr[i + 1 :]
+                        changed = True
+                        break
+            if changed:
+                break
+    return expr
+
+
 def _round_sum_args(sql: str):
     """Yield the balanced-paren argument of every round(sum(...), k)."""
     for m in re.finditer(r"round\s*\(\s*sum\s*\(", sql, re.IGNORECASE):
@@ -72,21 +111,52 @@ def test_rounded_product_sums_accumulate_in_decimal():
     offenders = []
     for name, sql in sorted(ORACLES.items()):
         for arg in _round_sum_args(_resolve(sql)):
-            # strip casts' type args before looking for a product; a
-            # '*' inside DECIMAL(18,4) etc. can't occur, but `1.0 *`
-            # scaling of already-decimal terms is fine if DECIMAL is
-            # declared on the operands
-            if "*" in arg and "decimal" not in arg.lower():
-                # division-only rescaling (e.g. c*1.0/total in entropy
-                # terms) produces irrationals, not boundary-exact
-                # decimals: rounding those can't tie EXACTLY, so only
-                # flag products of raw table columns
-                if re.search(r"[a-z]_\w+\s*\*|\*\s*\(1\s*-", arg):
-                    offenders.append((name, arg.strip()))
+            if "*" not in arg:
+                continue
+            # collapse decimal-cast subtrees to DECTERM atoms; ONLY
+            # what survives the mask still accumulates in float, so
+            # a half-converted summand (decimal cast on one
+            # multiplicand, raw double on the other) is now caught
+            # instead of suppressed by a substring hit (r14 advice)
+            masked = _mask_decimal_casts(arg)
+            # division-only rescaling (e.g. c*1.0/total in entropy
+            # terms) produces irrationals, not boundary-exact
+            # decimals: rounding those can't tie EXACTLY, so only
+            # flag products involving raw table columns (x_y form)
+            if re.search(
+                r"[a-z]_\w+\s*\*"  # bare column on the left
+                r"|\*\s*[a-z]_\w+"  # bare column on the right
+                r"|\*\s*\(\s*1(\.0)?\s*-\s*[a-z]_\w+",  # * (1 - col)
+                masked,
+            ):
+                offenders.append((name, arg.strip()))
     assert not offenders, (
         "rounded float product-sums (rounding-tie-fragile; use REV_SQL/"
         f"rev_dec-style DECIMAL accumulation): {offenders}"
     )
+
+
+def test_audit_mask_catches_half_converted_summand():
+    """Self-test of the audit's mask (r14 advice): a HALF-converted
+    summand — decimal cast on one multiplicand, raw double on the
+    other — still accumulates in float and must be flagged, while the
+    fully-decimal REV_SQL form must mask to DECTERM-only atoms."""
+    flag = re.compile(
+        r"[a-z]_\w+\s*\*|\*\s*[a-z]_\w+"
+        r"|\*\s*\(\s*1(\.0)?\s*-\s*[a-z]_\w+"
+    )
+    # fully decimal: nothing float-side survives the mask
+    assert not flag.search(_mask_decimal_casts(REV_SQL))
+    # half-converted, column on the right of '*': the pre-r15
+    # substring suppression ('decimal' appears) passed this
+    half = "CAST(a_col AS DECIMAL(18,4)) * b_col"
+    assert flag.search(_mask_decimal_casts(half))
+    # half-converted, (1 - raw col) factor
+    half2 = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - l_discount)"
+    assert flag.search(_mask_decimal_casts(half2))
+    # nested non-decimal cast inside a decimal cast stays collapsed
+    nested = "CAST(CAST(a_col AS DOUBLE) AS DECIMAL(18,4)) * DECTERM"
+    assert not flag.search(_mask_decimal_casts(nested))
 
 
 @pytest.mark.skipif(
