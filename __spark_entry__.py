@@ -28,7 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # batch SQL oracles); q33's integer-cent kernel now ENFORCES its
 # positive-domain premise (r14 advice); q34/q35/q81 sit over the r15
 # writer hardening (tombstone_claim deletes _CLAIM last, ingest_aligned
-# best-effort cleanup).
+# best-effort cleanup); q30 gained the automatic vectorized-kernel
+# gate (pair-count hint — below the crossover at fixture scale, so
+# the plan is unchanged there, but the code is new).
 _CHANGED_R15 = [
     "q108_streaming_dedup_gate",
     "q109_streaming_interval_join",
@@ -36,6 +38,7 @@ _CHANGED_R15 = [
     "q34_array_slice",
     "q35_array_timetravel",
     "q81_array_version_diff",
+    "q30_similarity_topk",
 ]
 
 # The 14 queries whose newest driver evidence is r12 (VERDICT r14 #2,
@@ -57,9 +60,9 @@ _STALE_R12 = [
     "q101_token_length_hist",
 ]
 
-# Backfill: the 30 lowest-numbered of the 43 r13-evidence rows; the
-# remaining 13 (q60/q61/q62/q65/q80/q89/q95/q96/q97/q100/q103/q105/
-# q106) rotate into the r16 head.
+# Backfill: the 29 lowest-numbered of the 43 r13-evidence rows; the
+# remaining 14 (q59/q60/q61/q62/q65/q80/q89/q95/q96/q97/q100/q103/
+# q105/q106) rotate into the r16 head.
 _STALE_R13 = [
     "q01_scan_project",
     "q04_join_inner",
@@ -90,7 +93,6 @@ _STALE_R13 = [
     "q52_exists_correlated",
     "q56_grouping_sets",
     "q57_filtered_agg",
-    "q59_array_hof",
 ]
 
 
@@ -100,8 +102,8 @@ def _driver_order() -> list[str]:
     50).  Head = every query r15's changes transitively touch (the two
     NEW streaming-replay queries, the q33 domain assertion, the three
     array queries over the writer hardening), then the 14 remaining
-    r12-evidence rows (queued since r14), then the 30 oldest
-    r13-evidence rows — 50 exactly (6 + 14 + 30).  After this window
+    r12-evidence rows (queued since r14), then the 29 oldest
+    r13-evidence rows — 50 exactly (7 + 14 + 29).  After this window
     no query's evidence is older than r13.  The full local parity
     suite (tests/test_oracle_parity.py) still runs every entry with
     the driver's exact-string float compare."""

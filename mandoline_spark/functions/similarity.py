@@ -81,6 +81,15 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).selectExpr("*", f"{_norm_sql('_emb')} AS _norm")
 
 
+# Measured vectorized-kernel crossover in PAIRS (|queries|x|corpus|),
+# r13/r15: the Arrow round-trip's fixed ~0.4-0.5 s dominated 10k pairs
+# (5 x 2k corpus regressed 0.26->0.68 s at sf0.1) while the einsum
+# kernel won 27% at 100k pairs (5 x 20k at sf1).  50k sits between the
+# two measured points on the conservative side: the gate only flips
+# where the win is established, never where the regression was.
+VEC_CROSSOVER_PAIRS = 50_000
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -88,7 +97,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
+    pair_count_hint: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` rows for each ``queries`` row.
 
@@ -103,9 +113,14 @@ def cosine_topk(
     kernel won 27% on a 20k-vector corpus in a clean window — but the
     Python-worker round trip costs a fixed ~0.4-0.5 s that DOMINATES
     small pair counts (2k vectors x 5 queries regressed 0.26→0.68 s in
-    two full-bench windows).  Default stays JVM-side; flip it when
-    |queries| x |corpus| is large enough to amortize (the operator
-    cannot see the pair count without spending a job).  Values are
+    two full-bench windows).  Since r15 (VERDICT r14 #9) the gate is
+    AUTOMATIC when the caller supplies ``pair_count_hint`` (|queries| x
+    |corpus|, e.g. from parquet-footer catalog stats the way osort's
+    gate reads them): ``vectorized=None`` (default) picks the einsum
+    kernel iff the hint clears :data:`VEC_CROSSOVER_PAIRS`, so the sf1
+    win is the default without the sf0.1 regression.  No hint keeps
+    the JVM fold (the operator cannot see the pair count without
+    spending a job); an explicit True/False always wins.  Values are
     bit-level-APPROXIMATE across the two paths, not identical:
     einsum's summation order differs from the sequential fold, so a
     sim can differ in the last ulps and a ``round_to``/rank decision
@@ -113,6 +128,11 @@ def cosine_topk(
     rank-set equality and <=1e-12 sim agreement on the fixture,
     including the NULL/zero-norm rows, which yield 0.0 on both
     paths)."""
+    if vectorized is None:
+        vectorized = (
+            pair_count_hint is not None
+            and pair_count_hint >= VEC_CROSSOVER_PAIRS
+        )
     if vectorized:
         q = queries.select(
             F.col(id_col).alias("qid"),

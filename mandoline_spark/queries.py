@@ -912,7 +912,14 @@ def q30(spark, sf):
 
     e = load(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return cosine_topk(q, e, k=10)
+    # catalog-stats hint (parquet footers, no job): 5 queries x the
+    # corpus — cosine_topk's automatic kernel gate picks the einsum
+    # path once the pair count clears the measured crossover
+    # (similarity.VEC_CROSSOVER_PAIRS), so the sf1 win is the default
+    # while sf0.1 keeps the JVM fold (r15, VERDICT r14 #9)
+    return cosine_topk(
+        q, e, k=10, pair_count_hint=5 * table_rows(sf, "embeddings")
+    )
 
 
 @_q(

@@ -219,3 +219,44 @@ def test_vectorized_cosine_parity_with_jvm_fold(spark, emb):
     for rows in (jvm, vec):
         degenerate = [r for r in rows if r.qid > 10_000]
         assert degenerate and all(r.sim == 0.0 for r in degenerate)
+
+
+def test_vectorized_auto_gate_from_pair_count_hint(spark, emb):
+    """r15 (VERDICT r14 #9): cosine_topk's kernel choice is automatic
+    when a catalog-stats pair-count hint is supplied — JVM fold below
+    the measured crossover (where the Arrow round-trip's fixed cost
+    regressed sf0.1), einsum at/above it (where it won at sf1); an
+    explicit ``vectorized=`` always overrides the hint.  Pinned by
+    plan inspection: the vectorized path contains an Arrow Python UDF
+    eval node, the JVM path none."""
+    from mandoline_spark.functions.similarity import (
+        VEC_CROSSOVER_PAIRS,
+        cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def has_python_udf(df) -> bool:
+        return "pythonUDF" in df._jdf.queryExecution().executedPlan().toString() or (
+            "ArrowEvalPython"
+            in df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    below = cosine_topk(q, emb, k=3, pair_count_hint=VEC_CROSSOVER_PAIRS - 1)
+    at = cosine_topk(q, emb, k=3, pair_count_hint=VEC_CROSSOVER_PAIRS)
+    none = cosine_topk(q, emb, k=3)  # no hint -> JVM fold
+    forced_off = cosine_topk(
+        q, emb, k=3, pair_count_hint=10 * VEC_CROSSOVER_PAIRS,
+        vectorized=False,
+    )
+    forced_on = cosine_topk(q, emb, k=3, vectorized=True)
+    assert not has_python_udf(below)
+    assert has_python_udf(at)
+    assert not has_python_udf(none)
+    assert not has_python_udf(forced_off)
+    assert has_python_udf(forced_on)
+    # and the gated kernels agree on the fixture (rank-set equality —
+    # the deeper parity contract is the dedicated test above)
+    assert [(r.qid, r.vec_id) for r in at.collect()] == [
+        (r.qid, r.vec_id) for r in below.collect()
+    ]
