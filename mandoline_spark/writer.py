@@ -1539,20 +1539,25 @@ def ingest_aligned(
         # crash between the steps leaves a bare hole: exactly the
         # pre-r14 behavior, never worse.  The recreate is BEST-EFFORT
         # (r14 advice): an IO failure here must not shadow the
-        # documented ValueError the retry path catches, and if a
-        # concurrent claimant already grabbed the freed slot (fresh
-        # _CLAIM), stamping _RELEASED into their live generation would
-        # corrupt its marker state — skip it and leave the hole.
+        # documented ValueError the retry path catches.  The rmtree
+        # frees the slot, so a concurrent claimant may enter at any
+        # instant after it — stamping _RELEASED into their live
+        # generation would corrupt its marker state.  A bare exists()
+        # probe only narrows that race; instead RE-CLAIM the slot with
+        # the same atomic create_exclusive the claim protocol uses:
+        # win ⇒ the slot is exclusively ours while we stamp (then the
+        # claim marker is dropped, tombstone-style); lose ⇒ a real
+        # claimant owns it — leave their generation alone.
         if gen_path is not None:
             conn.fs.rmtree(gen_path)
             try:
                 conn.fs.makedirs(gen_path)
-                if not conn.fs.exists(
-                    os.path.join(gen_path, "_CLAIM")
-                ):
+                claim = os.path.join(gen_path, "_CLAIM")
+                if conn.fs.create_exclusive(claim, ""):
                     conn.fs.write_text(
                         os.path.join(gen_path, "_RELEASED"), ""
                     )
+                    conn.fs.rmtree(claim)
             except Exception:
                 pass  # bare hole == pre-r14 behavior, never worse
         raise
