@@ -30,7 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # writer hardening (tombstone_claim deletes _CLAIM last, ingest_aligned
 # best-effort cleanup); q30 gained the automatic vectorized-kernel
 # gate (pair-count hint — below the crossover at fixture scale, so
-# the plan is unchanged there, but the code is new).
+# the plan is unchanged there, but the code is new).  The r15
+# OPTIMIZATION pass adds two plan rewrites (results identical, proved
+# against the oracle before shipping): q06's eager aggregation below
+# the left join (VERDICT r14 #1 A/B candidate) and q45's tie_col
+# as-of join (the view-side pre-aggregation folded into the window
+# sort — one hash exchange removed).
 _CHANGED_R15 = [
     "q108_streaming_dedup_gate",
     "q109_streaming_interval_join",
@@ -39,6 +44,8 @@ _CHANGED_R15 = [
     "q35_array_timetravel",
     "q81_array_version_diff",
     "q30_similarity_topk",
+    "q06_join_left",
+    "q45_asof_join",
 ]
 
 # The 14 queries whose newest driver evidence is r12 (VERDICT r14 #2,
@@ -60,9 +67,10 @@ _STALE_R12 = [
     "q101_token_length_hist",
 ]
 
-# Backfill: the 29 lowest-numbered of the 43 r13-evidence rows; the
-# remaining 14 (q59/q60/q61/q62/q65/q80/q89/q95/q96/q97/q100/q103/
-# q105/q106) rotate into the r16 head.
+# Backfill: the 27 lowest-numbered of the 43 r13-evidence rows (two
+# slots yielded to the r15 optimization rewrites q06/q45 above); the
+# remaining 16 (q56/q57/q59/q60/q61/q62/q65/q80/q89/q95/q96/q97/
+# q100/q103/q105/q106) rotate into the r16 head.
 _STALE_R13 = [
     "q01_scan_project",
     "q04_join_inner",
@@ -91,8 +99,6 @@ _STALE_R13 = [
     "q49_pivot",
     "q50_percentiles",
     "q52_exists_correlated",
-    "q56_grouping_sets",
-    "q57_filtered_agg",
 ]
 
 

@@ -25,24 +25,37 @@ def asof_join(
     by: str | None = None,
     tolerance: float | None = None,
     suffix: str = "_r",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.on <= left.on`` (backward as-of; pandas ``merge_asof``
     semantics), optionally within ``tolerance`` and per ``by`` group.
 
     Right value columns come back suffixed; left rows with no match keep
-    NULLs.  Ties on the key take the last right row in ``on`` order.
+    NULLs.  Ties on the key take the last right row in ``on`` order —
+    or, with ``tie_col``, the right row with the GREATEST ``tie_col``
+    value among equal keys.  ``tie_col`` makes duplicate-key resolution
+    deterministic without a pre-aggregation: callers that previously
+    reduced the right side with ``groupBy(by, on).agg(max(v))`` can pass
+    the raw rows and ``tie_col=v`` instead, dropping that aggregation's
+    hash exchange from the plan (the single window pass then performs
+    the same max-selection for free in its existing sort — r15, the
+    q45 rewrite; results identical by the window order argument below:
+    the carried ``last()`` at equal ``on`` is the max-``tie_col`` row).
     """
     lcols = left.columns
     rvals = [c for c in right.columns if c not in {on, by}]
     tag = "_is_left"
+    seq_type = (
+        right.schema[tie_col].dataType if tie_col is not None else "long"
+    )
     l_t = left.select(
         *lcols,
         F.lit(1).alias(tag),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
           for c in rvals],
         F.col(on).alias("_t"),
-        F.lit(None).cast("long").alias("_seq"),
+        F.lit(None).cast(seq_type).alias("_seq"),
     )
     r_t = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
@@ -51,9 +64,14 @@ def asof_join(
         F.lit(0).alias(tag),
         *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
         F.col(on).alias("_t"),
-        # duplicate-key ties resolve to the LAST right row in input
-        # order (pandas merge_asof semantics)
-        F.monotonically_increasing_id().alias("_seq"),
+        # duplicate-key ties resolve to the LAST right row in _seq
+        # order: input order (pandas merge_asof semantics) by default,
+        # greatest tie_col when the caller names one
+        (
+            F.col(tie_col)
+            if tie_col is not None
+            else F.monotonically_increasing_id()
+        ).alias("_seq"),
     )
     # after the union, right rows sort before left rows at equal _t, so
     # the carried-forward last(right row) at a left row includes the

@@ -428,12 +428,29 @@ def q05(spark, sf):
     "GROUP BY c_custkey ORDER BY c_custkey",
 )
 def q06(spark, sf):
+    """Eager aggregation below the left join (r15, VERDICT r14 #1 —
+    the q91 trick): count(o_orderkey) distributes over o_custkey, so
+    orders pre-aggregates to one row per customer-with-orders BEFORE
+    the join; the post-join count collapses to coalesce(_n, 0) for
+    the no-order customers the left join null-extends.  The join
+    input shrinks from |orders| to |distinct o_custkey| — at bench
+    scale that keeps the broadcast trivially small, and at 100 TB it
+    is the difference between joining 1.5e9 orders and 1e8 customers
+    (the old plan broadcast/shuffled the full orders table through
+    the join and re-aggregated it above).  Result identity probed
+    A/B at sf0.1 (tools/probe_q06_ab.py: variants_identical) and
+    pinned by the oracle parity suite."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n")
+    )
     return (
-        c.join(o, o.o_custkey == c.c_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+        c.join(per_cust, per_cust.o_custkey == c.c_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("_n", F.lit(0)).alias("n_orders"),
+        )
         .transform(osort, table_rows(sf, "customer"), "c_custkey")
     )
 
@@ -1429,19 +1446,29 @@ def q35(spark, sf):
 def q45(spark, sf):
     """For each click, the user's most recent prior (or simultaneous)
     view — the as-of join (operators/joins.py) against DuckDB's native
-    ASOF JOIN as the oracle."""
+    ASOF JOIN as the oracle.
+
+    r15: the old ``groupBy(user_id, ts).agg(max(event_id))``
+    pre-reduction of the view side is folded into the as-of window's
+    own sort via ``tie_col`` — at equal (user, ts) the carried last()
+    row IS the max-view_id row, so the pre-aggregation computed the
+    same thing one hash exchange earlier.  Plan: 3 Exchange → 2
+    (plans/r15/q45_asof_join_*.txt); the remaining two are the
+    operator's one ``by``-key shuffle and the presentation sort.
+    Results identical (same matched row by the tie argument; oracle
+    unchanged)."""
     from .operators import asof_join
 
     ev = load(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_id"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
     )
-    out = asof_join(clicks, views, on="ts", by="user_id")
+    out = asof_join(
+        clicks, views, on="ts", by="user_id", tie_col="view_id"
+    )
     return out.select(
         "event_id", "user_id", F.col("view_id_r").alias("view_id")
     ).transform(osort, table_rows(sf, "events"), "event_id")

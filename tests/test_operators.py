@@ -82,6 +82,53 @@ def test_asof_join_tolerance(trades_quotes):
     )
 
 
+def test_asof_join_tie_col_matches_preagg(spark):
+    """``tie_col`` (r15, the q45 rewrite) must select, among duplicate
+    right keys, exactly the row the old ``groupBy(by, on).agg(max(v))``
+    pre-reduction produced — same matched value for every left row,
+    with the pre-aggregation's hash exchange gone from the plan.
+    Duplicate (sym, t) right rows are the whole point here, so the
+    fixture forces heavy key collisions."""
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B"], 120),
+            "t": np.sort(rng.integers(0, 60, 120)),
+            "lid": range(120),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B"], 400),
+            # ~7 duplicates per (sym, t) on average
+            "t": rng.integers(0, 60, 400),
+            "v": rng.integers(0, 10_000, 400),
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = (
+        asof_join(ldf, rdf, on="t", by="sym", tie_col="v")
+        .orderBy("sym", "t", "lid")
+        .toPandas()
+    )
+    preagg = rdf.groupBy("sym", "t").agg(F.max("v").alias("v"))
+    want = (
+        asof_join(ldf, preagg, on="t", by="sym")
+        .orderBy("sym", "t", "lid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the structural claim: tie_col's plan carries no aggregation
+    from mandoline_spark.plans.inspect import explain_str
+
+    plan = explain_str(asof_join(ldf, rdf, on="t", by="sym", tie_col="v"))
+    assert "HashAggregate" not in plan
+
+
 def test_range_join_matches_naive(spark):
     rng = np.random.default_rng(6)
     pts = pd.DataFrame({"pid": range(300), "x": rng.uniform(0, 100, 300)})
