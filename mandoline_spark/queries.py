@@ -3714,53 +3714,59 @@ def q106(spark, sf):
     run is memoized per (session, corpus): it is INGEST, not query —
     re-running the returned DataFrame scans the sink (bench counts the
     pipeline cost in build_sec, like the q34/q35 array fixtures)."""
+    import atexit as _atexit
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     from .streaming.ops import (
         read_events_stream,
-        run_available_now,
+        run_available_now_to_parquet,
         session_counts,
     )
 
     key = (id(spark), _os.path.abspath(sf))
-    table = _Q106_MEMO.get(key)
-    if table is None:
+    out = _Q106_MEMO.get(key)
+    if out is None:
+        # the dir now holds the replay source AND the parquet sink for
+        # the whole session (the memo hands the sink path back to every
+        # later call), so cleanup moves from an inline finally to
+        # interpreter exit.  Parquet sink, not memory sink (r15): the
+        # memory table pinned every finalized session in the DRIVER
+        # heap for the session lifetime and re-shipped them per scan —
+        # see run_available_now_to_parquet's docstring.
         tmp = _tempfile.mkdtemp(prefix="mandoline_q106_")
-        try:
-            src = _os.path.join(tmp, "src")
-            # round the fixture's TIMESTAMP(NANOS) through one Spark
-            # write so the stream source reads Spark-native micros
-            # (same precision the oracle's epoch_us sees)
-            load_events(spark, sf).repartition(4).write.parquet(src)
-            # ONE data batch (max_files_per_trigger >= file count) +
-            # the availableNow trigger's closing no-data batch that
-            # finalizes the watermark.  The replayed files are
-            # event-time INTERLEAVED (repartition is random), so a
-            # multi-batch replay would drop most of a later batch as
-            # late data once the first batch's max event time moves
-            # the watermark — measured: max_files_per_trigger=1 over
-            # 4 files emits 498 of 978 sessions plus 6 spurious
-            # partials.  Single-batch processing is the
-            # batch-equivalent-by-construction configuration (the
-            # cross-micro-batch ORDERED replay semantics are pinned
-            # separately in tests/test_streaming.py).
-            stream = read_events_stream(
-                spark, src, max_files_per_trigger=64
-            )
-            agg = session_counts(
-                stream, gap="10 minutes", watermark="30 minutes"
-            )
-            table = f"q106_sessions_{next(_Q106_SEQ)}"
-            run_available_now(
-                agg, table, "append", _os.path.join(tmp, "ck")
-            )
-            _Q106_MEMO[key] = table
-        finally:
-            _shutil.rmtree(tmp, ignore_errors=True)
+        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+        src = _os.path.join(tmp, "src")
+        # round the fixture's TIMESTAMP(NANOS) through one Spark
+        # write so the stream source reads Spark-native micros
+        # (same precision the oracle's epoch_us sees)
+        load_events(spark, sf).repartition(4).write.parquet(src)
+        # ONE data batch (max_files_per_trigger >= file count) +
+        # the availableNow trigger's closing no-data batch that
+        # finalizes the watermark.  The replayed files are
+        # event-time INTERLEAVED (repartition is random), so a
+        # multi-batch replay would drop most of a later batch as
+        # late data once the first batch's max event time moves
+        # the watermark — measured: max_files_per_trigger=1 over
+        # 4 files emits 498 of 978 sessions plus 6 spurious
+        # partials.  Single-batch processing is the
+        # batch-equivalent-by-construction configuration (the
+        # cross-micro-batch ORDERED replay semantics are pinned
+        # separately in tests/test_streaming.py).
+        stream = read_events_stream(
+            spark, src, max_files_per_trigger=64
+        )
+        agg = session_counts(
+            stream, gap="10 minutes", watermark="30 minutes"
+        )
+        out = _os.path.join(tmp, "out")
+        run_available_now_to_parquet(
+            agg, out, _os.path.join(tmp, "ck")
+        )
+        _Q106_MEMO[key] = out
     return (
-        spark.table(table)
+        spark.read.parquet(out)
         .select(
             "user_id",
             F.unix_micros("session_start").alias("ss_us"),
@@ -3794,53 +3800,53 @@ def q107(spark, sf):
     order is forced, not assumed: the file source processes oldest
     modification time first, so each range file's mtime is set to its
     range rank before the stream starts."""
+    import atexit as _atexit
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     from .streaming.ops import (
         read_events_stream,
-        run_available_now,
+        run_available_now_to_parquet,
         session_counts,
     )
 
     key = (id(spark), _os.path.abspath(sf), "multibatch")
-    table = _Q106_MEMO.get(key)
-    if table is None:
+    out = _Q106_MEMO.get(key)
+    if out is None:
+        # parquet sink + session-lifetime dir, q106's rationale
         tmp = _tempfile.mkdtemp(prefix="mandoline_q107_")
-        try:
-            src = _os.path.join(tmp, "src")
-            # one range exchange: part-0000i holds the i-th event-time
-            # range (contiguous, non-overlapping); the write also
-            # rounds the fixture's TIMESTAMP(NANOS) to Spark micros,
-            # the precision the oracle's epoch_us compares at
-            (
-                load_events(spark, sf)
-                .repartitionByRange(4, "ts")
-                .sortWithinPartitions("ts")
-                .write.parquet(src)
-            )
-            parts = sorted(
-                p for p in _os.listdir(src) if p.startswith("part-")
-            )
-            for i, p in enumerate(parts):
-                t = 1_000_000_000 + i  # any strictly increasing mtimes
-                _os.utime(_os.path.join(src, p), (t, t))
-            stream = read_events_stream(
-                spark, src, max_files_per_trigger=1
-            )
-            agg = session_counts(
-                stream, gap="10 minutes", watermark="30 minutes"
-            )
-            table = f"q107_sessions_{next(_Q106_SEQ)}"
-            run_available_now(
-                agg, table, "append", _os.path.join(tmp, "ck")
-            )
-            _Q106_MEMO[key] = table
-        finally:
-            _shutil.rmtree(tmp, ignore_errors=True)
+        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+        src = _os.path.join(tmp, "src")
+        # one range exchange: part-0000i holds the i-th event-time
+        # range (contiguous, non-overlapping); the write also
+        # rounds the fixture's TIMESTAMP(NANOS) to Spark micros,
+        # the precision the oracle's epoch_us compares at
+        (
+            load_events(spark, sf)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(src)
+        )
+        parts = sorted(
+            p for p in _os.listdir(src) if p.startswith("part-")
+        )
+        for i, p in enumerate(parts):
+            t = 1_000_000_000 + i  # any strictly increasing mtimes
+            _os.utime(_os.path.join(src, p), (t, t))
+        stream = read_events_stream(
+            spark, src, max_files_per_trigger=1
+        )
+        agg = session_counts(
+            stream, gap="10 minutes", watermark="30 minutes"
+        )
+        out = _os.path.join(tmp, "out")
+        run_available_now_to_parquet(
+            agg, out, _os.path.join(tmp, "ck")
+        )
+        _Q106_MEMO[key] = out
     return (
-        spark.table(table)
+        spark.read.parquet(out)
         .select(
             "user_id",
             F.unix_micros("session_start").alias("ss_us"),
@@ -3889,59 +3895,61 @@ def q108(spark, sf):
     doc_id to the original.  Global mode (no watermark): state is the
     distinct-content set, the q29 semantics; the watermark-bounded
     variant is pinned in tests/test_streaming.py."""
+    import atexit as _atexit
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from .streaming.ops import dedup_stream, run_available_now
+    from .streaming.ops import dedup_stream, run_available_now_to_parquet
 
     key = (id(spark), _os.path.abspath(sf), "dedup_gate")
-    table = _Q106_MEMO.get(key)
-    if table is None:
+    out = _Q106_MEMO.get(key)
+    if out is None:
+        # parquet sink + session-lifetime dir, q106's rationale — for
+        # THIS replay the memory sink was the worst of the four: the
+        # admitted rows carry the full document text
         tmp = _tempfile.mkdtemp(prefix="mandoline_q108_")
-        try:
-            src = _os.path.join(tmp, "src")
-            docs = load(spark, sf, "documents").select("doc_id", "text")
-            (
-                docs.repartitionByRange(3, "doc_id")
-                .sortWithinPartitions("doc_id")
-                .write.parquet(src)
-            )
-            firsts = sorted(
-                p for p in _os.listdir(src) if p.startswith("part-")
-            )
-            (
-                docs.filter(F.col("doc_id") % 5 == 0)
-                .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
-            for i, p in enumerate(firsts):
-                t = 1_000_000_000 + i
+        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+        src = _os.path.join(tmp, "src")
+        docs = load(spark, sf, "documents").select("doc_id", "text")
+        (
+            docs.repartitionByRange(3, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.parquet(src)
+        )
+        firsts = sorted(
+            p for p in _os.listdir(src) if p.startswith("part-")
+        )
+        (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for i, p in enumerate(firsts):
+            t = 1_000_000_000 + i
+            _os.utime(_os.path.join(src, p), (t, t))
+        for p in _os.listdir(src):
+            if p.startswith("part-") and p not in firsts:
+                t = 1_000_000_000 + 100
                 _os.utime(_os.path.join(src, p), (t, t))
-            for p in _os.listdir(src):
-                if p.startswith("part-") and p not in firsts:
-                    t = 1_000_000_000 + 100
-                    _os.utime(_os.path.join(src, p), (t, t))
-            stream = (
-                spark.readStream.schema("doc_id long, text string")
-                .option("maxFilesPerTrigger", 1)
-                .option("latestFirst", "false")
-                .parquet(src)
-            )
-            admitted = dedup_stream(
-                stream, content_col="text", id_col="doc_id"
-            )
-            table = f"q108_admitted_{next(_Q106_SEQ)}"
-            run_available_now(
-                admitted, table, "append", _os.path.join(tmp, "ck")
-            )
-            _Q106_MEMO[key] = table
-        finally:
-            _shutil.rmtree(tmp, ignore_errors=True)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        admitted = dedup_stream(
+            stream, content_col="text", id_col="doc_id"
+        )
+        out = _os.path.join(tmp, "out")
+        run_available_now_to_parquet(
+            admitted, out, _os.path.join(tmp, "ck")
+        )
+        _Q106_MEMO[key] = out
     return (
-        spark.table(table)
+        spark.read.parquet(out)
         .select(
             "doc_id",
             F.md5(F.col("text").cast("binary")).alias("h"),
@@ -3983,6 +3991,7 @@ def q109(spark, sf):
     what makes the state finite at all (without it a stream-stream
     join buffers forever); its batch-equivalence at fixture scale is
     also pytest-pinned (tests/test_streaming.py)."""
+    import atexit as _atexit
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -3990,49 +3999,48 @@ def q109(spark, sf):
     from .streaming.ops import (
         interval_join_streams,
         read_events_stream,
-        run_available_now,
+        run_available_now_to_parquet,
     )
 
     key = (id(spark), _os.path.abspath(sf), "interval_join")
-    table = _Q106_MEMO.get(key)
-    if table is None:
+    out = _Q106_MEMO.get(key)
+    if out is None:
+        # parquet sink + session-lifetime dir, q106's rationale
         tmp = _tempfile.mkdtemp(prefix="mandoline_q109_")
-        try:
-            src = _os.path.join(tmp, "src")
-            (
-                load_events(spark, sf)
-                .repartitionByRange(4, "ts")
-                .sortWithinPartitions("ts")
-                .write.parquet(src)
-            )
-            parts = sorted(
-                p for p in _os.listdir(src) if p.startswith("part-")
-            )
-            for i, p in enumerate(parts):
-                t = 1_000_000_000 + i
-                _os.utime(_os.path.join(src, p), (t, t))
-            left = read_events_stream(
-                spark, src, max_files_per_trigger=1
-            ).filter(F.col("event_type") == "click")
-            right = read_events_stream(
-                spark, src, max_files_per_trigger=1
-            ).filter(F.col("event_type") == "view")
-            joined = interval_join_streams(
-                left,
-                right,
-                on="user_id",
-                lookback="60 minutes",
-                watermark="90 minutes",
-            )
-            table = f"q109_ijoin_{next(_Q106_SEQ)}"
-            run_available_now(
-                joined, table, "append", _os.path.join(tmp, "ck")
-            )
-            _Q106_MEMO[key] = table
-        finally:
-            _shutil.rmtree(tmp, ignore_errors=True)
+        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+        src = _os.path.join(tmp, "src")
+        (
+            load_events(spark, sf)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(src)
+        )
+        parts = sorted(
+            p for p in _os.listdir(src) if p.startswith("part-")
+        )
+        for i, p in enumerate(parts):
+            t = 1_000_000_000 + i
+            _os.utime(_os.path.join(src, p), (t, t))
+        left = read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).filter(F.col("event_type") == "click")
+        right = read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).filter(F.col("event_type") == "view")
+        joined = interval_join_streams(
+            left,
+            right,
+            on="user_id",
+            lookback="60 minutes",
+            watermark="90 minutes",
+        )
+        out = _os.path.join(tmp, "out")
+        run_available_now_to_parquet(
+            joined, out, _os.path.join(tmp, "ck")
+        )
+        _Q106_MEMO[key] = out
     return (
-        spark.table(table)
+        spark.read.parquet(out)
         .select(
             F.col("event_id").alias("l_id"),
             F.col("r_event_id").alias("r_id"),

@@ -430,11 +430,41 @@ def run_available_now(
     df: DataFrame, name: str, output_mode: str, checkpoint: str
 ) -> None:
     """Run a streaming DataFrame to a memory sink with the available-now
-    trigger (process everything queued, then stop) and block until done."""
+    trigger (process everything queued, then stop) and block until done.
+
+    Memory sinks hold the entire result as driver-resident rows for the
+    session lifetime, and every scan of the sink table re-serializes
+    those rows out of the driver (``LocalTableScan``) — fine for the
+    fixture-scale pytest pins that use this helper, an anti-pattern for
+    anything sized (guide §5).  Corpus-scale replays (q106-q109) use
+    :func:`run_available_now_to_parquet` instead."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(
+    df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Run a streaming DataFrame to a parquet FILE sink with the
+    available-now trigger and block until done — the production-shaped
+    sink (append mode, exactly-once via the sink's ``_spark_metadata``
+    commit log).  Unlike the memory sink, the result lands as files:
+    nothing stays pinned in the driver heap, and downstream scans of
+    the admitted rows are ordinary parallel parquet reads instead of a
+    ``LocalTableScan`` that ships every row from the driver per query
+    (r15: the memory-sink tables of the four corpus replays were the
+    measured driver-heap contaminant of the sf1 segmented record —
+    PROBE_Q10_SF1_r15.json)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

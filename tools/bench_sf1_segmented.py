@@ -19,7 +19,17 @@ record is wholly same-round.
 Usage:
   python tools/bench_sf1_segmented.py seg I N [sf1_dir]   # segment I of N
   python tools/bench_sf1_segmented.py stitch N [out]      # merge
+  python tools/bench_sf1_segmented.py fixup N q1,q2,... [sf1_dir]
 Defaults: sf1_dir=/root/repo/.derived/sf1, out=BENCH_DETAIL_sf1.json
+
+``fixup`` re-measures ONLY the named queries' Spark side in one fresh
+canary-gated session (correct rebuild-per-pass timing) and patches the
+segment files in place, keeping each entry's committed duckdb_sec (the
+oracle side is unaffected by a Spark timing bug — q82/q83's recursive-
+CTE oracle alone costs ~80 min at sf1 and must not be thrown away).
+The replaced spark_sec is preserved as ``spark_sec_prefix`` beside the
+fixup-session floor, so the record keeps the old numbers per the bench
+contract.
 """
 from __future__ import annotations
 
@@ -134,15 +144,20 @@ def run_segment(i: int, n: int, sf1_dir: str) -> None:
     for name in names:
         best, jobs = None, None
         for j in range(3):
-            df = (
+            gid = f"sf1seg_{name}_{j}"
+            sc.setJobGroup(gid, name)
+            # REBUILD_PER_PASS construction runs Spark jobs (iterative
+            # CC rounds, IVF training, catalog reads) — it must sit
+            # INSIDE the timer and the job group, exactly as bench.py
+            # times it.  The first stitched record had it outside
+            # (q82-at-sf1 read 0.11 s because the whole CC iteration
+            # ran untimed); fixed r15, remeasured via `fixup`.
+            t0 = time.perf_counter()
+            run(
                 QUERIES[name](spark, mf_dir)
                 if name in REBUILD_PER_PASS
                 else built[name]
             )
-            gid = f"sf1seg_{name}_{j}"
-            sc.setJobGroup(gid, name)
-            t0 = time.perf_counter()
-            run(df)
             dt = time.perf_counter() - t0
             jobs = len(tracker.getJobIdsForGroup(gid))
             sc.setJobGroup("", "")
@@ -274,6 +289,126 @@ def stitch(n: int, out_path: str) -> None:
     print(f"wrote {out_path}")
 
 
+def run_fixup(n: int, fix_names: list[str], sf1_dir: str) -> None:
+    """Re-measure the named queries' Spark side (correct timing) in one
+    fresh gated session and patch the segment files in place."""
+    from bench import (
+        _gen_share_once,
+        box_health_gate,
+        make_mf_fixture,
+        perf_pieces,
+    )
+    from mandoline_spark.queries import QUERIES
+    from mandoline_spark.sources.session import get_spark
+    from pyspark.sql import functions as F
+
+    seg_of = {}
+    for i in range(n):
+        for name in _segment_names(i, n):
+            seg_of[name] = i
+    missing = [q for q in fix_names if q not in seg_of]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+
+    spark = get_spark("bench_sf1_fixup")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+    sc = spark.sparkContext
+
+    os.environ["SPARK_GRAFT_RECORD_DETAIL"] = "1"
+    health = box_health_gate(spark)
+
+    def run(df) -> None:
+        df.select("*")._jdf.queryExecution().toRdd().count()
+
+    mf_dir = make_mf_fixture(sf1_dir)
+    os.environ["MANDOLINE_TEST_SF"] = mf_dir
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # warmup (codegen, footers, memoized fixtures/ingest)
+    built = {
+        name: QUERIES[name](spark, mf_dir)
+        for name in fix_names
+        if name not in REBUILD_PER_PASS
+    }
+    for name in fix_names:
+        run(
+            QUERIES[name](spark, mf_dir)
+            if name in REBUILD_PER_PASS
+            else built[name]
+        )
+
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run(spark.range(8).groupBy((F.col("id") % 2).alias("k")).count())
+        floors.append(time.perf_counter() - t0)
+    floor = sorted(floors)[2]
+
+    tracker = sc.statusTracker()
+    fixed: dict[str, dict] = {}
+    for name in fix_names:
+        best, jobs = None, None
+        for j in range(3):
+            gid = f"sf1fix_{name}_{j}"
+            sc.setJobGroup(gid, name)
+            t0 = time.perf_counter()
+            run(
+                QUERIES[name](spark, mf_dir)
+                if name in REBUILD_PER_PASS
+                else built[name]
+            )
+            dt = time.perf_counter() - t0
+            jobs = len(tracker.getJobIdsForGroup(gid))
+            sc.setJobGroup("", "")
+            if best is None or dt < best:
+                best = dt
+        fixed[name] = {
+            "spark_sec": round(best, 4),
+            "jobs": jobs,
+            "fa_all_jobs": round(best - jobs * floor, 4),
+        }
+
+    pieces = perf_pieces(spark)
+    end_canary = round(
+        min(_gen_share_once(spark, pieces) for _ in range(2)), 4
+    )
+    if end_canary > health["threshold_sec"]:
+        raise SystemExit(
+            f"end canary degraded ({end_canary} s) - fixup not committed"
+        )
+
+    for name, rec in fixed.items():
+        path = f"{SEG_PREFIX}{seg_of[name]}.json"
+        seg = json.load(open(path))
+        old = seg["queries"][name]
+        new = dict(old)
+        new["spark_sec_prefix"] = old["spark_sec"]
+        new.update(rec)
+        new["fixup_floor_sec"] = round(floor, 4)
+        if old.get("duckdb_sec"):
+            new["ratio_raw"] = round(
+                new["spark_sec"] / old["duckdb_sec"], 2
+            )
+            new["ratio_fa"] = round(
+                max(0.0, new["fa_all_jobs"]) / old["duckdb_sec"], 2
+            )
+        seg["queries"][name] = new
+        with open(path, "w") as f:
+            json.dump(seg, f, indent=1)
+        print(json.dumps({"fixed": name, **rec, "segment": seg_of[name]}))
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_fixup",
+                "floor": round(floor, 4),
+                "end_canary_sec": end_canary,
+            }
+        )
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "seg"
     if mode == "seg":
@@ -292,8 +427,17 @@ def main() -> None:
             sys.argv[3] if len(sys.argv) > 3 else "BENCH_DETAIL_sf1.json"
         )
         stitch(n, out_path)
+    elif mode == "fixup":
+        n = int(sys.argv[2])
+        fix_names = [q for q in sys.argv[3].split(",") if q]
+        sf1_dir = (
+            sys.argv[4]
+            if len(sys.argv) > 4
+            else "/root/repo/.derived/sf1"
+        )
+        run_fixup(n, fix_names, sf1_dir)
     else:
-        raise SystemExit("mode must be 'seg' or 'stitch'")
+        raise SystemExit("mode must be 'seg', 'stitch' or 'fixup'")
 
 
 if __name__ == "__main__":
