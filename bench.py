@@ -932,6 +932,7 @@ def main() -> None:
                 "metric": "declared_query_surface_total",
                 "value": total,
                 "unit": "sec",
+                "queries": times,
                 "sf": sf,
                 "n_queries": len(times),
                 "total_with_build": total_with_build,
