@@ -638,20 +638,88 @@ def q15(spark, sf):
 
 @_q(
     "q16_window_frame",
-    "SELECT o_orderkey, round(sum(o_totalprice) OVER (ORDER BY o_orderkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rs "
-    "FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+    " OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
+    " CURRENT ROW), 2) AS DOUBLE) AS rs FROM orders ORDER BY o_orderkey",
 )
 def q16(spark, sf):
+    """Global running sum as a TWO-PHASE per-bucket prefix sum (r16,
+    VERDICT r15 #1).  `Window.orderBy(key)` with no partitionBy is a
+    single-partition window — the whole corpus gathers onto ONE task,
+    the classic serial scale-killer (the only such shape left on the
+    surface).  Rewrite: bucket rows by a key-monotone range id derived
+    from catalog footer min/max (no Spark job), hash-exchange on the
+    bucket, run the running sum PER BUCKET (window needs no second
+    exchange — the bucket clustering is already established), and add
+    each bucket's prefix offset from a small one-row-per-bucket table
+    (cumulated over the bucket ids, broadcast back).  Both the per-row
+    sum and the offsets accumulate in exact DECIMAL (the rev_dec
+    pattern, r13 51845bc): the fixture's cent-quantized prices convert
+    exactly, decimal addition is associative, so re-association cannot
+    flip a round(,2) tie — the objection that withheld this rewrite in
+    r15 dissolves, and the oracle accumulates in the same decimal.
+    Bucket count tracks the shuffle-partition conf (scale-adaptive,
+    ~64 buckets per partition so the hash spreads evenly, guide §2.5)
+    and is capped so tiny fixtures keep >=64 rows per bucket.  The
+    footer-stats fallback (a catalog without min/max) keeps the serial
+    window — the exact contract table_col_minmax documents."""
     o = load(spark, sf, "orders")
-    w = (
-        Window.orderBy("o_orderkey")
+    rows = table_rows(sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    bounds = table_col_minmax(sf, "orders", "o_orderkey")
+    if bounds is None:  # pragma: no cover - stats always present here
+        w = Window.orderBy("o_orderkey").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return o.select(
+            "o_orderkey",
+            F.round(F.sum(dec).over(w), 2).cast("double").alias("rs"),
+        ).transform(osort, rows, "o_orderkey")
+    lo, hi = int(bounds[0]), int(bounds[1])
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # pragma: no cover - e.g. "auto"
+        nparts = 200
+    nb = max(1, min(64 * nparts, rows // 64))
+    span = max(1, (hi - lo) // nb + 1)
+    # one scan, one full-data exchange: the offset branch aggregates
+    # the WINDOWED stream (a bucket's total IS its running sum at the
+    # bucket's last key, max_by below), so its subtree shares the main
+    # branch's bucket exchange verbatim and ReuseExchange serves both
+    # from one shuffle — aggregating `part` directly instead lets
+    # column pruning drop o_orderkey below the exchange, splitting the
+    # two subtrees into two scans + two full shuffles (measured on the
+    # first cut of this rewrite)
+    part = o.select(
+        "o_orderkey",
+        dec.alias("_v"),
+        F.expr(f"(o_orderkey - {lo}) div {span}").alias("_b"),
+    ).repartition("_b")
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("rs"),
-    ).transform(osort, table_rows(sf, "orders"), "o_orderkey")
+    main = part.select("_b", "o_orderkey", F.sum("_v").over(wb).alias("_c"))
+    # offsets: one row per bucket (bounded metadata, <= 64*nparts
+    # rows); the cumulation below is a window over THAT table only
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        main.groupBy("_b")
+        .agg(F.max_by("_c", "o_orderkey").alias("_s"))
+        .select("_b", F.sum("_s").over(woff).alias("_off"))
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    return (
+        main.join(F.broadcast(off), "_b")
+        .select(
+            "o_orderkey",
+            F.round(F.col("_c") + F.coalesce(F.col("_off"), zero), 2)
+            .cast("double")
+            .alias("rs"),
+        )
+        .transform(osort, rows, "o_orderkey")
+    )
 
 
 @_q(

@@ -1125,3 +1125,61 @@ def test_q91_partial_agg_sits_below_the_join(spark):
     # driver's hash
     assert "partial_sum((cast(l_extendedprice" in plan, plan
     assert "as decimal(18,4)" in plan, plan
+
+
+def test_q16_prefix_sum_is_two_phase_not_single_partition(spark):
+    """r16 (VERDICT r15 #1): the global running sum must run as the
+    two-phase per-bucket prefix sum — the running-sum Window is
+    partitioned by the key-monotone bucket (never a whole-corpus
+    SinglePartition window), the bucket exchange is shared by both
+    branches (ReusedExchange — one scan, one full-data shuffle), and
+    the per-bucket offsets attach through a broadcast join.  The sum
+    accumulates in exact decimal so the two-phase re-association
+    cannot flip a round(,2) tie (the rev_dec pattern)."""
+    # explain with AQE off: exchange reuse is a static-plan property
+    # there (ReusedExchange node); under AQE the same dedup happens at
+    # runtime per canonical stage, but the pre-execution explain only
+    # shows isFinalPlan=false
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(QUERIES["q16_window_frame"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # running-sum window is keyed by the bucket column
+    assert "windowspecdefinition(_b" in plan, plan
+    # ... and no window runs over the bare global key order (the
+    # serial shape: windowspecdefinition(o_orderkey ASC ...))
+    assert "windowspecdefinition(o_orderkey" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "as decimal(18,2)" in plan, plan
+
+
+def test_q16_two_phase_matches_serial_reference(spark):
+    """Value pin for the q16 rewrite: the bucketed prefix sum equals
+    the single-partition serial window on the same decimal term,
+    bit-for-bit (decimal accumulation is associative by construction;
+    this is the A/B that makes the plan rewrite provably a no-op on
+    results)."""
+    from pyspark.sql import Window
+
+    q = QUERIES["q16_window_frame"](spark, SF)
+    got = [(r.o_orderkey, r.rs) for r in q.collect()]
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2
+            )
+            .cast("double")
+            .alias("rs"),
+        )
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert got == [(r.o_orderkey, r.rs) for r in ref]
