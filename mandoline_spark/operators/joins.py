@@ -42,6 +42,11 @@ def asof_join(
     the same max-selection for free in its existing sort — r15, the
     q45 rewrite; results identical by the window order argument below:
     the carried ``last()`` at equal ``on`` is the max-``tie_col`` row).
+    Rows that tie on BOTH the key and ``tie_col`` break by a unique
+    row id (``_seq2``), so which row's OTHER value columns are carried
+    is a fixed function of the input rather than partition order
+    (ADVICE r15 — without it, callers with value columns beyond
+    ``tie_col`` got a nondeterministic carry on full ties).
     """
     lcols = left.columns
     rvals = [c for c in right.columns if c not in {on, by}]
@@ -56,6 +61,11 @@ def asof_join(
           for c in rvals],
         F.col(on).alias("_t"),
         F.lit(None).cast(seq_type).alias("_seq"),
+        *(
+            [F.lit(None).cast("long").alias("_seq2")]
+            if tie_col is not None
+            else []
+        ),
     )
     r_t = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
@@ -72,13 +82,22 @@ def asof_join(
             if tie_col is not None
             else F.monotonically_increasing_id()
         ).alias("_seq"),
+        # unique final tiebreak for the tie_col path only: the default
+        # path's _seq is already unique, so the extra 8-byte column
+        # would be pure shuffle weight there
+        *(
+            [F.monotonically_increasing_id().alias("_seq2")]
+            if tie_col is not None
+            else []
+        ),
     )
     # after the union, right rows sort before left rows at equal _t, so
     # the carried-forward last(right row) at a left row includes the
     # right row with exactly the same key
     unioned = l_t.unionByName(r_t.select(*l_t.columns))
     part = Window.partitionBy(by) if by else Window.partitionBy()
-    w = part.orderBy("_t", tag, "_seq").rowsBetween(
+    order = ["_t", tag, "_seq"] + (["_seq2"] if tie_col is not None else [])
+    w = part.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     # Carry the matched right row as ONE struct, not per-column

@@ -3740,7 +3740,101 @@ def q105(spark, sf):
 # Structured Streaming execution end to end.)
 
 _Q106_MEMO: dict = {}
-_Q106_SEQ = iter(range(1, 1 << 30))
+
+
+def _replay_workspace(prefix: str) -> str:
+    """Session-lifecycle-bounded tempdir for a streaming replay
+    (VERDICT r15 #8: the q106-q109 dirs previously lived until
+    interpreter ``atexit``, which never runs on SIGKILL and lets a
+    long-lived process pile up one dir per stopped session).  Three
+    bounds, cheapest first:
+
+    1. **Memo sweep**: every call drops memo entries whose
+       SparkSession has been stopped (or garbage-collected) and
+       rmtree's their dirs — a process that cycles sessions no longer
+       accumulates replay sinks for its whole lifetime.
+    2. **Stale-dir pruning**: each dir records its owner pid
+       (``owner.pid``); dirs under the same temp root whose owner is
+       dead are removed at the next replay in ANY process — the
+       SIGKILL/crash leak is collected by the next session instead of
+       surviving until a reboot.
+    3. **atexit** stays as the in-process backstop for the live dirs.
+
+    Returns the created tempdir path (with ``owner.pid`` stamped)."""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    # 1. sweep memo entries owned by stopped/collected sessions
+    for k in list(_Q106_MEMO):
+        ent = _Q106_MEMO[k]
+        sess = ent["spark_ref"]()
+        stopped = sess is None
+        if not stopped:
+            try:
+                stopped = sess._jsc.sc().isStopped()
+            except Exception:
+                stopped = True  # JVM gone == stopped
+        if stopped:
+            _shutil.rmtree(ent["tmp"], ignore_errors=True)
+            del _Q106_MEMO[k]
+
+    # 2. prune same-prefix-family dirs abandoned by dead processes
+    troot = _tempfile.gettempdir()
+    try:
+        names = os.listdir(troot)
+    except OSError:
+        names = []
+    for name in names:
+        if not name.startswith("mandoline_q1"):
+            continue
+        d = os.path.join(troot, name)
+        pid_file = os.path.join(d, "owner.pid")
+        try:
+            with open(pid_file) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            continue  # no/unreadable stamp: not ours to judge, skip
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue  # alive but not ours (EPERM) — leave it
+
+    # 3. create this replay's dir, stamped, with the atexit backstop
+    tmp = _tempfile.mkdtemp(prefix=prefix)
+    with open(os.path.join(tmp, "owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
+    _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
+def _replay_result(spark, key):
+    """Memoized replay sink as a DataFrame, or None on memo miss.  The
+    batch read passes the EXPLICIT sink schema captured at replay time:
+    a replay whose every row was dropped (e.g. all late data) commits
+    zero data files, and a schema-inferring read of that sink raises
+    'Unable to infer schema' where the pre-r15 memory sink returned an
+    empty table (ADVICE r15) — with the schema it degrades to an empty
+    DataFrame of the right shape."""
+    ent = _Q106_MEMO.get(key)
+    if ent is None:
+        return None
+    return spark.read.schema(ent["schema"]).parquet(ent["out"])
+
+
+def _replay_memoize(spark, key, tmp: str, out: str, schema) -> None:
+    import weakref
+
+    _Q106_MEMO[key] = {
+        "out": out,
+        "schema": schema,
+        "tmp": tmp,
+        "spark_ref": weakref.ref(spark),
+    }
 
 # Batch-SQL twin of the watermarked streaming session_window in
 # append mode: gap-based islands (>= gap starts a new session —
@@ -3782,10 +3876,7 @@ def q106(spark, sf):
     run is memoized per (session, corpus): it is INGEST, not query —
     re-running the returned DataFrame scans the sink (bench counts the
     pipeline cost in build_sec, like the q34/q35 array fixtures)."""
-    import atexit as _atexit
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from .streaming.ops import (
         read_events_stream,
@@ -3794,17 +3885,17 @@ def q106(spark, sf):
     )
 
     key = (id(spark), _os.path.abspath(sf))
-    out = _Q106_MEMO.get(key)
-    if out is None:
-        # the dir now holds the replay source AND the parquet sink for
-        # the whole session (the memo hands the sink path back to every
-        # later call), so cleanup moves from an inline finally to
-        # interpreter exit.  Parquet sink, not memory sink (r15): the
-        # memory table pinned every finalized session in the DRIVER
-        # heap for the session lifetime and re-shipped them per scan —
-        # see run_available_now_to_parquet's docstring.
-        tmp = _tempfile.mkdtemp(prefix="mandoline_q106_")
-        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    result = _replay_result(spark, key)
+    if result is None:
+        # the dir holds the replay source AND the parquet sink for the
+        # session lifetime (the memo hands the sink path back to every
+        # later call); _replay_workspace bounds the lifecycle (memo
+        # sweep on session stop + dead-owner pruning + atexit).
+        # Parquet sink, not memory sink (r15): the memory table pinned
+        # every finalized session in the DRIVER heap for the session
+        # lifetime and re-shipped them per scan — see
+        # run_available_now_to_parquet's docstring.
+        tmp = _replay_workspace("mandoline_q106_")
         src = _os.path.join(tmp, "src")
         # round the fixture's TIMESTAMP(NANOS) through one Spark
         # write so the stream source reads Spark-native micros
@@ -3832,9 +3923,10 @@ def q106(spark, sf):
         run_available_now_to_parquet(
             agg, out, _os.path.join(tmp, "ck")
         )
-        _Q106_MEMO[key] = out
+        _replay_memoize(spark, key, tmp, out, agg.schema)
+        result = _replay_result(spark, key)
     return (
-        spark.read.parquet(out)
+        result
         .select(
             "user_id",
             F.unix_micros("session_start").alias("ss_us"),
@@ -3868,10 +3960,7 @@ def q107(spark, sf):
     order is forced, not assumed: the file source processes oldest
     modification time first, so each range file's mtime is set to its
     range rank before the stream starts."""
-    import atexit as _atexit
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from .streaming.ops import (
         read_events_stream,
@@ -3880,11 +3969,10 @@ def q107(spark, sf):
     )
 
     key = (id(spark), _os.path.abspath(sf), "multibatch")
-    out = _Q106_MEMO.get(key)
-    if out is None:
-        # parquet sink + session-lifetime dir, q106's rationale
-        tmp = _tempfile.mkdtemp(prefix="mandoline_q107_")
-        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    result = _replay_result(spark, key)
+    if result is None:
+        # parquet sink + lifecycle-bounded dir, q106's rationale
+        tmp = _replay_workspace("mandoline_q107_")
         src = _os.path.join(tmp, "src")
         # one range exchange: part-0000i holds the i-th event-time
         # range (contiguous, non-overlapping); the write also
@@ -3912,9 +4000,10 @@ def q107(spark, sf):
         run_available_now_to_parquet(
             agg, out, _os.path.join(tmp, "ck")
         )
-        _Q106_MEMO[key] = out
+        _replay_memoize(spark, key, tmp, out, agg.schema)
+        result = _replay_result(spark, key)
     return (
-        spark.read.parquet(out)
+        result
         .select(
             "user_id",
             F.unix_micros("session_start").alias("ss_us"),
@@ -3963,21 +4052,17 @@ def q108(spark, sf):
     doc_id to the original.  Global mode (no watermark): state is the
     distinct-content set, the q29 semantics; the watermark-bounded
     variant is pinned in tests/test_streaming.py."""
-    import atexit as _atexit
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from .streaming.ops import dedup_stream, run_available_now_to_parquet
 
     key = (id(spark), _os.path.abspath(sf), "dedup_gate")
-    out = _Q106_MEMO.get(key)
-    if out is None:
-        # parquet sink + session-lifetime dir, q106's rationale — for
+    result = _replay_result(spark, key)
+    if result is None:
+        # parquet sink + lifecycle-bounded dir, q106's rationale — for
         # THIS replay the memory sink was the worst of the four: the
         # admitted rows carry the full document text
-        tmp = _tempfile.mkdtemp(prefix="mandoline_q108_")
-        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+        tmp = _replay_workspace("mandoline_q108_")
         src = _os.path.join(tmp, "src")
         docs = load(spark, sf, "documents").select("doc_id", "text")
         (
@@ -4015,9 +4100,10 @@ def q108(spark, sf):
         run_available_now_to_parquet(
             admitted, out, _os.path.join(tmp, "ck")
         )
-        _Q106_MEMO[key] = out
+        _replay_memoize(spark, key, tmp, out, admitted.schema)
+        result = _replay_result(spark, key)
     return (
-        spark.read.parquet(out)
+        result
         .select(
             "doc_id",
             F.md5(F.col("text").cast("binary")).alias("h"),
@@ -4059,10 +4145,7 @@ def q109(spark, sf):
     what makes the state finite at all (without it a stream-stream
     join buffers forever); its batch-equivalence at fixture scale is
     also pytest-pinned (tests/test_streaming.py)."""
-    import atexit as _atexit
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from .streaming.ops import (
         interval_join_streams,
@@ -4071,11 +4154,10 @@ def q109(spark, sf):
     )
 
     key = (id(spark), _os.path.abspath(sf), "interval_join")
-    out = _Q106_MEMO.get(key)
-    if out is None:
-        # parquet sink + session-lifetime dir, q106's rationale
-        tmp = _tempfile.mkdtemp(prefix="mandoline_q109_")
-        _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    result = _replay_result(spark, key)
+    if result is None:
+        # parquet sink + lifecycle-bounded dir, q106's rationale
+        tmp = _replay_workspace("mandoline_q109_")
         src = _os.path.join(tmp, "src")
         (
             load_events(spark, sf)
@@ -4106,9 +4188,10 @@ def q109(spark, sf):
         run_available_now_to_parquet(
             joined, out, _os.path.join(tmp, "ck")
         )
-        _Q106_MEMO[key] = out
+        _replay_memoize(spark, key, tmp, out, joined.schema)
+        result = _replay_result(spark, key)
     return (
-        spark.read.parquet(out)
+        result
         .select(
             F.col("event_id").alias("l_id"),
             F.col("r_event_id").alias("r_id"),

@@ -464,6 +464,9 @@ def run_available_now_to_parquet(
     PROBE_Q10_SF1_r15.json)."""
     q = (
         df.writeStream.format("parquet")
+        # the file sink supports append only; stated rather than
+        # inherited from writeStream's default (ADVICE r15)
+        .outputMode("append")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -727,3 +727,70 @@ def test_ordered_multibatch_replay_evicts_across_batches(spark, tmp_path):
     # the 16:00 tail event is above the final watermark: finalized
     # sessions are exactly users 1 and 2
     assert set(u for u, _ in got) == {1, 2}
+
+
+def test_replay_workspace_lifecycle(tmp_path, monkeypatch):
+    """VERDICT r15 #8 / ADVICE r15: the q106-q109 replay dirs are
+    lifecycle-bounded, not interpreter-lifetime.  Three pins: (a) a
+    same-family temp dir whose recorded owner pid is dead is pruned by
+    the next _replay_workspace call in any process; (b) a dir owned by
+    a LIVE pid is left alone; (c) a memo entry whose SparkSession was
+    stopped (simulated via a collected weakref) is swept and its dir
+    removed."""
+    import os
+    import subprocess
+    import tempfile
+    import weakref
+
+    from mandoline_spark import queries as Q
+
+    # route tempfile at a private root so the test never touches real
+    # /tmp state (and never races a concurrently-running bench)
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+
+    # (a) dead-owner dir: a real subprocess that has already exited
+    dead_pid = subprocess.run(
+        ["python", "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    stale = tmp_path / "mandoline_q106_stale"
+    stale.mkdir()
+    (stale / "owner.pid").write_text(dead_pid)
+    # (b) live-owner dir (this process)
+    live = tmp_path / "mandoline_q107_live"
+    live.mkdir()
+    (live / "owner.pid").write_text(str(os.getpid()))
+    # unstamped dir: not ours to judge, must survive
+    foreign = tmp_path / "mandoline_q109_foreign"
+    foreign.mkdir()
+
+    # (c) memo entry owned by a collected session object
+    class _Dummy:
+        pass
+
+    doomed = tmp_path / "doomed"
+    doomed.mkdir()
+    obj = _Dummy()
+    ref = weakref.ref(obj)
+    Q._Q106_MEMO["__lifecycle_test__"] = {
+        "out": str(doomed / "out"),
+        "schema": None,
+        "tmp": str(doomed),
+        "spark_ref": ref,
+    }
+    del obj  # ref() is now None == stopped/collected session
+
+    created = Q._replay_workspace("mandoline_q106_")
+    try:
+        assert not stale.exists(), "dead-owner dir must be pruned"
+        assert live.exists(), "live-owner dir must survive"
+        assert foreign.exists(), "unstamped dir must survive"
+        assert not doomed.exists(), "stopped-session memo dir must be swept"
+        assert "__lifecycle_test__" not in Q._Q106_MEMO
+        pid_file = os.path.join(created, "owner.pid")
+        assert os.path.exists(pid_file)
+        assert open(pid_file).read().strip() == str(os.getpid())
+    finally:
+        import shutil
+
+        shutil.rmtree(created, ignore_errors=True)
