@@ -13,6 +13,15 @@ the sequential slab-merge oracle.
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-minute stress/protocol suite: excluded from the default
+# driver-facing tier (pytest.ini deselects "slow"; run everything
+# with -m "slow or not slow").  VERDICT r15 #2: the full suite's
+# 40-70 min wall exceeded the driver's verification window.
+pytestmark = pytest.mark.slow
+
+
 import random
 
 import numpy as np

@@ -11,6 +11,13 @@ import os
 import numpy as np
 import pytest
 
+# Multi-minute stress/protocol suite: excluded from the default
+# driver-facing tier (pytest.ini deselects "slow"; run everything
+# with -m "slow or not slow").  VERDICT r15 #2: the full suite's
+# 40-70 min wall exceeded the driver's verification window.
+pytestmark = pytest.mark.slow
+
+
 from mandoline_spark import reader, writer
 from mandoline_spark.core import slab as sb
 from mandoline_spark.core import slice as sl

@@ -6,6 +6,15 @@ invariants under randomized inputs) with hypothesis.
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-minute stress/protocol suite: excluded from the default
+# driver-facing tier (pytest.ini deselects "slow"; run everything
+# with -m "slow or not slow").  VERDICT r15 #2: the full suite's
+# 40-70 min wall exceeded the driver's verification window.
+pytestmark = pytest.mark.slow
+
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

@@ -12,6 +12,15 @@ feature instead.
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-minute stress/protocol suite: excluded from the default
+# driver-facing tier (pytest.ini deselects "slow"; run everything
+# with -m "slow or not slow").  VERDICT r15 #2: the full suite's
+# 40-70 min wall exceeded the driver's verification window.
+pytestmark = pytest.mark.slow
+
+
 import json
 import os
 import subprocess
