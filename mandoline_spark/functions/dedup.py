@@ -190,11 +190,20 @@ def ngram_jaccard_pairs(
     without affecting high-similarity pairs.
 
     ``sizes_broadcast`` (max_df path only) broadcasts the per-doc
-    post-drop set sizes into the pair stream — ~16 bytes per DOCUMENT
-    on the driver, so it is safe whenever the corpus's doc count fits
-    a broadcast (the declared q37 passes True); the default keeps the
-    two size attachments as shuffle joins, the shape that holds when
-    even |docs| rows are too many to broadcast.
+    post-drop set sizes — ~16 bytes per DOCUMENT on the driver, so it
+    is safe whenever the corpus's doc count fits a broadcast (the
+    declared q37 passes True); the default keeps the two size
+    attachments as shuffle joins, the shape that holds when even
+    |docs| rows are too many to broadcast.  On the broadcast path
+    (r16) the sizes attach BELOW the posting collection instead of
+    onto the pair stream: each posting entry carries its doc's
+    post-drop size, which (a) lets the pair emitter drop size-band-
+    impossible pairs before they ever reach the pair exchange —
+    ``jac <= min(na,nb)/max(na,nb)``, so a pair with
+    ``min < t*max - 1`` provably fails the threshold (the -1 integer
+    slack keeps exact-boundary pairs; guide §2.3 "shuffle fewer
+    bytes") — and (b) removes both post-pair size joins, since na/nb
+    ride the pair rows as functionally-dependent grouping keys.
 
     The posting shuffle is keyed on the 64-bit xxhash of each shingle,
     not the shingle string — 8 bytes per key instead of ~3 words of
@@ -202,6 +211,8 @@ def ngram_jaccard_pairs(
     inflate ``common`` for pairs appearing in both; with d distinct
     shingles the expected number of colliding shingle pairs is
     d²/2^65 (< 1 up to ~6e9 distinct shingles)."""
+    # coerced BEFORE the branch bodies interpolate it into SQL
+    threshold = float(threshold)
     # Hash-level gram sets (see doc_gram_hashes): the posting key and
     # the set sizes never need the gram strings.
     g = (
@@ -273,38 +284,78 @@ def ngram_jaccard_pairs(
         # and lets the pair side emit the upper triangle only — at
         # sf0.1 the swap measured 1.45s -> 0.9s end-to-end.
         sizes = surv.groupBy("id").agg(F.expr("count(*) AS _sz"))
-        # min_size=2 applies to the PAIR side only (singleton grams
-        # emit no pairs but DO count toward their doc's set size —
-        # the sizes recount above runs before the length filter).
-        posts = (
-            surv.groupBy("gram")
-            .agg(F.expr("sort_array(collect_list(struct(id))) AS _ids"))
-            .where("size(_ids) >= 2")
-        )
-        # Upper-triangle emission off the sorted lists (sort_array ⇒
-        # a < b canonically, so the same unordered pair from different
-        # grams aggregates to one row); incremental O(L) tail slices
-        # as in _pairs_from_posts, single-expr construction (each
-        # nested pyspark call is a py4j round-trip; one SQL parse is
-        # one).
-        pairs = (
-            posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
-            .selectExpr(
-                "explode_outer(transform("
-                " slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
-                " y -> named_struct('a', _x.id, 'b', y.id))) AS _p"
-            )
-            .where("_p IS NOT NULL")
-            .selectExpr("_p.a AS a", "_p.b AS b")
-            .groupBy("a", "b")
-            .agg(F.expr("count(*) AS common"))
-        )
-        sa = sizes.selectExpr("id AS a", "_sz AS na")
-        sb = sizes.selectExpr("id AS b", "_sz AS nb")
         if sizes_broadcast:
-            sa, sb = F.broadcast(sa), F.broadcast(sb)
-        common = pairs.join(sa, "a").join(sb, "b")
-    threshold = float(threshold)
+            # r16 fused shape (guide §2.3): sizes broadcast onto the
+            # surviving exploded rows BELOW the posting collection, so
+            # every posting entry carries (id, _sz).  The pair emitter
+            # then (a) prunes size-band-impossible pairs in the same
+            # pass that builds them — jac <= min/max, so
+            # min*1.0 < t*max - 1 cannot reach the threshold (integer
+            # slack 1 keeps exact-boundary pairs; sizes are ints, so a
+            # dropped pair has jac <= min/max < t - 1/max < t) — before
+            # the pair exchange, and (b) carries na/nb through the pair
+            # aggregation as functionally-dependent grouping keys,
+            # removing both post-pair size joins (and their broadcast
+            # build job) from the plan.
+            surv = surv.join(F.broadcast(sizes), "id")
+            # min_size=2 applies to the PAIR side only (singleton
+            # grams emit no pairs but DO count toward their doc's set
+            # size — the sizes recount above runs before the length
+            # filter).
+            posts = (
+                surv.groupBy("gram")
+                .agg(
+                    F.expr(
+                        "sort_array(collect_list(struct(id, _sz))) AS _ids"
+                    )
+                )
+                .where("size(_ids) >= 2")
+            )
+            # Upper-triangle emission off the sorted lists (sort_array
+            # ⇒ a < b canonically); incremental O(L) tail slices as in
+            # _pairs_from_posts, single-expr construction (each nested
+            # pyspark call is a py4j round-trip; one SQL parse is one).
+            common = (
+                posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+                .selectExpr(
+                    "explode_outer(transform(filter("
+                    " slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
+                    f" y -> least(_x._sz, y._sz) * 1.0D >="
+                    f" {threshold!r} * greatest(_x._sz, y._sz) - 1.0D),"
+                    " y -> named_struct('a', _x.id, 'b', y.id,"
+                    " 'na', _x._sz, 'nb', y._sz))) AS _p"
+                )
+                .where("_p IS NOT NULL")
+                .selectExpr(
+                    "_p.a AS a", "_p.b AS b", "_p.na AS na", "_p.nb AS nb"
+                )
+                .groupBy("a", "b", "na", "nb")
+                .agg(F.expr("count(*) AS common"))
+            )
+        else:
+            # shuffle-join shape: holds when even |docs| size rows are
+            # too many to broadcast (no emission-time prune there — the
+            # sizes aren't visible until the post-pair join)
+            posts = (
+                surv.groupBy("gram")
+                .agg(F.expr("sort_array(collect_list(struct(id))) AS _ids"))
+                .where("size(_ids) >= 2")
+            )
+            pairs = (
+                posts.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+                .selectExpr(
+                    "explode_outer(transform("
+                    " slice(_ids, _i + 2, greatest(size(_ids) - _i - 1, 0)),"
+                    " y -> named_struct('a', _x.id, 'b', y.id))) AS _p"
+                )
+                .where("_p IS NOT NULL")
+                .selectExpr("_p.a AS a", "_p.b AS b")
+                .groupBy("a", "b")
+                .agg(F.expr("count(*) AS common"))
+            )
+            sa = sizes.selectExpr("id AS a", "_sz AS na")
+            sb = sizes.selectExpr("id AS b", "_sz AS nb")
+            common = pairs.join(sa, "a").join(sb, "b")
     round_to = int(round_to) if round_to is not None else None
     jac_sql = "common / (na + nb - common)"
     out = common.where(f"{jac_sql} >= {threshold!r}").selectExpr(

@@ -301,3 +301,55 @@ def test_ngram_jaccard_string_ids(spark):
     }
     want = _brute_jaccard_pairs(texts, 0.3, max_df=10)
     assert got == want, (got, want)
+
+
+def test_ngram_jaccard_size_band_prune_exact(spark):
+    """r16 fused broadcast shape: the pair emitter drops pairs whose
+    post-drop set sizes make the threshold unreachable
+    (jac <= min/max), BEFORE the pair exchange.  Pins: (a) a pair the
+    band provably excludes (|A|=10 vs |B|=40, jac <= 0.25 < 0.5) never
+    changes the result; (b) a pair sitting EXACTLY on the boundary
+    (A subset of B, |A|=10, |B|=20, jac = 10/20 = 0.5 = t) is kept —
+    the -1 integer slack in the prune inequality protects it; (c) the
+    broadcast shape equals the shuffle-join shape and the brute-force
+    oracle on the same fixture."""
+    toks = [f"w{i}" for i in range(60)]
+
+    def text(idx):  # distinct 3-gram per consecutive token triple
+        return " ".join(toks[i] for i in idx)
+
+    rows = [
+        # A: 12 tokens -> 10 grams; B: A's tokens + 30 more -> 40 grams
+        Row(doc_id=1, text=text(range(12))),
+        Row(doc_id=2, text=text(range(42))),
+        # C == A exactly (jac 1.0, kept)
+        Row(doc_id=3, text=text(range(12))),
+        # D: first 22 tokens -> 20 grams; A's grams are a subset:
+        # jac(A, D) = 10 / (10 + 20 - 10) = 0.5 == threshold exactly
+        Row(doc_id=4, text=text(range(22))),
+    ]
+    docs = spark.createDataFrame(rows)
+    texts = {r.doc_id: r.text for r in rows}
+    want = _brute_jaccard_pairs(texts, 0.5, max_df=50)
+    got_b = {
+        (r.a, r.b, float(r.jac))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=50, sizes_broadcast=True
+        ).collect()
+    }
+    got_s = {
+        (r.a, r.b, float(r.jac))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=50, sizes_broadcast=False
+        ).collect()
+    }
+    assert got_b == got_s
+    assert {(a, b) for a, b, _ in got_b} == {(a, b) for a, b, _ in want}
+    brute = {(a, b): j for a, b, j in want}
+    for a, b, j in got_b:
+        assert j == pytest.approx(brute[(a, b)], abs=1e-6)
+    # the boundary pair and the exact-dup pair are present, the banded
+    # pair is not
+    keys = {(a, b) for a, b, _ in got_b}
+    assert (1, 4) in keys and (1, 3) in keys
+    assert (1, 2) not in keys and (2, 3) not in keys
