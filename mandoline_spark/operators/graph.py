@@ -36,6 +36,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     manage_aqe: bool = True,
+    hops_per_job: int = 2,
 ) -> DataFrame:
     """(id, cluster) for every node in ``edges``, where ``cluster`` is
     the minimum node id reachable from ``id`` (deterministic canonical
@@ -174,13 +175,15 @@ def connected_components(
     label_handle = None
     prev_sum = None
     converged = False
-    # TWO propagation steps per materialization: the per-round cost at
-    # small/medium graph sizes is dominated by the checkpoint job
-    # launch, not the joins, and composing two steps into one plan
-    # halves the job count (labels propagate 2 hops per job; the
-    # convergence check sees the composed state, costing at most one
-    # redundant hop after fixpoint).  max_iter still counts SINGLE
-    # hops, so the diameter contract is unchanged.
+    # ``hops_per_job`` propagation steps per materialization (default
+    # 2): the per-round cost at small/medium graph sizes is dominated
+    # by the checkpoint job launch, not the joins, and composing steps
+    # into one plan divides the job count (labels propagate k hops per
+    # job; the convergence check sees the composed state, costing at
+    # most k-1 redundant hops after fixpoint).  max_iter still counts
+    # SINGLE hops, so the diameter contract is unchanged.  r13 measured
+    # 3-vs-2 flat at sf0.1 (floor-dominated); the r16 sf1 A/B
+    # (PROBE_CC_HOPS_SF1_r16.json) settles the knob at data scale.
     # checkpoint (not cache) each round: caching materializes the
     # DATA but the logical plan still nests every earlier round, so by
     # ~25 rounds the planner itself OOMs the driver (observed on a
@@ -197,11 +200,16 @@ def connected_components(
     if flip_aqe:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for it in range(0, max_iter, 2):
+        if hops_per_job < 1:
+            raise ValueError(f"hops_per_job must be >= 1: {hops_per_job}")
+        for it in range(0, max_iter, hops_per_job):
             obs = Observation()
-            cand = _step(
-                first_hop if it == 0 else _step(labels)
-            ).observe(obs, _sum)
+            # first_hop already embodies one propagation step, so the
+            # opening round composes one fewer _step
+            cand = first_hop if it == 0 else labels
+            for _ in range(hops_per_job - (1 if it == 0 else 0)):
+                cand = _step(cand)
+            cand = cand.observe(obs, _sum)
             new_labels, new_handle = _ckpt(cand)
             cur_sum = obs.get["s"]
             if it == 0:
@@ -242,6 +250,7 @@ def dedup_clusters(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     manage_aqe: bool = True,
+    hops_per_job: int = 2,
 ) -> DataFrame:
     """Assign every document to a duplicate cluster and pick its
     canonical representative: cluster = min reachable id over the
@@ -255,6 +264,7 @@ def dedup_clusters(
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         manage_aqe=manage_aqe,
+        hops_per_job=hops_per_job,
     )
     labeled = docs.select(
         F.col(id_col).alias("id"), F.col(size_col).alias("_sz")

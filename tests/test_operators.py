@@ -459,3 +459,37 @@ def test_connected_components_manages_aqe(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, old)
+
+
+def test_connected_components_hops_per_job_variants(spark):
+    """r16 (VERDICT r15 #5): the hop-composition depth is a pure
+    job-count/plan-size trade — every ``hops_per_job`` must yield the
+    identical labeling, and ``max_iter`` keeps counting SINGLE hops
+    regardless of composition."""
+    from mandoline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)],
+        "a long, b long",
+    )
+    ref = sorted(
+        (r.id, r.cluster)
+        for r in connected_components(edges, hops_per_job=2).collect()
+    )
+    for k in (1, 3, 4):
+        got = sorted(
+            (r.id, r.cluster)
+            for r in connected_components(edges, hops_per_job=k).collect()
+        )
+        assert got == ref, k
+    # max_iter counts hops, not jobs: a diameter-9 chain needs ~10
+    # hops to settle its convergence signal; max_iter=4 must raise
+    # even when one composed job covers 4 hops
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=4, hops_per_job=4)
