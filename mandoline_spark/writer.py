@@ -714,6 +714,13 @@ def _dedup_by_hash(new_chunks: DataFrame) -> DataFrame:
     return tagged.join(F.broadcast(winners), ["hash", "_rid"]).drop("_rid")
 
 
+# Index-generation file-size target (guide §6): ~4M skinny index rows
+# (~200 MB at ~50 B/row) per part file.  The file count for a commit is
+# ceil(grid_chunk_bound / this), derived driver-side with no job — see
+# _commit_merged.  Module-level so probes/tests can A/B the layout.
+INDEX_ROWS_PER_FILE = 4_000_000
+
+
 def chunk_table_writer(df: DataFrame):
     """Chunk-table parquet writer: bloom filter on the content hash.
 
@@ -893,10 +900,28 @@ def _commit_merged(
         # same visibility rule as _DELTA: the mask marker must exist
         # whenever the generation's rows are readable
         conn.fs.write_text(os.path.join(gen_path, "_MASKED"), "")
+    # Index-generation file sizing (guide §6, r16): the write otherwise
+    # inherits the piece pipeline's task count — 32 part files for a
+    # few thousand skinny rows at fixture scale — paying commit fan-in
+    # per file on every ingest AND a footer read per file on every
+    # later index scan (resolve_index_df, delta overlays, the array
+    # queries).  The CHUNK GRID bounds this generation's possible row
+    # count driver-side with no job (an index row exists per touched
+    # chunk; full-mode carry is also grid-bounded), so the file count
+    # derives from data, not from task-count accidents: ~4M rows/file
+    # (~200 MB at ~50 B/row, inside the 128 MB-1 GB band).  coalesce
+    # never widens, so at 100 TB (billions of chunks) the write keeps
+    # its parallelism; locally the skinny projection collapses to one
+    # right-sized file.
+    grid = md.get_chunk_grid_slice(token, var)
+    grid_chunks = 1
+    for lo, hi, st in zip(grid.start, grid.stop, grid.step):
+        grid_chunks *= -(-(hi - lo) // st)
+    n_files = max(1, -(-grid_chunks // INDEX_ROWS_PER_FILE))
     from pyspark.sql import Observation
 
     written = Observation()
-    new_index.observe(
+    new_index.coalesce(n_files).observe(
         written, F.count(F.lit(1)).alias("rows")
     ).write.mode("append").parquet(gen_path)
     if not written.get["rows"]:

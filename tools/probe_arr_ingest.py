@@ -77,9 +77,15 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from mandoline_spark.sources.session import _default_driver_mem
+
     spark = (
         SparkSession.builder.appName("arr_ingest_probe")
         .master(f"local[{cpus}]")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.files.maxPartitionBytes", "512m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
