@@ -184,6 +184,8 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    vectorized: bool | None = None,
+    pair_count_hint: int | None = None,
 ) -> DataFrame:
     """All (a, b) id pairs with cosine similarity ≥ threshold
     (embedding near-dup detection).  ``block_col`` restricts candidate
@@ -194,8 +196,20 @@ def cosine_pairs(
     matrix (``applyInPandas``) — each block is one task, pairs never hit
     the shuffle as rows, and the kernel is vectorized instead of a
     per-pair interpreted fold (measured ~10x over the expression form).
-    Unblocked path keeps the JVM expression join (no driver-size
-    assumption about the corpus fitting one task)."""
+    It takes no gate: per-block pair counts are a function of the
+    block-key distribution, which catalog footer stats cannot see
+    without spending a job, and the kernel is already Arrow-vectorized.
+
+    Unblocked path keeps the JVM expression join by default (no
+    driver-size assumption about the corpus fitting one task) with the
+    same kernel gate as :func:`cosine_topk`: ``vectorized=None`` plus
+    ``pair_count_hint`` (n·(n−1)/2 from catalog row counts) picks the
+    numpy-einsum Arrow kernel for the per-pair cosine once the hint
+    clears :data:`VEC_CROSSOVER_PAIRS` — at that size the interpreted
+    per-element fold dominates the fixed Arrow round trip.  The NULL
+    guard is the same expression on both kernels (zero-norm pairs keep
+    sim NULL and fail the threshold), so semantics are identical;
+    sims are bit-approximate across kernels (summation order)."""
     if block_col is not None:
         return _cosine_pairs_blas(
             df, threshold, block_col, id_col, vec_col, round_to
@@ -217,9 +231,16 @@ def cosine_pairs(
     # ranks NaN ABOVE the threshold — without the guard a single
     # all-zero embedding pairs with the whole corpus (the BLAS path
     # drops them; numpy NaN compares False)
+    if vectorized is None:
+        vectorized = (
+            pair_count_hint is not None
+            and pair_count_hint >= VEC_CROSSOVER_PAIRS
+        )
     denom = F.col("_anorm") * F.col("_bnorm")
-    sim = F.when(
-        denom > 0, _dot("_aemb", "_bemb") / denom
+    sim = (
+        F.when(denom > 0, _cosine_batch_udf("_aemb", "_bemb"))
+        if vectorized
+        else F.when(denom > 0, _dot("_aemb", "_bemb") / denom)
     )
     out = joined.withColumn("_sim", sim).filter(F.col("_sim") >= threshold)
     return (
@@ -337,10 +358,28 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_bits: int = 1,
+    vectorized: bool | None = None,
+    pair_count_hint: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     LSH bucket(s), then exact re-rank.  Trades recall for a bucket-equi
     join instead of a full cross product (the 100 TB shape).
+
+    ``vectorized``/``pair_count_hint`` gate the re-rank kernel exactly
+    as :func:`cosine_topk` does (``None`` + hint ≥
+    :data:`VEC_CROSSOVER_PAIRS` picks the numpy-einsum Arrow kernel,
+    otherwise the JVM fold; explicit True/False always wins).  The
+    hint is the EXPECTED candidate count — |queries| × probe_buckets ×
+    |corpus| / 2^n_planes under uniform hashing, computable from
+    catalog row counts with no job.  Unlike ivf_topk the fold stays
+    the small-scale default even though lsh_bucket already pays one
+    Arrow round trip: the fold here sits under a NULL-propagating
+    guard (zero-norm rows keep sim NULL and lose every rank), so the
+    vectorized branch must keep the norm columns for the guard and
+    only replaces the per-pair dot — worth it only once the pair
+    stream is large.  Sims are bit-approximate across kernels
+    (summation order); NULL/zero-norm semantics are identical by
+    construction (the guard is the same expression).
 
     ``n_probe_bits`` controls MULTI-PROBE (Lv et al., VLDB'07 shape):
     each query also probes every bucket within that Hamming distance
@@ -400,11 +439,18 @@ def cosine_topk_lsh(
     # zero-norm guard (same as cosine_topk/ivf_topk): NaN sims sort
     # FIRST under desc ordering, so one zero vector in a bucket would
     # displace every true top-1 there
+    if vectorized is None:
+        vectorized = (
+            pair_count_hint is not None
+            and pair_count_hint >= VEC_CROSSOVER_PAIRS
+        )
     _denom = F.col("_qnorm") * F.col("_norm")
-    pairs = c.join(F.broadcast(q), "bucket").withColumn(
-        "_sim",
-        F.when(_denom > 0, _dot("_qemb", "_emb") / _denom),
+    _sim = (
+        F.when(_denom > 0, _cosine_batch_udf("_qemb", "_emb"))
+        if vectorized
+        else F.when(_denom > 0, _dot("_qemb", "_emb") / _denom)
     )
+    pairs = c.join(F.broadcast(q), "bucket").withColumn("_sim", _sim)
     # sim ties break to the query itself first, then lower id: an
     # in-corpus query's top-1 is itself even when the corpus contains
     # an exact duplicate with a lower id (ADVICE r02 — previously a
@@ -533,11 +579,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     centroids: list[list[float]] | None = None,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k: a k-means coarse
     quantizer partitions the corpus into ``n_cells`` cells; each query
     probes its ``n_probe`` nearest cells and exactly re-ranks only those
     candidates.
+
+    ``vectorized`` picks the candidate re-rank kernel: the numpy-einsum
+    Arrow batch (:func:`_cosine_batch_udf`) or the JVM
+    aggregate(zip_with()) fold.  Unlike :func:`cosine_topk`'s gate,
+    the DEFAULT here (``None``) is the einsum kernel at EVERY scale:
+    this pipeline already crosses the Python boundary for
+    ``cell_ranking``, so the Arrow round-trip's fixed cost — the whole
+    reason cosine_topk's gate stays JVM below 50k pairs — is already
+    paid, and the fold path additionally burns interpreted
+    higher-order-function norms per row.  Measured (r16,
+    PROBE_ANN_FOLD_SF1_r16.json): einsum wins at BOTH probed scale
+    points, 2.5k candidate pairs (sf0.1: 1.41 vs 1.87 s best) and 25k
+    (sf1: 0.91 vs 1.23 s best).  ``vectorized=False`` keeps the JVM
+    fold (a caller that must stay Python-worker-free).  Sims are
+    bit-approximate across the two kernels (summation order), same
+    contract as cosine_topk; NULL/zero-norm rows yield 0.0 on both.
 
     ``centroids`` (from :func:`train_ivf_centroids`) skips the training
     scan: an IVF quantizer is INDEX state, trained once per corpus and
@@ -610,20 +673,35 @@ def ivf_topk(
         ).alias("_cell"),
     )
 
-    q = with_norm(probes.withColumnRenamed("_qvec", vec_col), vec_col).select(
-        "qid",
-        "_cell",
-        F.col("_emb").alias("_qemb"),
-        F.col("_norm").alias("_qnorm"),
-    )
-    c = with_norm(assigned, vec_col).select(
-        F.col(id_col), "_cell", F.col("_emb"), F.col("_norm")
-    )
-    sim = F.when(
-        (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
-        _dot("_qemb", "_emb") / (F.col("_qnorm") * F.col("_norm")),
-    ).otherwise(F.lit(0.0))
-    pairs = c.join(F.broadcast(q), "_cell").withColumn("_sim", sim)
+    if vectorized is None or vectorized:
+        # einsum Arrow kernel: norms live inside the numpy batch, so
+        # the with_norm interpreted HOFs disappear on both sides.
+        # NULL/zero-norm rows yield 0.0 — exactly the fold's
+        # .otherwise(0.0)
+        q = probes.select(
+            "qid", "_cell", F.col("_qvec").alias("_qemb")
+        )
+        c = assigned.select(F.col(id_col), "_cell", F.col(vec_col).alias("_emb"))
+        pairs = c.join(F.broadcast(q), "_cell").withColumn(
+            "_sim", _cosine_batch_udf("_qemb", "_emb")
+        )
+    else:
+        q = with_norm(
+            probes.withColumnRenamed("_qvec", vec_col), vec_col
+        ).select(
+            "qid",
+            "_cell",
+            F.col("_emb").alias("_qemb"),
+            F.col("_norm").alias("_qnorm"),
+        )
+        c = with_norm(assigned, vec_col).select(
+            F.col(id_col), "_cell", F.col("_emb"), F.col("_norm")
+        )
+        sim = F.when(
+            (F.col("_qnorm") > 0) & (F.col("_norm") > 0),
+            _dot("_qemb", "_emb") / (F.col("_qnorm") * F.col("_norm")),
+        ).otherwise(F.lit(0.0))
+        pairs = c.join(F.broadcast(q), "_cell").withColumn("_sim", sim)
     # same self-first tie-break as cosine_topk_lsh (ADVICE r02)
     w = Window.partitionBy("qid").orderBy(
         F.col("_sim").desc(),

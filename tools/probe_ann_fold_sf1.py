@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+# module-level so pandas_udf's get_type_hints can resolve the
+# annotations against func.__globals__ (a nested import lands in the
+# enclosing function's locals, which the hint resolver never sees)
+import pandas as pd  # noqa: F401
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -58,7 +63,7 @@ def main() -> None:
         Csq = (C * C).sum(axis=1)
 
         @pandas_udf("array<int>")
-        def cell_ranking(v: "pd.Series") -> "pd.Series":
+        def cell_ranking(v: pd.Series) -> pd.Series:
             valid = v.notna().to_numpy()
             out = np.zeros(len(v), dtype=object)
             out[~valid] = None
