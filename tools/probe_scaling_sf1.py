@@ -88,9 +88,18 @@ def run_label(label: str, sf1_dir: str) -> None:
     for n in names:
         runs = []
         for _ in range(3):
-            df = QUERIES[n](spark, mf_dir) if n in REBUILD_PER_PASS else built[n]
-            t0 = time.perf_counter()
-            run(df)
+            # REBUILD_PER_PASS queries (the CC pair) do their real work
+            # EAGERLY during construction — the iteration materializes
+            # inside QUERIES[n](...) — so t0 must start BEFORE the
+            # build (the same r15 timer bug bench_sf1_segmented.py
+            # fixed: timing only the final scan read 0.112 s for a
+            # 22 s query)
+            if n in REBUILD_PER_PASS:
+                t0 = time.perf_counter()
+                run(QUERIES[n](spark, mf_dir))
+            else:
+                t0 = time.perf_counter()
+                run(built[n])
             runs.append(time.perf_counter() - t0)
         out["queries"][n] = {
             "best": round(min(runs), 4),
