@@ -130,24 +130,6 @@ def doc_gram_hashes(
     )
 
 
-def _ghashes_col(text_col: str, n: int) -> Column:
-    """The split → grams → xxhash64 → distinct expression of
-    :func:`doc_gram_hashes` as a bare Column, for consumers that place
-    it in a projection of their own (e.g. ABOVE a candidate-pruning
-    join, where evaluating it per surviving row beats a full-corpus
-    pass).  Not UDF-adjacent: see the doc_gram_hashes shape note."""
-    gets = ", ".join(f"get(_w, i + {j})" for j in range(n))
-    # the one-element transform binds the split result to _w so the
-    # word array is computed once, not once per shingle position
-    return F.expr(
-        f"transform(array(split({text_col}, '\\\\s+')), _w -> "
-        f"array_distinct(transform(filter("
-        f"transform(sequence(0, greatest(size(_w) - {n}, 0)),"
-        f" i -> concat_ws(' ', {gets})),"
-        f" g -> length(g) > 0), g -> xxhash64(g))))[0]"
-    )
-
-
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -750,7 +732,18 @@ def minhash_lsh_pairs(
     pair on the driver: right for typical dup rates (candidates ≪
     corpus by construction), wrong for a dup-saturated corpus where
     near-dup pairs approach corpus scale — there the default shuffle
-    join is the safe shape."""
+    join is the safe shape.
+
+    The broadcast probe streams the ONE-pass gram pipeline (``dgh``)
+    rather than recomputing the gram expression per candidate member
+    row (r16; guide §2.3).  The r9–r15 shape did the latter, sized
+    for candidates ≪ corpus — but candidate count grows with the
+    corpus's dup structure, not its size: at sf1 the banding emits 5
+    pairs per DOC (251k pairs / 50k docs), so per-member recompute
+    ran the split/shingle/hash work ~10x over the corpus pass and
+    verification was 19 s of q36's 21 s (PROBE_Q36_SF1_r16.json).
+    One corpus gram pass is at most 2x optimal at ANY dup rate (the
+    signature side already pays one), never pathological."""
     # Hash-level gram sets end-to-end (see doc_gram_hashes): the
     # signature kernel consumes the hashes directly, and verification
     # intersects long arrays instead of gram strings — the string set
@@ -771,30 +764,17 @@ def minhash_lsh_pairs(
     # O(corpus).
     sides_small = cand.select("a", "b", F.explode(F.array("a", "b")).alias("id"))
     if verify_broadcast:
-        # The broadcast probe runs against the RAW corpus scan and the
-        # gram expression sits in a projection ABOVE the join, so the
-        # pipeline's second gram evaluation is O(candidate member
-        # rows), not a second full-corpus pass (r8 joined the
-        # broadcast onto the already-projected dgh — the corpus's
-        # split/shingle/hash work ran twice per action, measured
-        # ~0.2s of the 0.79s total at sf0.1).  A doc in several pairs
-        # recomputes its set once per pair — candidates ≪ corpus is
-        # this branch's precondition, so that duplication is noise.
-        # qualified join + select: with id_col == "id" the bare column
-        # names are ambiguous between the corpus and candidate sides
-        # (r9 review finding — the r8 USING-join shape tolerated any
-        # id_col, this probe-side rewrite must too)
-        corpus, cand = df.alias("_corpus"), F.broadcast(
-            sides_small
-        ).alias("_cand")
-        sides = corpus.join(
-            cand, F.col(f"_corpus.{id_col}") == F.col("_cand.id")
-        ).select(
-            F.col("_cand.a").alias("a"),
-            F.col("_cand.b").alias("b"),
-            F.col("_cand.id").alias("id"),
-            _ghashes_col(text_col, n).alias("ghashes"),
-        )
+        # Stream dgh (grams computed ONCE per corpus doc) past the
+        # broadcast of the candidate member rows — no corpus exchange.
+        # The r9–r15 shape instead recomputed the gram expression per
+        # member row off the raw scan, sized for candidates ≪ corpus;
+        # banding's candidate count follows the DUP RATE, not the
+        # corpus size, and at sf1 (5 pairs/doc) that recompute was
+        # ~10 corpus-passes of interpreted HOF work — 19 s of q36's
+        # 21 s (r16, PROBE_Q36_SF1_r16.json: verification 20.9 s of
+        # 21 s full; the swap measured 21 s → see probe).  One doc in
+        # several pairs now fans out AFTER its grams are computed.
+        sides = dgh.join(F.broadcast(sides_small), "id")
     else:
         sides = sides_small.join(dgh, "id")
     paired = sides.groupBy("a", "b").agg(

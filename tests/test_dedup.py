@@ -353,3 +353,37 @@ def test_ngram_jaccard_size_band_prune_exact(spark):
     keys = {(a, b) for a, b, _ in got_b}
     assert (1, 4) in keys and (1, 3) in keys
     assert (1, 2) not in keys and (2, 3) not in keys
+
+
+def test_minhash_verify_broadcast_streams_one_gram_pass(spark):
+    """r16: the broadcast verify streams the ONE-pass gram pipeline
+    (dgh) past the candidate broadcast instead of recomputing the gram
+    expression per candidate member row — banding's candidate count
+    follows the dup rate, not the corpus size, and at sf1 (5 pairs per
+    doc) the per-member recompute was ~10 corpus passes of interpreted
+    HOF work (19 of q36's 21 s; PROBE_Q36_VERIFY_SF1_r16.json pins the
+    6.5x).  Pinned two ways: (a) the per-member gram marker — the
+    inlined `transform(array(split(...)))[0]` expression the old shape
+    projected ABOVE the join — no longer appears in the executed plan;
+    (b) both verify shapes agree on a fixture where one doc
+    participates in MANY pairs (the case the old shape recomputed per
+    pair)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [Row(doc_id=i, text=base) for i in range(1, 7)] + [
+        Row(doc_id=9, text="totally unrelated words over here now friend"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bc = minhash_lsh_pairs(docs, threshold=0.5, verify_broadcast=True)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "transform(array(split(" not in plan
+    got_bc = [(r.a, r.b, r.jac) for r in bc.collect()]
+    got_sh = [
+        (r.a, r.b, r.jac)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, verify_broadcast=False
+        ).collect()
+    ]
+    # 6 identical docs -> all 15 pairs at jac 1.0, via every doc
+    # sitting in 5 pairs (10 member rows) -- the multi-pair fan-out
+    assert got_bc == got_sh
+    assert len(got_bc) == 15 and all(j == 1.0 for _, _, j in got_bc)
